@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline corpus queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (count of the result) — collect() is
+avoided so timing measures distributed execution, not driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship pipeline + the heaviest corpus queries.
+HEADLINE = [
+    "flagship_cdc_dedup",
+    "e1_rank_window",
+    "e2_latest_per_key_agg",
+    "d1_join_back_dedup",
+    "d2_semi_join_dim",
+    "f6_modify_reward",
+    "f7_f9_fix_dob",
+    "h3_incremental_scan",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from martech_pipelines_spark import get_spark
+    from martech_pipelines_spark.plans import QUERIES
+
+    spark = get_spark("bench")
+    # one warm-up action so JVM/codegen startup is not billed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_corpus_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""CDC / incremental processing (SURVEY.md §2.A2-A3, §2.E, §2.H).
+
+The reference's flagship pipeline (reference:
+martech_pipelines/tasks/user_profile/clevertap.py:6-61):
+
+1. look up a per-query watermark in ``streaming_job_runs`` (H1),
+2. read the Delta Change-Data-Feed since that timestamp (A2), or the full
+   history on cold start (A3/H4),
+3. keep only ``insert``/``update_postimage`` change rows (H2),
+4. compact to the newest row per key via a rank window + self-join (E2),
+5. count + hand off to the export operator.
+
+Spark-first re-expression:
+- The change source is any append-only log DataFrame with (key, ts,
+  change_type) columns — Delta CDF where available, a plain parquet event
+  log otherwise (the primary implementation here; the testdata ``events``
+  table plays this role).
+- The E2 dedup drops the reference's self-join: ranking and filtering on
+  the same frame is one shuffle on the key instead of two plus a join.
+  Tie-handling pinned (SURVEY.md §0): the reference's join-back can emit
+  >1 row per key when two changes share a commit timestamp; we pin
+  exactly-1-row-per-key with a deterministic second sort key.
+- 100-TB posture: the only shuffle is ``partitionBy(key)``; the watermark
+  filter is a pushed-down parquet predicate (min/max row-group skipping);
+  no collect() except the 1-row watermark lookup.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Change types that survive H2 filtering
+# (reference: martech_pipelines/tasks/user_profile/clevertap.py:43,53).
+DEFAULT_PASS_TYPES = ("insert", "update_postimage")
+
+
+def lookup_watermark(job_runs: DataFrame, query_name: str) -> dt.datetime | None:
+    """H1: read the last-run watermark for a query; None = cold start.
+
+    Reference: martech_pipelines/tasks/user_profile/clevertap.py:10-14
+    (an IndexError on the empty collect is the reference's cold-start
+    signal; we return None instead). The collect is a 1-row control-table
+    read — the one place collect() is legitimate.
+    """
+    rows = (
+        job_runs.where(F.col("query_name") == F.lit(query_name))
+        .select("last_job_run")
+        .limit(1)
+        .collect()
+    )
+    return rows[0][0] if rows else None
+
+
+def incremental_scan(
+    changes: DataFrame,
+    ts_col: str,
+    since: dt.datetime | str | None,
+) -> Column | DataFrame:
+    """A2/A3: bound an append-only change log by the watermark.
+
+    ``since=None`` is the cold-start full scan (A3). The predicate is a
+    plain comparison on the timestamp column so it reaches the parquet
+    scan as a pushed filter (and prunes partitions when the log is
+    partitioned by date) — the built-in analog of the reference's manual
+    ``startingTimestamp`` option (reference:
+    martech_pipelines/tasks/user_profile/clevertap.py:19-27).
+    """
+    if since is None:
+        return changes
+    return changes.where(F.col(ts_col) > F.lit(since))
+
+
+def filter_change_types(
+    changes: DataFrame,
+    change_type_col: str = "_change_type",
+    pass_types: tuple[str, ...] = DEFAULT_PASS_TYPES,
+) -> DataFrame:
+    """H2: keep post-image change rows only (C4 IN-list predicate)."""
+    return changes.where(F.col(change_type_col).isin(list(pass_types)))
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """E2: newest row per key — the flagship CDC compaction.
+
+    The reference builds a CTE of max-rank timestamps then joins back
+    (reference: martech_pipelines/tasks/user_profile/clevertap.py:30-53);
+    idiomatic Spark ranks and filters in one pass:
+
+        row_number() OVER (PARTITION BY key ORDER BY ts DESC, tiebreak...)
+
+    Exactly one shuffle (hash by key). Pinned semantics: strictly one row
+    per key; same-timestamp ties broken by ``tiebreak_cols`` descending
+    (callers pass a unique id to make output deterministic).
+
+    Scale note: a hot key (one user with millions of changes) skews this
+    window. AQE skew handling does not split window partitions, so for a
+    known-skewed log pre-aggregate with ``max_by``-style reduction instead
+    (see ``latest_per_key_agg``) — same semantics, partial-aggregation
+    (map-side combine) halves the shuffled bytes and tolerates skew.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") == 1)
+        .drop("__rank")
+    )
+
+
+def latest_per_key_agg(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """E2 (aggregation form): newest row per key via max_by on a struct.
+
+    Equivalent result to ``latest_per_key`` but expressed as an
+    aggregation, which Catalyst executes with partial (map-side) combine —
+    the skew-tolerant, lower-shuffle variant for 100-TB logs. The ordering
+    struct (ts, tiebreaks...) makes ``max_by`` deterministic under ties.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    ord_cols = [ts_col] + [c for c in (tiebreak_cols or [])]
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    ordering = F.struct(*[F.col(c) for c in ord_cols])
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    agg = df.groupBy(*key_cols).agg(F.max_by(payload, ordering).alias("__row"))
+    return agg.select(*key_cols, *[F.col(f"__row.{c}").alias(c) for c in payload_cols])
+
+
+def cdc_compact(
+    changes: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    since: dt.datetime | str | None = None,
+    change_type_col: str | None = None,
+    pass_types: tuple[str, ...] = DEFAULT_PASS_TYPES,
+    tiebreak_cols: list[str] | None = None,
+    use_agg: bool = False,
+) -> DataFrame:
+    """The full flagship pipeline: watermark filter -> change-type filter
+    -> latest-per-key compaction. Every stage is a narrow predicate except
+    the single keyed shuffle in the compaction."""
+    df = incremental_scan(changes, ts_col, since)
+    if change_type_col is not None:
+        df = filter_change_types(df, change_type_col, pass_types)
+    compact = latest_per_key_agg if use_agg else latest_per_key
+    return compact(df, key_cols, ts_col, tiebreak_cols)
+
+
+def update_watermark(
+    spark: SparkSession,
+    job_runs: DataFrame,
+    query_name: str,
+    new_watermark: dt.datetime,
+) -> DataFrame:
+    """H1 write-side: upsert the watermark row (returns the new table).
+
+    The reference leaves the update implicit; for the parquet-backed
+    engine this is a tiny control-table rewrite (anti-join + union) —
+    trivially small, never on the data path.
+    """
+    others = job_runs.where(F.col("query_name") != F.lit(query_name))
+    new_row = spark.createDataFrame(
+        [(query_name, new_watermark)], schema=job_runs.schema
+    )
+    return others.unionByName(new_row)

@@ -1,0 +1,92 @@
+"""CDC / incremental-processing semantics (SURVEY.md §2.A2-A3, E2, H1-H4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import cdc
+from martech_pipelines_spark.sources.schemas import STREAMING_JOB_RUNS_SCHEMA
+
+
+def _changes(spark):
+    rows = [
+        # (customer_id, mobile, _change_type, _commit_timestamp)
+        (1, "m1-old", "insert", dt.datetime(2024, 1, 1, 10)),
+        (1, "m1-new", "update_postimage", dt.datetime(2024, 1, 2, 10)),
+        (1, "m1-pre", "update_preimage", dt.datetime(2024, 1, 2, 10)),
+        (2, "m2", "insert", dt.datetime(2024, 1, 1, 9)),
+        (2, "m2-del", "delete", dt.datetime(2024, 1, 3, 9)),
+        # same-timestamp tie for key 3: id 31 vs 32 -> higher tiebreak wins
+        (3, "m3-a", "insert", dt.datetime(2024, 1, 1, 8)),
+        (3, "m3-b", "update_postimage", dt.datetime(2024, 1, 1, 8)),
+    ]
+    return spark.createDataFrame(
+        rows, "customer_id long, mobile string, _change_type string, _commit_timestamp timestamp"
+    )
+
+
+def test_watermark_lookup_and_cold_start(spark):
+    jr = spark.createDataFrame(
+        [("ct", dt.datetime(2024, 1, 1, 12))], STREAMING_JOB_RUNS_SCHEMA
+    )
+    assert cdc.lookup_watermark(jr, "ct") == dt.datetime(2024, 1, 1, 12)
+    assert cdc.lookup_watermark(jr, "unknown") is None  # H4 cold start
+
+
+def test_incremental_scan_bounds(spark):
+    df = _changes(spark)
+    out = cdc.incremental_scan(df, "_commit_timestamp", dt.datetime(2024, 1, 1, 12))
+    assert out.count() == 3  # strictly-after semantics
+
+
+def test_change_type_filter(spark):
+    out = cdc.filter_change_types(_changes(spark))
+    kinds = {r["_change_type"] for r in out.collect()}
+    assert kinds == {"insert", "update_postimage"}
+
+
+def test_latest_per_key_one_row_per_key_with_tiebreak(spark):
+    df = cdc.filter_change_types(_changes(spark))
+    out = cdc.latest_per_key(
+        df, "customer_id", "_commit_timestamp", tiebreak_cols=["mobile"]
+    )
+    got = {r["customer_id"]: r["mobile"] for r in out.collect()}
+    # key 3 tie at identical ts: 'm3-b' > 'm3-a' descending tiebreak
+    assert got == {1: "m1-new", 2: "m2", 3: "m3-b"}
+    assert out.count() == 3  # strictly one row per key
+
+
+def test_latest_per_key_agg_matches_window_form(spark):
+    df = cdc.filter_change_types(_changes(spark))
+    a = cdc.latest_per_key(df, "customer_id", "_commit_timestamp", ["mobile"])
+    b = cdc.latest_per_key_agg(df, "customer_id", "_commit_timestamp", ["mobile"])
+    sa = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+    sb = sorted(map(tuple, b.select(*sorted(b.columns)).collect()))
+    assert sa == sb
+
+
+def test_cdc_compact_end_to_end(spark):
+    out = cdc.cdc_compact(
+        _changes(spark),
+        key_cols="customer_id",
+        ts_col="_commit_timestamp",
+        since=dt.datetime(2024, 1, 1, 8, 30),
+        change_type_col="_change_type",
+        tiebreak_cols=["mobile"],
+    )
+    got = {r["customer_id"]: r["mobile"] for r in out.collect()}
+    # key 2's insert (09:00) passes; key 3's rows (08:00) are before the
+    # watermark; key 2's later delete is filtered by change type
+    assert got == {1: "m1-new", 2: "m2"}
+
+
+def test_update_watermark_upsert(spark):
+    jr = spark.createDataFrame(
+        [("ct", dt.datetime(2024, 1, 1)), ("nc", dt.datetime(2024, 1, 2))],
+        STREAMING_JOB_RUNS_SCHEMA,
+    )
+    new = cdc.update_watermark(spark, jr, "ct", dt.datetime(2024, 2, 1))
+    got = {r["query_name"]: r["last_job_run"] for r in new.collect()}
+    assert got == {"ct": dt.datetime(2024, 2, 1), "nc": dt.datetime(2024, 1, 2)}
