@@ -1,0 +1,231 @@
+"""Sinks (SURVEY.md §2.B): file sinks + partition-parallel batched REST sinks.
+
+The reference exports in a single driver process: pandas chunks -> dict
+records -> ≤1000-record JSON payloads -> requests POST with tenacity retry
+(reference: martech_pipelines/operators/clevertap_user_profile.py:61-79,
+hooks/clevertap.py:27-38, hooks/http.py:193-217). That caps throughput at
+one CPU and one NIC.
+
+Spark-first re-expression: the batching/POST loop runs inside
+``foreachPartition`` so every executor ships its own partitions in
+parallel. Design points for scale and safety:
+
+- **Batch shape**: in-partition ``chunkify(payload_size)`` (F11) rebuilt
+  from the documented contract (≤1000 records/POST, ``{"d": [...]}``).
+- **Retry**: exponential backoff, 3 attempts, retry on connection errors —
+  the reference's tenacity policy re-expressed with stdlib.
+- **Idempotence** (SURVEY.md §7.4.4): Spark task retries re-send whole
+  partitions, so every batch carries a deterministic ``batch_id`` derived
+  from (partition id, chunk index, first/last record identity). A receiver
+  that dedupes on ``batch_id`` gets effectively-once; the stub-server test
+  pins this.
+- **Metrics** (E4): processed/sent/invalid counters via Spark accumulators
+  (the reference's module-level counters don't survive distribution).
+- **Transport injection**: the HTTP POST callable is a constructor arg so
+  tests inject a recorder and production injects urllib/requests; the
+  callable must be picklable (top-level function / functools.partial).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Callable, Generator, Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+PostFn = Callable[[str, bytes, dict], int]  # (url, body, headers) -> status
+
+
+def chunkify(items: list, chunk_size: int) -> Generator[list, None, None]:
+    """F11: successive fixed-size chunks (reference:
+    martech_pipelines/utils/helpers.py:4-9; ValueError on size<=0 kept)."""
+    if chunk_size <= 0:
+        raise ValueError("Chunk size must be a positive integer")
+    for i in range(0, len(items), chunk_size):
+        yield items[i : i + chunk_size]
+
+
+def chunkify_by_bytes(
+    records: Iterable[str], max_bytes: int
+) -> Generator[list[str], None, None]:
+    """B5: size-capped batching (Netcore's 4.5 MB CSV cap — reference:
+    martech_pipelines/hooks/netcore.py:103-119 probes by halving; we size
+    directly from encoded record lengths, one pass, no probe)."""
+    batch: list[str] = []
+    size = 0
+    for rec in records:
+        rec_len = len(rec.encode("utf-8")) + 1
+        if batch and size + rec_len > max_bytes:
+            yield batch
+            batch, size = [], 0
+        batch.append(rec)
+        size += rec_len
+    if batch:
+        yield batch
+
+
+# --- file sinks (B1-B3) ------------------------------------------------------
+
+
+def write_file(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    single_file: bool = False,
+    header: bool = True,
+) -> None:
+    """B1/B2/B3: format-parameterized file sink (reference:
+    martech_pipelines/tasks/sample/entrypoint.py:16-18; CSV-to-S3 at
+    hooks/aws_s3.py:387-396; gzip at :236-249).
+
+    ``partition_by`` is the 100-TB lever: partition output by the pruning
+    key (e.g. event_date) so downstream incremental scans skip files.
+    ``single_file`` coalesces to one output object — only for API-style
+    destinations that require a single CSV; never for big data.
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    if fmt == "csv":
+        writer = writer.option("header", str(header).lower())
+    writer.save(path)
+
+
+# --- REST batch sink (B4-B6) -------------------------------------------------
+
+
+def default_post(url: str, body: bytes, headers: dict) -> int:
+    """Production transport: stdlib urllib (requests-free, executor-safe)."""
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        return resp.status
+
+
+def _batch_id(partition_id: int, chunk_idx: int, records: list[dict], identity_key: str) -> str:
+    """Deterministic idempotency key: stable across Spark task retries
+    because partition contents and chunk order are deterministic for a
+    deterministic input plan."""
+    first = str(records[0].get(identity_key, "")) if records else ""
+    last = str(records[-1].get(identity_key, "")) if records else ""
+    raw = f"{partition_id}:{chunk_idx}:{len(records)}:{first}:{last}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:24]
+
+
+@dataclass
+class RestSinkConfig:
+    url: str
+    payload_size: int = 1000  # reference: operators/clevertap_user_profile.py:29
+    identity_key: str = "identity"
+    wrapper_key: str = "d"  # {"d": [...]} — reference: :78
+    max_attempts: int = 3  # reference: hooks/clevertap.py:21-25
+    backoff_base_s: float = 0.5
+    headers: dict | None = None
+    jwt_secret: str | None = None  # B6 Gamooga-style HS256 signing
+    drop_null_values: bool = True  # reference drops None-valued attrs (:76)
+
+
+def _jwt_hs256(payload: dict, secret: str) -> str:
+    """B6: minimal HS256 JWT (stdlib hmac) for Gamooga-style signed batches
+    (reference: martech_pipelines/hooks/gamooga.py:39-74)."""
+    import base64
+    import hmac
+
+    def b64(obj: bytes) -> str:
+        return base64.urlsafe_b64encode(obj).rstrip(b"=").decode()
+
+    header = b64(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+    body = b64(json.dumps(payload, separators=(",", ":")).encode())
+    sig = hmac.new(secret.encode(), f"{header}.{body}".encode(), hashlib.sha256).digest()
+    return f"{header}.{body}.{b64(sig)}"
+
+
+def _post_with_retry(post_fn: PostFn, cfg: RestSinkConfig, body: bytes, headers: dict) -> int:
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            status = post_fn(cfg.url, body, headers)
+            if status >= 400:
+                raise IOError(f"HTTP {status}")
+            return status
+        except Exception:
+            if attempt >= cfg.max_attempts:
+                raise
+            time.sleep(cfg.backoff_base_s * (2 ** (attempt - 1)))
+
+
+def rest_batch_sink(
+    df: DataFrame,
+    cfg: RestSinkConfig,
+    post_fn: PostFn = default_post,
+    target_records_per_partition: int | None = None,
+) -> dict[str, int]:
+    """B4: ship a DataFrame to a REST endpoint, partition-parallel.
+
+    Returns the E4 metrics dict {processed, sent, invalid, batches}.
+    ``target_records_per_partition`` repartitions first so each executor
+    POST loop handles a bounded record count (backpressure discipline —
+    SURVEY.md §4 batching row); leave None to keep the upstream layout and
+    avoid the extra shuffle.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    acc_processed = sc.accumulator(0)
+    acc_sent = sc.accumulator(0)
+    acc_invalid = sc.accumulator(0)
+    acc_batches = sc.accumulator(0)
+
+    if target_records_per_partition:
+        n = df.count()
+        parts = max(1, -(-n // target_records_per_partition))
+        df = df.repartition(parts)
+
+    cfg_headers = dict(cfg.headers or {})
+    identity_key = cfg.identity_key
+    columns = df.columns
+
+    def send_partition(rows: Iterator) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        records = []
+        for row in rows:
+            rec = dict(zip(columns, row))
+            acc_processed.add(1)
+            if rec.get(identity_key) is None:
+                acc_invalid.add(1)
+                continue
+            if cfg.drop_null_values:
+                rec = {k: v for k, v in rec.items() if v is not None}
+            records.append(rec)
+        for idx, chunk in enumerate(chunkify(records, cfg.payload_size)):
+            bid = _batch_id(pid, idx, chunk, identity_key)
+            payload = {cfg.wrapper_key: chunk, "batch_id": bid}
+            headers = {"Content-Type": "application/json", **cfg_headers}
+            if cfg.jwt_secret:
+                headers["Authorization"] = "Bearer " + _jwt_hs256(
+                    {"batch_id": bid, "n": len(chunk)}, cfg.jwt_secret
+                )
+            body = json.dumps(payload, default=str).encode("utf-8")
+            _post_with_retry(post_fn, cfg, body, headers)
+            acc_batches.add(1)
+            acc_sent.add(len(chunk))
+
+    df.foreachPartition(send_partition)
+    return {
+        "processed": acc_processed.value,
+        "sent": acc_sent.value,
+        "invalid": acc_invalid.value,
+        "batches": acc_batches.value,
+    }

@@ -1,0 +1,158 @@
+"""Config-driven profile-export transform pipeline (SURVEY.md §2.C6-C9, §2.I).
+
+The reference's export operator applies, per record dict, on the driver:
+identity check -> optional named transformation_fn -> type map -> attribute
+subset -> key rename (reference:
+martech_pipelines/operators/clevertap_user_profile.py:93-111), resolving
+``transformation_fn`` by name with getattr against the helpers module
+(:50-59).
+
+Spark-first re-expression: each stage is a DataFrame->DataFrame combinator
+over Column expressions; the pipeline composes them declaratively from the
+same config shape the reference's operator kwargs use (FIXTURES.md §1.5).
+The getattr-by-name registry becomes an explicit dict of named builders —
+same extensibility point, no reflection, and each entry is a *columnar*
+transform rather than a per-row Python function.
+
+At 100 TB this whole pipeline is a single narrow projection stage fused by
+whole-stage codegen — zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.functions import profile as P
+
+# --- named transformation registry (replaces getattr-by-name, §2.I) ----------
+
+# Signature: (df, params) -> dict of new column name -> Column expression.
+TransformFn = Callable[[DataFrame, dict], dict[str, Column]]
+
+TRANSFORMATIONS: dict[str, TransformFn] = {}
+
+
+def register_transformation(name: str) -> Callable[[TransformFn], TransformFn]:
+    """Register a named columnar transformation (the engine's analog of the
+    reference's ``transformation_fn`` config string)."""
+
+    def deco(fn: TransformFn) -> TransformFn:
+        TRANSFORMATIONS[name] = fn
+        return fn
+
+    return deco
+
+
+@register_transformation("get_gender_implicit_data")
+def _gender_implicit(df: DataFrame, params: dict) -> dict[str, Column]:
+    """Reference: martech_pipelines/utils/data_sanity_helpers.py:165-177 via
+    operator config (martech_pipelines/operators/clevertap_user_profile.py:50-59)."""
+    col = F.col(params.get("data_col", "v1__json"))
+    return P.gender_implicit_columns(col, params.get("signal_field", "last7days"))
+
+
+@register_transformation("get_birth_date")
+def _birth_date(df: DataFrame, params: dict) -> dict[str, Column]:
+    """Reference: martech_pipelines/utils/data_sanity_helpers.py:156-162."""
+    return {"birth_date": P.get_birth_date(F.col(params.get("dob_col", "dob")))}
+
+
+# --- type-map dispatcher (F4) ------------------------------------------------
+
+# Target-name -> Column builder, mirroring the reference's dispatch keys
+# (reference: martech_pipelines/utils/data_sanity_helpers.py:56-93).
+_TYPE_DISPATCH: dict[str, Callable[[Column], Column]] = {
+    "string": lambda c: c.cast("string"),
+    "int": lambda c: P.lenient_cast(c, "long"),
+    "float": lambda c: P.lenient_cast(c, "double"),
+    "date": P.generic_date,  # dob columns routed to fix_dob by apply_type_map
+    "mobile_sanity": P.mobile_sanity,
+    "modify_reward": P.modify_reward,
+    "Unix_epoch": P.unix_epoch,
+}
+
+
+def apply_type_map(df: DataFrame, type_map: dict[str, str]) -> DataFrame:
+    """F4: per-field lenient-cast dispatcher. Unknown target names raise at
+    plan time (the reference silently ignores them — a foot-gun we drop).
+    The dob special-case (date -> fix_dob) follows the reference's branch
+    (martech_pipelines/utils/data_sanity_helpers.py:72-74)."""
+    out = {}
+    for name, target in type_map.items():
+        if name not in df.columns:
+            continue
+        if target == "date" and name == "dob":
+            out[name] = P.fix_dob(F.col(name))
+        else:
+            try:
+                builder = _TYPE_DISPATCH[target]
+            except KeyError as exc:
+                raise ValueError(f"unknown type-map target {target!r} for {name!r}") from exc
+            out[name] = builder(F.col(name))
+    return df.withColumns(out) if out else df
+
+
+def select_attributes(df: DataFrame, attributes: list[str]) -> DataFrame:
+    """C6: keep only listed columns; missing names silently dropped
+    (reference: martech_pipelines/utils/data_sanity_helpers.py:31-39)."""
+    present = [c for c in attributes if c in df.columns]
+    return df.select(*present)
+
+
+def rename_columns(df: DataFrame, swap_map: dict[str, str]) -> DataFrame:
+    """C7: rename per map, overwriting an existing target column
+    (reference: martech_pipelines/utils/data_sanity_helpers.py:42-53 —
+    the target key is overwritten if present, source dropped)."""
+    for old, new in swap_map.items():
+        if old in df.columns:
+            if new in df.columns:
+                df = df.drop(new)
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+@dataclass
+class ProfileExportConfig:
+    """The reference operator's kwargs as a typed config
+    (reference: martech_pipelines/operators/clevertap_user_profile.py:19-49)."""
+
+    identity_fields: list[str] = field(default_factory=lambda: ["customer_id"])
+    transformation_fn: str | None = None
+    transformation_params: dict = field(default_factory=dict)
+    data_type_map: dict[str, str] = field(default_factory=dict)
+    attributes: list[str] = field(default_factory=list)
+    swap_key_map: dict[str, str] = field(default_factory=dict)
+
+
+def profile_export_pipeline(df: DataFrame, cfg: ProfileExportConfig) -> DataFrame:
+    """The full export transform, one narrow stage:
+
+    1. identity resolution + null-identity rejection (C8/E5) — rows whose
+       identity coalesce comes up empty are dropped (the reference counts
+       them as invalid; pair with ``invalid_count`` for the metric),
+    2. optional named transformation (adds derived columns),
+    3. type-map lenient casts (F4-F8),
+    4. attribute subset (C6) — identity always kept,
+    5. rename map (C7).
+    """
+    df = df.withColumn("identity", P.identity_coalesce(df, cfg.identity_fields))
+    df = df.where(F.col("identity").isNotNull())
+    if cfg.transformation_fn is not None:
+        fn = TRANSFORMATIONS[cfg.transformation_fn]
+        df = df.withColumns(fn(df, cfg.transformation_params))
+    df = apply_type_map(df, cfg.data_type_map)
+    if cfg.attributes:
+        keep = ["identity"] + [a for a in cfg.attributes if a != "identity"]
+        df = select_attributes(df, keep)
+    df = rename_columns(df, cfg.swap_key_map)
+    return df
+
+
+def invalid_count(df: DataFrame, identity_fields: list[str]) -> int:
+    """E4: the invalid-record metric — rows with no usable identity
+    (reference: martech_pipelines/operators/clevertap_user_profile.py:93-98)."""
+    return df.where(P.identity_coalesce(df, identity_fields).isNull()).count()

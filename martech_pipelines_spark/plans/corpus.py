@@ -573,6 +573,92 @@ def f4_lenient_cast(spark, sf_dir):
 
 
 # =============================================================================
+# Export pipeline (C6+C7+C8+E5+F4+F5+F7+F10 composed — the reference's
+# operator layer end-to-end, reference:
+# martech_pipelines/operators/clevertap_user_profile.py:93-111)
+# =============================================================================
+
+
+@q(
+    "export_profile_pipeline",
+    """
+    WITH synth AS (
+        SELECT c_custkey,
+               CAST(9000000000 + c_custkey AS VARCHAR) AS mobile,
+               CASE c_custkey % 3
+                   WHEN 0 THEN '1988-07-01'
+                   WHEN 1 THEN '1899-05-02'
+                   ELSE 'garbage'
+               END AS dob,
+               c_acctbal,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN '{"last7days": {"men": ' || CAST(c_custkey % 5 AS VARCHAR) || '}}'
+               END AS v1__json
+        FROM customer
+    )
+    SELECT CAST(c_custkey AS VARCHAR) AS identity,
+           CASE WHEN length(right(CAST(9000000000 + c_custkey AS BIGINT)::VARCHAR, 10)) = 10
+                THEN right(CAST(9000000000 + c_custkey AS BIGINT)::VARCHAR, 10)
+           END AS phone,
+           CASE c_custkey % 3
+               WHEN 0 THEN '1988-07-01'
+               WHEN 1 THEN '1952-05-02'
+               ELSE NULL
+           END AS dob,
+           CAST(trunc(c_acctbal * 100) AS BIGINT) AS c_acctbal,
+           CAST(coalesce(json_extract(v1__json, '$.last7days.men'), '0') AS INTEGER)
+               AS gender_men_dp
+    FROM synth
+    WHERE c_custkey IS NOT NULL AND c_custkey <> 0
+    """,
+)
+def export_profile_pipeline(spark, sf_dir):
+    """The reference operator's full transform as one narrow codegen stage:
+    identity coalesce + falsy rejection -> named transformation -> type map
+    (mobile_sanity / fix_dob / modify_reward) -> attribute subset -> rename."""
+    from martech_pipelines_spark.operators.transforms import (
+        ProfileExportConfig,
+        profile_export_pipeline,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    df = (
+        cust.withColumn("mobile", (F.lit(9000000000) + k).cast("string"))
+        .withColumn(
+            "dob",
+            F.when(k % 3 == 0, F.lit("1988-07-01"))
+            .when(k % 3 == 1, F.lit("1899-05-02"))
+            .otherwise(F.lit("garbage")),
+        )
+        .withColumn(
+            "v1__json",
+            F.when(
+                k % 2 == 0,
+                F.concat(
+                    F.lit('{"last7days": {"men": '),
+                    (k % 5).cast("string"),
+                    F.lit("}}"),
+                ),
+            ),
+        )
+    )
+    cfg = ProfileExportConfig(
+        identity_fields=["c_custkey"],
+        transformation_fn="get_gender_implicit_data",
+        transformation_params={"data_col": "v1__json"},
+        data_type_map={
+            "mobile": "mobile_sanity",
+            "dob": "date",
+            "c_acctbal": "modify_reward",
+        },
+        attributes=["mobile", "dob", "c_acctbal", "gender_men_dp"],
+        swap_key_map={"mobile": "phone"},
+    )
+    return profile_export_pipeline(df, cfg)
+
+
+# =============================================================================
 # G. IST date functions (fixed anchor => deterministic oracle)
 # =============================================================================
 
