@@ -21,10 +21,21 @@ HEADLINE = [
     "e1_rank_window",
     "e2_latest_per_key_agg",
     "d1_join_back_dedup",
-    "d2_semi_join_dim",
-    "f6_modify_reward",
-    "f7_f9_fix_dob",
+    "export_profile_pipeline",
     "h3_incremental_scan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "t1_word_count",
+    "t4_quality",
+    "dd3_minhash_near_dup",
+    "dd4_simhash",
+    "s1_bruteforce_topk",
+    "s2_lsh_topk",
+    "w2_sliding",
+    "w3_session",
+    "r4_rollup",
+    "r6_asof_join",
 ]
 
 

@@ -1,0 +1,321 @@
+"""Deduplication operators (north-star surface, BASELINE.json).
+
+Four families, all shuffle-disciplined for 100-TB corpora:
+
+- **Exact**: hash-groupBy on normalized text (one shuffle on a 32-byte
+  key, map-side combine).
+- **MinHash + LSH**: shingle -> per-permutation min-hash signature ->
+  banded bucket join -> exact-Jaccard verification of candidates. The
+  pair join happens only *within LSH buckets*, never all-pairs.
+- **SimHash**: bit-majority fingerprint over token hashes; near-dups =
+  banded fingerprint collisions.
+- **Embedding cosine**: see operators/similarity.py (near-dup = cosine
+  above threshold).
+
+Hash choice: md5 (SQL-portable => DuckDB-oracle-checkable, deterministic
+across engines and runs). Swapping to xxhash64 for production speed
+changes one function and no plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators.text import fingerprint, shingles, tokens, normalized_text
+
+
+def _md5_bucket32(col: Column, salt: Column | str | int) -> Column:
+    """First 8 md5 hex chars as an unsigned-ish 32-bit long — the portable
+    hash primitive (Spark ``conv`` == DuckDB hex cast)."""
+    salted = F.concat(F.lit(str(salt)) if not isinstance(salt, Column) else salt,
+                      F.lit(":"), col)
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per normalized-text fingerprint.
+
+    groupBy on the md5 fingerprint: the shuffle key is 32 bytes regardless
+    of document size, and min() gets map-side partial aggregation."""
+    keyed = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def duplicate_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup group table: fingerprint, group size, representative id."""
+    return (
+        docs.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+# --- MinHash signatures ------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature (array<long>, length ``num_perm``) of a text
+    column: slot i = min over shingles of md5(i + ":" + shingle). Empty
+    shingle sets yield null slots (filtered by callers).
+
+    Permutations are unrolled in Python (the index must be a *literal* in
+    each salt), producing one flat codegen stage — no UDF, no shuffle.
+
+    NB: the per-permutation lambdas MUST be single-parameter closures built
+    by a factory — a ``lambda s, i=i`` default-arg form makes PySpark treat
+    the lambda as binary and silently bind the *array index* to ``i``."""
+    sh = shingles(col, shingle_n)
+
+    def hasher(perm: int):
+        return lambda s: _md5_bucket32(s, perm)
+
+    slots = []
+    for i in range(num_perm):
+        slots.append(F.array_min(F.transform(sh, hasher(i))))
+    return F.array(*slots)
+
+
+_minhash_sig = minhash_signature
+
+
+def exploded_shingles(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle) rows — tokenization runs ONCE per document here; every
+    downstream hash/aggregate works on the exploded rows. This is the
+    100-TB-shaped formulation: nested higher-order-function variants
+    recompute the tokenize subtree per permutation (no CSE inside Catalyst
+    lambdas) and blow up codegen."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as columns (id, m0..m{P-1}): explode shingles,
+    hash P ways per row, min-aggregate per doc. Map-side combine shrinks
+    the shuffle to one row per (doc, P mins); docs with no shingles drop
+    out (matching the column-form null filtering)."""
+    expl = exploded_shingles(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
+    ]
+    return expl.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Plan shape: explode -> P-way hash min-agg (one keyed shuffle, combined
+    map-side) -> band projection (narrow union) -> shuffle on (band,
+    band_key) -> in-bucket self-join -> distinct pairs. The only joins are
+    within buckets; a bucket's expected size is corpus_size * P(collision),
+    so skew only appears if many documents truly share a band — which is
+    exactly the signal.
+    """
+    rows_per_band = num_perm // bands
+    with_sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+
+    band_rows = None
+    for b in range(bands):
+        start = b * rows_per_band
+        band_key = F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"m{start + j}").cast("string") for j in range(rows_per_band)],
+            )
+        )
+        part = with_sig.select(
+            "id", F.lit(b).alias("band"), band_key.alias("band_key")
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+
+    left = band_rows.select("band", "band_key", F.col("id").alias("id_a"))
+    right = band_rows.select("band", "band_key", F.col("id").alias("id_b"))
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the LSH verify step).
+
+    Joins the (small) candidate-pair table back to per-doc shingle sets;
+    intersection/union via array functions — no explode, no extra shuffle
+    beyond the two hash joins."""
+    sh = docs.select(
+        F.col(id_col).alias("jid"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("jid").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("jid").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify."""
+    cand = lsh_candidate_pairs(docs, text_col, id_col, num_perm, bands, shingle_n)
+    scored = jaccard_on_pairs(cand, docs, text_col, id_col, shingle_n)
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over word tokens: bit j of the fingerprint is the
+    majority vote of bit j across all token hashes.
+
+    Expressed as 32 aggregate-over-array folds — heavy-looking but pure
+    codegen, no shuffle; ~100 ns/token/bit in practice. For production,
+    narrow to 16 bits or precompute token hashes once."""
+    toks = F.array_distinct(tokens(normalized_text(col)))
+    hashed = F.transform(toks, lambda t: _md5_bucket32(t, "sim"))
+
+    def vote_merge(bit: int):
+        # closure factory, NOT a default-arg lambda (see minhash_signature)
+        def merge(acc, h):
+            is_set = F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    bits = []
+    for j in range(32):
+        vote = F.aggregate(hashed, F.lit(0), vote_merge(j))
+        bits.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return F.when(F.size(toks) > 0, out.cast("long"))
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash as (id, h): explode distinct tokens, hash once per token,
+    32 conditional-sum bit votes in ONE aggregation pass (map-side
+    combined) — the scale-shaped equivalent of ``simhash32``."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(normalized_text(F.col(text_col))))).alias("t"),
+    )
+    hashed = tok.select("id", _md5_bucket32(F.col("t"), "sim").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    per_doc = hashed.groupBy("id").agg(*votes)
+    fp = None
+    for j in range(32):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select("id", fp.cast("long").alias("h"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups by SimHash: block on 8-bit bands (pigeonhole: hamming<=3
+    over 4 bands guarantees one exact band match), verify hamming distance
+    on candidates."""
+    with_h = simhash_fingerprints(docs, text_col, id_col)
+
+    band_rows = None
+    for b in range(4):
+        part = with_h.select(
+            "id",
+            "h",
+            F.lit(b).alias("band"),
+            F.shiftright("h", b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"),
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+
+    left = band_rows.select("band", "band_val", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    right = band_rows.select("band", "band_val", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# --- n-gram Jaccard on aligned pairs ----------------------------------------
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Word n-gram Jaccard for an explicit pair table (blocking-free
+    verification path; LSH provides the blocking at scale)."""
+    return jaccard_on_pairs(pairs, docs, text_col, id_col, shingle_n=n)

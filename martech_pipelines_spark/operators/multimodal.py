@@ -1,0 +1,122 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (north star).
+
+Design (SURVEY.md §7.3): image/audio/video payloads are ``BinaryType``
+columns traveling next to typed metadata structs; decode/feature-extract
+steps are Arrow-batched pandas functions via ``mapInPandas`` — the ONLY
+place this engine runs Python on the data path, because byte-level media
+decoding has no Column-expression form.
+
+The media libraries (PIL/librosa/av) are not in this container, so the
+decode kernels are STUBBED: ``decode_image_stub`` raises
+NotImplementedError when asked for a real decode and otherwise computes a
+deterministic fake feature (byte histogram) so the Spark-side plumbing —
+schema, batching, partitioning, UDF signature — is real and tested.
+
+Scale notes:
+- binary payloads make rows wide: ``spark.sql.files.maxPartitionBytes``
+  governs scan parallelism, and ``repartition`` before mapInPandas keeps
+  Arrow batches bounded (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+- metadata-only queries never touch the binary column — column pruning
+  means the parquet reader skips those pages entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Metadata struct carried with every media payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("hist16", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame, fmt: str = "png") -> DataFrame:
+    """Adapter: treat document text bytes as an opaque media payload with
+    metadata — the testdata stand-in for a real binary corpus (the real
+    path is ``spark.read.format('binaryFile')`` or parquet with a binary
+    column)."""
+    payload = F.encode("text", "utf-8")
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.octet_length(payload).cast("long").alias("size_bytes"),
+    )
+    return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+
+
+def decode_image_stub(payload: bytes) -> None:
+    """Placeholder for the real decoder (PIL not present in container)."""
+    raise NotImplementedError(
+        "real image decode requires PIL/libvips; container ships neither — "
+        "extract_features uses the deterministic byte-histogram fake instead"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — deterministic byte-histogram fake standing in for a
+    real decode+embed kernel. The iterator-of-batches shape is exactly
+    what a real GPU/codec kernel wants (amortized setup per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype("int64")
+                out.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        round(float(arr.mean()) if arr.size else 0.0, 4),
+                        hist.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "size_bytes", "byte_mean", "hist16"]
+            )
+
+    src = media.select(id_col, payload_col)
+    if batch_hint:
+        n = src.count()
+        src = src.repartition(max(1, -(-n // batch_hint)))
+    return src.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def media_metadata_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — verifies column pruning: the plan must
+    not read the payload column (check ReadSchema in explain)."""
+    return media.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count("*").alias("n"),
+        F.sum("meta.size_bytes").alias("total_bytes"),
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (north star, BASELINE.json): language ID,
+quality scoring, token counting, and document fingerprinting over a
+``documents(doc_id, text, lang, source, n_chars)`` corpus. All native
+Column expressions / built-in SQL functions — these run inside whole-stage
+codegen and scale linearly with executors; there is no Python in the loop.
+
+Determinism note: everything here must be oracle-expressible, so hashes
+are md5-based (identical in Spark and DuckDB) rather than Spark-specific
+murmur3/xxhash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenizer: runs of letters/digits/apostrophes — a BPE-ish word splitter
+# that both Spark and ANSI SQL can express (lower + regexp split).
+TOKEN_SPLIT_RE = "[^a-z0-9']+"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens as an array column (empty strings removed)."""
+    arr = F.split(F.lower(col), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/punctuation token count — the scale-stable proxy for a
+    BPE tokenizer's length (exact BPE needs a vocab; see note in README)."""
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def word_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classic distributed word count: explode + groupBy. Partial
+    aggregation (map-side combine) keeps the shuffle proportional to the
+    vocabulary, not the corpus."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- language ID (n-gram / stopword heuristic) -------------------------------
+
+# Tiny per-language stopword marker sets. A real pipeline ships a proper
+# model; the heuristic's *shape* (score per language via marker hits,
+# argmax) is what matters for the engine: it is one pass, no shuffle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token array."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.filter(toks, lambda t: t.isin(*markers))  # noqa: B023
+        out[f"score_{lang}"] = F.size(hits)
+    return out
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Argmax language with deterministic tie-break (alphabetical language
+    order via greatest-first fold); all-zero scores -> ``default``."""
+    scores = lang_scores(col)
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    # iterate in reverse-alphabetical order so that on ties the
+    # alphabetically-first language wins the final when() chain
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = scores[f"score_{lang}"]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+# --- quality scoring ---------------------------------------------------------
+
+STOPWORDS_EN = (
+    "the and of to a in is it you that he was for on are as with his they i".split()
+)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features (the standard cheap
+    quality filters in LLM data pipelines), all rounded for oracle
+    stability."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_char = F.length(col)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    n_punct = n_char - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.round(
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, t: a + t)
+            / n_tok,
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_char.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "stopword_ratio": F.when(n_tok > 0, F.round(stop_hits / n_tok, 4)).otherwise(
+            F.lit(0.0)
+        ),
+        "punct_ratio": F.when(n_char > 0, F.round(n_punct / n_char, 4)).otherwise(
+            F.lit(0.0)
+        ),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite 0..1 quality score from the features: penalize very short
+    docs, punctuation soup, and stopword-free (likely non-prose) text."""
+    f = quality_features(col)
+    len_ok = F.least(f["n_tokens"] / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0))
+    stop_ok = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    return F.round((len_ok + punct_ok + stop_ok) / 3, 4)
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup-normalization: lowercase, collapse whitespace, strip
+    non-alphanumerics — the canonical form exact-dedup hashes."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (md5 = oracle-portable;
+    a production engine could switch to xxhash64 for speed — same plan)."""
+    return F.md5(normalized_text(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), the MinHash input unit.
+
+    Built from ``n`` shifted slices zipped together — NOT per-index
+    ``element_at`` inside a lambda, which would re-evaluate the whole
+    tokenize subtree per shingle (Catalyst does no CSE inside lambda
+    bodies). This form tokenizes a constant ~n+1 times per row."""
+    toks = tokens(normalized_text(col))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # shingle count
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, k) for j in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
+    return F.array_distinct(grams)

@@ -1,0 +1,89 @@
+"""Event-time windowing on the events table (SURVEY.md §7.3).
+
+The reference has no event-time windows (SURVEY.md §2.H) — these extend
+the surface with the three standard shapes, batch-first so the DuckDB
+oracle can check them; operators/../streaming/ reuses the same expressions
+under ``readStream``.
+
+All built-in: ``F.window`` (tumbling/sliding) and ``F.session_window``
+compile to Catalyst's native window-bucketing expressions — a projection
+plus ordinary aggregation, one shuffle on (key, window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window_size: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling window per key: count + rounded sum per (key, window).
+
+    Output window bounds as formatted strings (oracle-stable)."""
+    w = F.window(F.col(ts_col), window_size)
+    return (
+        events.groupBy(F.col(key_col), w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window_size: str = "1 day",
+    slide: str = "6 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sliding window per key: each event lands in size/slide windows.
+
+    Spark materializes the window memberships via an internal explode —
+    the output row count is |events| * (size/slide) pre-aggregation, which
+    is why slide should divide size coarsely at scale."""
+    w = F.window(F.col(ts_col), window_size, slide)
+    return (
+        events.groupBy(F.col(key_col), w.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session window per key: events within ``gap`` of each other merge;
+    session end = last event + gap (Spark's session_window semantics).
+
+    In batch, Catalyst rewrites this to a sort-within-key + merge — the
+    same gaps-and-islands computation the SQL oracle spells out."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(key_col), w.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+            "n_events",
+        )
+    )

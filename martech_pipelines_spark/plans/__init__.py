@@ -1,5 +1,6 @@
 """Named query plans: the oracle-checked corpus (SURVEY.md §2 coverage)."""
 
 from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES
+from martech_pipelines_spark.plans import corpus_extended  # noqa: F401  (registers)
 
 __all__ = ["QUERIES", "ORACLE"]

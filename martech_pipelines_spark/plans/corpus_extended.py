@@ -1,0 +1,882 @@
+"""Extended-surface oracle corpus: text analysis, dedup, similarity,
+event-time windows, and the classic relational fill-ins (SURVEY.md §7.3,
+§2.J). Registered into the same QUERIES/ORACLE dicts as the core corpus.
+
+Oracle-portability ground rules (same as corpus.py): md5-based hashing,
+exact DECIMAL arithmetic for money aggregates (bit-identical across
+engines, unlike double summation order), rounded ratios, formatted
+timestamps, deterministic tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import dedup as DD
+from martech_pipelines_spark.operators import similarity as SIM
+from martech_pipelines_spark.operators import text as TX
+from martech_pipelines_spark.operators import windows as WIN
+from martech_pipelines_spark.plans.corpus import q
+from martech_pipelines_spark.sources import load_table
+
+# Shared DuckDB fragments mirroring operators.text exactly.
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9'']+'), x -> x <> '')"
+)
+_DUCK_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# =============================================================================
+# Text analysis
+# =============================================================================
+
+
+@q(
+    "t1_word_count",
+    f"""
+    SELECT token, count(*) AS cnt
+    FROM (
+        SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS token FROM documents
+    )
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 100
+    """,
+)
+def t1_word_count(spark, sf_dir):
+    """Classic explode+groupBy word count, top-100 (map-side combine keeps
+    the shuffle at vocabulary size, not corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.word_count_table(docs)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@q(
+    "t2_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents
+    """,
+)
+def t2_token_stats(spark, sf_dir):
+    """Token counting — the whitespace/punct tokenizer (BPE-proxy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.char_count(F.col("text")).cast("long").alias("n_chars_calc"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang])
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"len(list_filter({toks}, x -> x IN ({markers})))"
+
+
+@q(
+    "t3_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_lang_score_sql('de')} AS score_de,
+               {_lang_score_sql('en')} AS score_en,
+               {_lang_score_sql('es')} AS score_es,
+               {_lang_score_sql('fr')} AS score_fr
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_es, score_fr, score_de,
+           CASE
+               WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+               WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+               WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+               WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+               ELSE 'fr'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def t3_lang_id(spark, sf_dir):
+    """Marker-token language ID: per-language hit counts + argmax with
+    alphabetical tie-break. One narrow pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[f"score_{lg}"].alias(f"score_{lg}") for lg in ("en", "es", "fr", "de")],
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@q(
+    "t4_quality",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               {_DUCK_TOKENS.format(col='text')} AS toks,
+               length(text) AS n_char,
+               length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               CAST(n_char AS BIGINT) AS n_chars_calc,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN round(
+                   len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)})))::DOUBLE
+                   / len(toks), 4) ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN n_char > 0 THEN round((n_char - n_nopunct)::DOUBLE / n_char, 4)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(toks) > 0 THEN round(
+                   list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4)
+                    ELSE 0.0 END AS mean_token_len
+        FROM base
+    )
+    SELECT doc_id, n_chars_calc, n_tokens, stopword_ratio, punct_ratio, mean_token_len,
+           round((least(n_tokens / 20.0, 1.0)
+                  + (1.0 - least(punct_ratio * 5, 1.0))
+                  + least(stopword_ratio * 4, 1.0)) / 3, 4) AS quality
+    FROM feat
+    """,
+)
+def t4_quality(spark, sf_dir):
+    """Quality features (length/punct/stopword ratios) + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_calc"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@q(
+    "t5_fingerprint",
+    f"""
+    SELECT doc_id, md5({_DUCK_NORM.format(col='text')}) AS fp
+    FROM documents
+    """,
+)
+def t5_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# =============================================================================
+# Deduplication
+# =============================================================================
+
+# Synthetic dup corpus: every 10th doc gets an exact copy (id+1_000_000)
+# and every 5th a perturbed near-copy (id+2_000_000, 3 extra words).
+_DUP_CORPUS_DUCK = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _dup_corpus_spark(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" zz yy xx")).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@q(
+    "dd1_exact_dedup",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_DUCK}),
+    keyed AS (
+        SELECT doc_id, md5({_DUCK_NORM.format(col='text')}) AS fp FROM corpus
+    )
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM keyed
+    ) WHERE rn = 1
+    """,
+)
+def dd1_exact_dedup(spark, sf_dir):
+    """Exact dedup: lowest-id representative per content fingerprint."""
+    corpus = _dup_corpus_spark(spark, sf_dir)
+    return DD.exact_dedup(corpus).select("doc_id")
+
+
+@q(
+    "dd2_dup_groups",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_DUCK})
+    SELECT md5({_DUCK_NORM.format(col='text')}) AS fp,
+           count(*) AS group_size,
+           min(doc_id) AS representative
+    FROM corpus
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def dd2_dup_groups(spark, sf_dir):
+    """Duplicate-group accounting (the dedup audit table)."""
+    corpus = _dup_corpus_spark(spark, sf_dir)
+    return DD.duplicate_groups(corpus).where(F.col("group_size") > 1)
+
+
+def _minhash_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
+    perm_mins = ",\n               ".join(
+        "list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) AS m{i}".format(i=i)
+        for i in range(16)
+    )
+    bands = "\n        UNION ALL\n".join(
+        """        SELECT doc_id, {b} AS band,
+               md5(m{j0}::VARCHAR || '|' || m{j1}::VARCHAR || '|' || m{j2}::VARCHAR || '|' || m{j3}::VARCHAR) AS bk
+        FROM sigs""".format(b=b, j0=4 * b, j1=4 * b + 1, j2=4 * b + 2, j3=4 * b + 3)
+        for b in range(4)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+    ), toksrc AS (
+        SELECT doc_id, {toks} AS t FROM corpus
+    ), shs AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sh
+        FROM toksrc
+    ), sigs AS (
+        SELECT doc_id,
+               {perm_mins}
+        FROM shs WHERE len(sh) > 0
+    ), bands AS (
+{bands}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               CASE WHEN (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0
+                    THEN round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                    ELSE 0.0 END AS jaccard
+        FROM cand
+        JOIN shs sa ON sa.doc_id = id_a
+        JOIN shs sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
+    """
+
+
+@q("dd3_minhash_near_dup", _minhash_oracle())
+def dd3_minhash_near_dup(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands) near-dup pairs, exact-Jaccard verified at
+    0.5 — the full scale pipeline on a 1/5 doc sample + perturbed copies.
+    The oracle replicates signature, banding, and verification bit-for-bit
+    (md5 arithmetic is engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    return DD.minhash_near_duplicates(
+        corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+
+
+def _simhash_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
+    bit_terms = "\n             + ".join(
+        "CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {v} ELSE 0 END".format(
+            j=j, v=1 << j
+        )
+        for j in range(32)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform(list_distinct({toks}),
+                              t -> ('0x' || substr(md5('sim:' || t), 1, 8))::BIGINT) AS hs
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST({bit_terms} AS BIGINT) AS simhash
+    FROM hashed WHERE len(hs) > 0
+    """
+
+
+@q("dd4_simhash", _simhash_oracle())
+def dd4_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (bit-majority of token hashes),
+    explode+aggregate form (one tokenization, map-side-combined votes)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return DD.simhash_fingerprints(docs).select(
+        F.col("id").alias("doc_id"), F.col("h").alias("simhash")
+    )
+
+
+@q(
+    "dd5_ngram_jaccard",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+    ), toksrc AS (
+        SELECT doc_id, {_DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))} AS t
+        FROM corpus
+    ), shs AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sh
+        FROM toksrc
+    )
+    SELECT p.id_a, p.id_b,
+           CASE WHEN (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0
+                THEN round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                ELSE 0.0 END AS jaccard
+    FROM (
+        SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+        FROM documents WHERE doc_id % 5 = 0
+    ) p
+    JOIN shs sa ON sa.doc_id = p.id_a
+    JOIN shs sb ON sb.doc_id = p.id_b
+    """,
+)
+def dd5_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard on an explicit aligned pair table (original vs
+    perturbed copy) — the verification kernel isolated from blocking."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2000000).alias("id_b")
+    )
+    return DD.ngram_jaccard_pairs(pairs, corpus, n=3)
+
+
+# =============================================================================
+# Similarity search
+# =============================================================================
+
+
+@q(
+    "s1_bruteforce_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(
+                   list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4) AS cos_sim
+        FROM q CROSS JOIN embeddings e
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 5
+    """,
+)
+def s1_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 per query (every 10th vector as query set):
+    broadcast queries x corpus, double-precision dot products, rank on the
+    ROUNDED similarity (so cross-engine fp noise cannot flip ranks) with
+    vec_id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(queries, emb, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
+
+
+@q("s2_lsh_topk")  # no SQL oracle: approximate op; recall pinned in tests
+def s2_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-5 (16 bits, 4 bands): the scale path —
+    no crossJoin; candidates come from signature-band collisions only.
+    Approximate by design => rows-only driver check + pytest recall gate
+    against s1 ground truth (tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_topk(queries, emb, dim=64, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
+
+
+@q("s3_embedding_near_dup")  # rows-only: blocking recall pinned in tests
+def s3_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>=0.9) via signature-band blocking
+    + exact-cosine verify. Rows-only check; tests verify against the
+    brute-force pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_duplicates(emb, dim=64, threshold=0.9)
+
+
+# =============================================================================
+# Event-time windows (batch-expressible)
+# =============================================================================
+
+
+@q(
+    "w1_tumbling",
+    """
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w1_tumbling(spark, sf_dir):
+    """Tumbling 1-day windows per user (epoch-aligned = UTC date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.tumbling_agg(ev, "1 day")
+
+
+@q(
+    "w2_sliding",
+    """
+    SELECT user_id,
+           strftime(to_timestamp((CAST(floor(epoch(ts) / 21600) AS BIGINT) - i) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n_events
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    GROUP BY 1, 2
+    """,
+)
+def w2_sliding(spark, sf_dir):
+    """Sliding 1-day/6-hour windows: each event belongs to exactly 4
+    windows (size/slide); the oracle enumerates the 4 aligned starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.sliding_agg(ev, "1 day", "6 hours")
+
+
+@q(
+    "w3_session",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def w3_session(spark, sf_dir):
+    """Session windows (30-min gap) per user; end = last event + gap
+    (Spark session_window semantics, spelled out as gaps-and-islands in
+    the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.session_agg(ev, "30 minutes")
+
+
+# =============================================================================
+# Relational fill-ins (§2.J gaps, all Spark built-ins)
+# =============================================================================
+
+
+@q(
+    "r1_topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def r1_topk_orders(spark, sf_dir):
+    """Sort + limit top-k (Spark executes as TakeOrderedAndProject — no
+    full sort materialization)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@q(
+    "r2_set_ops",
+    """
+    WITH y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+    SELECT
+        (SELECT count(*) FROM (SELECT * FROM y97 UNION SELECT * FROM y98)) AS n_union,
+        (SELECT count(*) FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)) AS n_intersect,
+        (SELECT count(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)) AS n_except
+    """,
+)
+def r2_set_ops(spark, sf_dir):
+    """union / intersect / except (distinct semantics)."""
+    od = load_table(spark, sf_dir, "orders")
+    y97 = od.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    y98 = od.where(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    n_union = y97.union(y98).distinct().count()
+    n_intersect = y97.intersect(y98).count()
+    n_except = y97.exceptAll(y98.intersect(y97)).distinct().count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_except)],
+        "n_union long, n_intersect long, n_except long",
+    )
+
+
+@q(
+    "r3_distinct_agg",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def r3_distinct_agg(spark, sf_dir):
+    """Multi-column distinct aggregation (Catalyst expands to a two-stage
+    aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@q("r3b_approx_distinct")  # rows-only: HLL sketches differ across engines
+def r3b_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): engine-specific sketch, so no
+    cross-engine oracle; pytest bounds its error vs the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@q(
+    "r4_rollup",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CAST(round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS total_bal,
+           count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def r4_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals. Money summed as DECIMAL (exact, engine-
+    portable) then cast to double — double summation order would drift."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_bal"),
+            F.count("*").alias("n_cust"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_bal",
+            "n_cust",
+        )
+    )
+
+
+@q(
+    "r5_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_custkey IS NOT NULL AND year(o_orderdate) = 1997
+    )
+    """,
+)
+def r5_anti_join(spark, sf_dir):
+    """Left-anti join: customers with no 1997 orders (date-bounded so the
+    result is non-trivial at every scale factor)."""
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
+    return cust.join(
+        od, cust.c_custkey == od.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@q(
+    "r6_asof_join",
+    """
+    SELECT e.user_id, e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strftime(
+               (SELECT max(c.ts) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts <= e.ts),
+               '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM events e
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def r6_asof_join(spark, sf_dir):
+    """As-of join: for each purchase, the most recent click at-or-before
+    it per user. Implemented join-free: tag clicks, one window pass with
+    last(ignorenulls) — a single shuffle on user_id, vs the naive
+    range-join's quadratic blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_p"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+    return out.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )
+
+
+@q(
+    "r7_range_join",
+    """
+    SELECT lo, count(*) AS n_events
+    FROM events
+    JOIN (SELECT unnest(generate_series(0, 9)) * 50.0 AS lo) b
+      ON value >= lo AND value < lo + 50.0
+    GROUP BY lo
+    """,
+)
+def r7_range_join(spark, sf_dir):
+    """Range (non-equi band) join: events into value buckets. The bucket
+    dim is broadcast so the non-equi predicate is evaluated map-side
+    (BroadcastNestedLoopJoin) — never a shuffled cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = spark.range(0, 10).select((F.col("id") * 50.0).alias("lo"))
+    joined = ev.join(
+        F.broadcast(buckets),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("lo") + 50.0),
+    )
+    return joined.groupBy("lo").agg(F.count("*").alias("n_events"))
+
+
+# =============================================================================
+# TPC-H-ish headline analytics (bench anchors)
+# =============================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS sum_base,
+           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS DOUBLE) AS sum_disc,
+           CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_disc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy groupBy with arithmetic — the classic
+    whole-stage-codegen benchmark. DECIMAL sums for portability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_disc"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective 3-way join + agg + top-k. The customer
+    filter prunes before the join; AQE picks broadcast for the dim side."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.join(od, cust.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@q(
+    "q5_local_volume",
+    """
+    SELECT n_name,
+           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join with a same-nation constraint.
+    Dims broadcast; the only large shuffles are the fact-fact join and the
+    final small agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.join(od, cust.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )

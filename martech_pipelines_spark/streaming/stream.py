@@ -1,0 +1,131 @@
+"""Structured Streaming (SURVEY.md §2.H as a real stream).
+
+The reference does micro-batch incremental processing by hand (watermark
+table + Delta CDF reads — reference:
+martech_pipelines/tasks/user_profile/clevertap.py:10-27). The batch-mode
+engine keeps that explicit-watermark design (operators/cdc.py) because it
+is oracle-checkable; this module is the genuine Structured Streaming
+variant of the same semantics:
+
+- source offset tracking  -> checkpointed file-stream offsets (H1)
+- incremental change scan -> ``readStream`` over the append log (A2)
+- latest-per-key state    -> ``applyInPandasWithState`` keyed state (H3)
+- event-time aggregation  -> windowed agg + ``withWatermark`` late-data
+  bound (the §7.3 streaming-shaped windows)
+
+Scale notes: state lives in the state store partitioned by key (same hash
+shuffle as the batch window); watermark delay bounds state size for the
+windowed agg; ``maxFilesPerTrigger`` is the backpressure knob for file
+sources.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from martech_pipelines_spark.sources.schemas import SCHEMAS
+
+
+def stream_events_source(
+    spark: SparkSession,
+    dir_path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """A2 as a stream: file-source over an append-only parquet event log.
+
+    The schema is the registered ``events`` schema with the nanosecond
+    workaround applied (ts arrives as long ns, converted here)."""
+    physical = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+_LATEST_STATE_SCHEMA = "ts timestamp, event_id long, event_type string, value double"
+_LATEST_OUT_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, event_type string, value double"
+)
+
+
+def streaming_latest_per_key(events: DataFrame) -> DataFrame:
+    """H3: continuously-maintained newest-event-per-user state.
+
+    ``applyInPandasWithState`` keeps one row per key in the state store and
+    emits the updated latest row each trigger — the streaming equivalent of
+    the batch E2 compaction (same key hash-partitioning, state size O(keys))."""
+    import pandas as pd
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        best = state.get if state.exists else None  # (ts, event_id, type, value)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                cand = (row.ts.to_pydatetime(), int(row.event_id), row.event_type, float(row.value))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                [(key[0], best[0], best[1], best[2], best[3])],
+                columns=["user_id", "ts", "event_id", "event_type", "value"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_LATEST_OUT_SCHEMA,
+        stateStructType=_LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """§7.3 streaming windows: tumbling event-time counts with a watermark
+    bounding late data (and therefore state retention)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.col("user_id"), F.window("ts", window_size).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("win_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
+) -> "object":
+    """Drive a streaming frame into an in-memory sink (tests/dev): returns
+    the StreamingQuery; caller awaits ``processAllAvailable`` then reads
+    ``SELECT * FROM <query_name>``."""
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,170 @@
+"""Extended-surface operators: dedup, similarity, text, multimodal, windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import dedup as DD
+from martech_pipelines_spark.operators import multimodal as MM
+from martech_pipelines_spark.operators import similarity as SIM
+from martech_pipelines_spark.operators import text as TX
+from martech_pipelines_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_tokens_and_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("The cat, the CAT!",), ("",), ("one two",), (None,)], "t string"
+    )
+    out = df.select(
+        TX.tokens(F.col("t")).alias("tk"),
+        TX.shingles(F.col("t"), 3).alias("sh"),
+    ).collect()
+    assert out[0]["tk"] == ["the", "cat", "the", "cat"]
+    assert out[0]["sh"] == ["the cat the", "cat the cat"]  # distinct
+    assert out[1]["tk"] == [] and out[1]["sh"] == []
+    assert out[2]["sh"] == []  # shorter than shingle width
+    assert out[3]["tk"] is None
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of a house",),
+            ("el gato y la casa de que si",),
+            ("zzz qqq www",),
+        ],
+        "t string",
+    )
+    out = [r[0] for r in df.select(TX.lang_id(F.col("t")).alias("lang")).collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_quality_score_bounds(spark):
+    docs = load_table(spark, SF, "documents")
+    stats = docs.select(TX.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world!"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in DD.exact_dedup(df).collect())
+    assert out == [1, 3]  # 2 normalizes identically to 1
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = (
+        load_table(spark, SF, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    near = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" tail word")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = DD.minhash_near_duplicates(corpus, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 1000) for i in range(50)}
+    # LSH is probabilistic but with 4 bands on ~0.9-Jaccard pairs recall
+    # should be near-total on this corpus
+    assert len(found & planted) >= 40
+    assert all(r["jaccard"] >= 0.5 for r in pairs.collect())
+
+
+def test_simhash_exact_dup_has_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    out = DD.simhash_near_duplicates(df, max_hamming=0)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def test_bruteforce_topk_self_is_rank_one(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = SIM.brute_force_topk(queries, emb, k=3)
+    r1 = {r["query_id"]: r["vec_id"] for r in top.where(F.col("rnk") == 1).collect()}
+    assert all(q == v for q, v in r1.items())  # self-similarity = 1.0
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.lsh_topk(queries, emb, dim=64, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_embedding_near_dup_catches_planted_pair(spark):
+    emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 100)
+    clone = emb.where(F.col("vec_id") == 7).select(
+        F.lit(9999).cast("long").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(clone)
+    dups = SIM.embedding_near_duplicates(corpus, dim=64, threshold=0.999)
+    pairs = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    assert (7, 9999) in pairs  # identical vector always collides in LSH
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_media_adapter_and_features(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    media = MM.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+
+    feats = MM.extract_features(media)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    docs_rows = {r["doc_id"]: r for r in docs.collect()}
+    assert set(rows) == set(docs_rows)
+    for did, r in rows.items():
+        assert r["size_bytes"] == len(docs_rows[did]["text"].encode("utf-8"))
+        assert len(r["hist16"]) == 16
+        assert sum(r["hist16"]) == r["size_bytes"]
+
+
+def test_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_stub(b"\x89PNG")
+
+
+def test_metadata_stats_prunes_payload(spark):
+    docs = load_table(spark, SF, "documents")
+    media = MM.documents_as_media(docs)
+    stats = MM.media_metadata_stats(media)
+    out = stats.collect()
+    assert out[0]["n"] == docs.count()
+    # payload must not appear in the optimized plan's scan columns
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "encode(text" not in plan.split("Aggregate")[0]

@@ -1,0 +1,75 @@
+"""Structured Streaming variants: file-source stream, keyed latest state,
+watermarked tumbling windows — driven on the sf0.001 events log."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import cdc
+from martech_pipelines_spark.sources import load_table
+from martech_pipelines_spark.streaming import (
+    run_stream_to_memory,
+    stream_events_source,
+    streaming_latest_per_key,
+    streaming_tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """Copy the events parquet into a streamable directory (file source
+    reads a directory of files; one file = one micro-batch here)."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_latest_per_key_matches_batch(spark, events_stream_dir, tmp_path):
+    stream = stream_events_source(spark, events_stream_dir)
+    assert stream.isStreaming
+    latest = streaming_latest_per_key(stream)
+    q = run_stream_to_memory(
+        latest, "latest_mem", "update", str(tmp_path / "ckpt1")
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["ts"], r["event_id"])
+            for r in spark.sql("SELECT * FROM latest_mem").collect()
+        }
+    finally:
+        q.stop()
+    batch = cdc.latest_per_key(
+        load_table(spark, SF, "events"), "user_id", "ts", tiebreak_cols=["event_id"]
+    )
+    want = {r["user_id"]: (r["ts"], r["event_id"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_tumbling_counts_match_batch(spark, events_stream_dir, tmp_path):
+    stream = stream_events_source(spark, events_stream_dir)
+    agg = streaming_tumbling_counts(stream, "1 hour", "1 hour")
+    q = run_stream_to_memory(agg, "tumb_mem", "update", str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["win_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM tumb_mem").collect()
+        }
+    finally:
+        q.stop()
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("ws"), "n")
+    )
+    want = {(r["user_id"], r["ws"]): r["n"] for r in batch.collect()}
+    assert got == want
