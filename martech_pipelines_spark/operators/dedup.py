@@ -145,19 +145,23 @@ def lsh_candidate_pairs(
     rows_per_band = num_perm // bands
     with_sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
 
-    band_rows = None
+    band_keys = []
     for b in range(bands):
         start = b * rows_per_band
-        band_key = F.md5(
-            F.concat_ws(
-                "|",
-                *[F.col(f"m{start + j}").cast("string") for j in range(rows_per_band)],
+        band_keys.append(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{start + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
             )
         )
-        part = with_sig.select(
-            "id", F.lit(b).alias("band"), band_key.alias("band_key")
-        )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    band_rows = with_sig.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
 
     left = band_rows.select("band", "band_key", F.col("id").alias("id_a"))
     right = band_rows.select("band", "band_key", F.col("id").alias("id_b"))
@@ -209,9 +213,70 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify."""
-    cand = lsh_candidate_pairs(docs, text_col, id_col, num_perm, bands, shingle_n)
-    scored = jaccard_on_pairs(cand, docs, text_col, id_col, shingle_n)
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
+
+    Shingling happens ONCE: the exploded (id, shingle) table feeds both the
+    signature aggregation and (via collect_set) the verification sets —
+    candidate generation and verify never re-tokenize the corpus."""
+    rows_per_band = num_perm // bands
+    expl = exploded_shingles(docs, text_col, id_col, shingle_n)
+    sig_aggs = [
+        F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
+    ]
+    per_doc = expl.groupBy("id").agg(
+        *sig_aggs, F.collect_set("s").alias("sh")
+    )
+
+    # Skinny band rows (ids + 32-byte key only): the bucket-join shuffle
+    # must not carry the shingle-set arrays. One posexplode pass, NOT a
+    # per-band union — union branches differ by a literal, so Catalyst
+    # cannot reuse the aggregation exchange across them and would re-run
+    # the whole explode+agg once per band.
+    band_keys = []
+    for b in range(bands):
+        start = b * rows_per_band
+        band_keys.append(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{start + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+        )
+    band_rows = per_doc.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
+
+    cand = (
+        band_rows.select("band", "band_key", F.col("id").alias("id_a"))
+        .join(
+            band_rows.select("band", "band_key", F.col("id").alias("id_b")),
+            ["band", "band_key"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets = per_doc.select("id", "sh")
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_ = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    scored = (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, F.round(inter / union, 4))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
     return scored.where(F.col("jaccard") >= threshold)
 
 
@@ -282,15 +347,12 @@ def simhash_near_duplicates(
     on candidates."""
     with_h = simhash_fingerprints(docs, text_col, id_col)
 
-    band_rows = None
-    for b in range(4):
-        part = with_h.select(
-            "id",
-            "h",
-            F.lit(b).alias("band"),
-            F.shiftright("h", b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"),
-        )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    band_vals = [
+        F.shiftright("h", b * 8).bitwiseAND(F.lit(0xFF)) for b in range(4)
+    ]
+    band_rows = with_h.select(
+        "id", "h", F.posexplode(F.array(*band_vals)).alias("band", "band_val")
+    )
 
     left = band_rows.select("band", "band_val", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
     right = band_rows.select("band", "band_val", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
