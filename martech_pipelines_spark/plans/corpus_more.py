@@ -1,0 +1,227 @@
+"""Corpus batch 3: remaining source coverage (A4/A5), multimodal metadata,
+and deeper relational fill-ins (percentiles, cube, pivot, running windows).
+Registered into the same QUERIES/ORACLE dicts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from martech_pipelines_spark.functions import profile as P
+from martech_pipelines_spark.plans.corpus import q
+from martech_pipelines_spark.sources import load_table, read_csv, read_text_conf
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CONF = os.path.join(_REPO, "fixtures", "job_conf.json")
+_CSV = os.path.join(_REPO, "fixtures", "profiles.csv")
+
+
+# =============================================================================
+# A4/A5: conf + CSV sources
+# =============================================================================
+
+
+@q(
+    "a4_conf_read",
+    "SELECT 'ct' AS job_name, 'clevertap' AS platform, 1000 AS payload_size",
+)
+def a4_conf_read(spark, sf_dir):
+    """A4: job-config read (the reference reads its JSON conf through the
+    Spark text reader — reference: martech_pipelines/tasks/base.py:75-80)."""
+    conf = read_text_conf(spark, _CONF)
+    return spark.createDataFrame(
+        [(conf["job_name"], conf["platform"], conf["payload_size"])],
+        "job_name string, platform string, payload_size int",
+    )
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("mobile", T.StringType()),
+        T.StructField("dob", T.StringType()),
+        T.StructField("reward_points", T.DoubleType()),
+    ]
+)
+
+
+@q(
+    "a5_csv_scan",
+    f"""
+    SELECT customer_id,
+           CASE WHEN length(m) = 10 THEN m END AS mobile_ok,
+           CAST(trunc(reward_points * 100) AS BIGINT) AS paise
+    FROM (
+        SELECT customer_id, reward_points,
+               CASE WHEN regexp_matches(trim(mobile), '^[+-]?[0-9]+$')
+                    THEN right(CAST(CAST(trim(mobile) AS DECIMAL(38,0)) AS VARCHAR), 10)
+               END AS m
+        FROM read_csv('{_CSV}',
+                      columns = {{'customer_id': 'BIGINT', 'mobile': 'VARCHAR',
+                                  'dob': 'VARCHAR', 'reward_points': 'DOUBLE'}},
+                      header = true)
+    )
+    """,
+)
+def a5_csv_scan(spark, sf_dir):
+    """A5: explicit-schema CSV scan + sanitization (replaces the
+    reference's driver-side ``pd.read_csv(chunksize=...)`` loop —
+    reference: martech_pipelines/operators/clevertap_user_profile.py:91).
+    Empty CSV cells arrive as proper nulls (C9 is a non-op in Spark)."""
+    df = read_csv(spark, _CSV, _CSV_SCHEMA)
+    return df.select(
+        "customer_id",
+        P.mobile_sanity(F.col("mobile")).alias("mobile_ok"),
+        P.modify_reward(F.col("reward_points")).alias("paise"),
+    )
+
+
+# =============================================================================
+# Multimodal metadata (SQL-checkable side; features are mapInPandas-only)
+# =============================================================================
+
+
+@q(
+    "mm1_media_meta",
+    """
+    SELECT 'png' AS format, count(*) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+)
+def mm1_media_meta(spark, sf_dir):
+    """Multimodal metadata aggregate over binary payloads — the scan never
+    touches payload bytes beyond length (column pruning verified in
+    tests/test_plans.py)."""
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.media_metadata_stats(media).select(
+        "format", "n", F.col("total_bytes").cast("long").alias("total_bytes")
+    )
+
+
+@q("mm2_media_features")  # rows-only: mapInPandas kernel, no SQL form
+def mm2_media_features(spark, sf_dir):
+    """Arrow-batched byte-histogram features over binary payloads (the
+    stub decode kernel) — correctness pinned in tests/test_extended.py."""
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.extract_features(media).select("doc_id", "size_bytes", "byte_mean")
+
+
+# =============================================================================
+# Deeper relational fill-ins
+# =============================================================================
+
+
+@q(
+    "r8_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def r8_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@q(
+    "r4b_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def r4b_cube(spark, sf_dir):
+    """CUBE over two dimensions (all 4 grouping combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@q(
+    "r9_pivot",
+    f"""
+    SELECT n_name,
+           {", ".join(f"count(*) FILTER (WHERE c_mktsegment = '{s}') AS {s}" for s in _SEGMENTS)}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def r9_pivot(spark, sf_dir):
+    """Pivot (long->wide): customer counts per nation x market segment.
+    Fixed pivot values keep the schema static (dynamic pivot would need a
+    collect — fine for dims, never for facts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    out = joined.groupBy("n_name").pivot("c_mktsegment", _SEGMENTS).count()
+    # pivot yields nulls for empty cells; oracle's FILTER count yields 0
+    return out.select(
+        "n_name", *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _SEGMENTS]
+    )
+
+
+@q(
+    "r10_running_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE), 2) AS DOUBLE) AS running_total,
+           datediff('day',
+                    lag(o_orderdate) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def r10_running_window(spark, sf_dir):
+    """Running aggregate + lag frame per key: cumulative spend and
+    inter-order gap. DECIMAL running sum (exact prefix sums — double
+    would drift between engines), deterministic (date, key) ordering."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(run).cast("double"),
+            2,
+        ).alias("running_total"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("days_since_prev"),
+    )
