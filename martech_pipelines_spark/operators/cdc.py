@@ -140,6 +140,49 @@ def latest_per_key_agg(
     return agg.select(*key_cols, *[F.col(f"__row.{c}").alias(c) for c in payload_cols])
 
 
+def latest_per_key_salted(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """E2 under key skew: two-phase salted reduction.
+
+    Phase 1 reduces within (key, salt) buckets — a hot key's millions of
+    rows split across ``salt_buckets`` reducers instead of one; phase 2
+    merges the ≤``salt_buckets`` survivors per key. Both phases are max_by
+    aggregations with map-side combine, so the skewed key's shuffle volume
+    drops by ~the per-bucket reduction factor. Results are identical to
+    ``latest_per_key`` (pinned by test + shared oracle).
+
+    ``salt_on`` defaults to a deterministic hash of the tiebreak column
+    (or the timestamp) so re-runs place rows in the same buckets.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    ord_cols = [ts_col] + list(tiebreak_cols or [])
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    ordering = F.struct(*[F.col(c) for c in ord_cols])
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+
+    salt_src = salt_on or (tiebreak_cols[0] if tiebreak_cols else ts_col)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt_buckets))
+    )
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(
+        F.max_by(payload, ordering).alias("__row"),
+        F.max(ordering).alias("__ord"),
+    )
+    phase2 = phase1.groupBy(*key_cols).agg(
+        F.max_by(F.col("__row"), F.col("__ord")).alias("__row")
+    )
+    return phase2.select(
+        *key_cols, *[F.col(f"__row.{c}").alias(c) for c in payload_cols]
+    )
+
+
 def cdc_compact(
     changes: DataFrame,
     key_cols: str | list[str],

@@ -229,3 +229,51 @@ def rest_batch_sink(
         "invalid": acc_invalid.value,
         "batches": acc_batches.value,
     }
+
+
+def rest_csv_batch_sink(
+    df: DataFrame,
+    cfg: RestSinkConfig,
+    post_fn: PostFn = default_post,
+    max_bytes: int = 4_500_000,
+) -> dict[str, int]:
+    """B5: Netcore-shaped CSV sink — per partition, rows render to CSV
+    lines and ship in byte-capped chunks (reference probes the cap by
+    iterative halving, martech_pipelines/hooks/netcore.py:103-119; we size
+    each chunk directly from encoded lengths in one pass).
+
+    Header travels with every chunk (each POST is a standalone CSV)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    acc_sent = sc.accumulator(0)
+    acc_batches = sc.accumulator(0)
+    columns = df.columns
+    header = ",".join(columns)
+
+    def csv_cell(v) -> str:
+        if v is None:
+            return ""
+        s = str(v)
+        if any(ch in s for ch in (",", '"', "\n")):
+            s = '"' + s.replace('"', '""') + '"'
+        return s
+
+    def send_partition(rows: Iterator) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        lines = (",".join(csv_cell(v) for v in row) for row in rows)
+        for idx, chunk in enumerate(chunkify_by_bytes(lines, max_bytes)):
+            body = ("\n".join([header, *chunk]) + "\n").encode("utf-8")
+            bid = hashlib.sha256(f"{pid}:{idx}:{len(chunk)}".encode()).hexdigest()[:24]
+            headers = {
+                "Content-Type": "text/csv",
+                "X-Batch-Id": bid,
+                **(cfg.headers or {}),
+            }
+            _post_with_retry(post_fn, cfg, body, headers)
+            acc_batches.add(1)
+            acc_sent.add(len(chunk))
+
+    df.foreachPartition(send_partition)
+    return {"sent": acc_sent.value, "batches": acc_batches.value}

@@ -304,6 +304,32 @@ def e2_latest_per_key_agg(spark, sf_dir):
     )
 
 
+@q(
+    "e2b_latest_salted",
+    """
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rnk
+        FROM events
+    ) WHERE rnk = 1
+    """,
+)
+def e2b_latest_salted(spark, sf_dir):
+    """E2 under skew: two-phase salted max_by — identical semantics to the
+    window form (same oracle), but a hot key's rows reduce across 16 salt
+    buckets before the final per-key merge."""
+    ev = load_table(spark, sf_dir, "events")
+    out = cdc.latest_per_key_salted(ev, "user_id", "ts", tiebreak_cols=["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
 @q("e3_count", "SELECT count(*) AS n FROM lineitem")
 def e3_count(spark, sf_dir):
     """E3: count aggregate (parquet row-group metadata makes this a

@@ -103,6 +103,8 @@ def read_text_conf(spark: SparkSession, conf_file: str) -> dict:
     if os.path.exists(conf_file):
         with open(conf_file) as fh:
             return json.load(fh)
+    if "://" not in conf_file:
+        raise FileNotFoundError(f"conf file not found: {conf_file}")
     lines = spark.read.format("text").load(conf_file).collect()
     return json.loads("".join(r[0] for r in lines))
 
