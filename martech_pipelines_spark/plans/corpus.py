@@ -90,6 +90,40 @@ def flagship_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_CTE_TEXT = """
+WITH latest_updates_time AS (
+    SELECT user_id, ts FROM (
+        SELECT user_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC
+               ) AS rank
+        FROM changes
+        WHERE event_type IN ('purchase', 'signup')
+    ) ranked
+    WHERE rank = 1
+)
+SELECT c.user_id, c.event_id, c.event_type
+FROM changes c
+JOIN latest_updates_time lut
+  ON c.user_id = lut.user_id AND c.ts = lut.ts
+WHERE c.event_type IN ('purchase', 'signup')
+"""
+
+
+@q(
+    "sql_cte_dedup",
+    _SQL_CTE_TEXT.replace("changes", "events"),
+)
+def sql_cte_dedup(spark, sf_dir):
+    """The reference's dedup as a literal SQL string over a temp view —
+    the ``createOrReplaceTempView`` + ``spark.sql`` surface (reference:
+    martech_pipelines/tasks/user_profile/clevertap.py:29-53, CTE + rank +
+    join-back verbatim shape). Catalyst plans it identically to the
+    DataFrame form; the oracle runs the same text against DuckDB."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("changes")
+    return spark.sql(_SQL_CTE_TEXT)
+
+
 # =============================================================================
 # A. Sources
 # =============================================================================

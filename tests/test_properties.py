@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): the Column-expression re-expressions
+vs straight-Python reference implementations of the documented semantics.
+
+These sweep input spaces the example-based tests cannot — arbitrary
+numeric strings for mobile_sanity, arbitrary rewards for the paise
+truncation, arbitrary chunk shapes for chunkify.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.functions import fix_dob, mobile_sanity, modify_reward
+from martech_pipelines_spark.operators.sinks import chunkify
+
+SLOW = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- Python reference implementations (documented semantics, not the
+# reference's buggy code paths — SURVEY.md §0) --------------------------------
+
+
+def py_mobile_sanity(s: str | None) -> str | None:
+    if s is None:
+        return None
+    try:
+        n = str(int(s))
+    except ValueError:
+        return None
+    last10 = n[-10:]
+    return last10 if len(last10) == 10 else None
+
+
+def py_modify_reward(x: float | None) -> int | None:
+    if x is None:
+        return None
+    return int(x * 100)
+
+
+def py_fix_dob(v: str | None) -> str | None:
+    if not v:
+        return None
+    if v.endswith("BC"):
+        v = v[:-3]
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y-%m-%d %H:%M:%S.%f"):
+        try:
+            r = dt.datetime.strptime(v, fmt)
+        except ValueError:
+            continue
+        if r.year < 1900:
+            r = r.replace(year=1952)
+        return r.strftime("%Y-%m-%d")
+    return None
+
+
+# --- strategies --------------------------------------------------------------
+
+mobile_strings = st.one_of(
+    st.from_regex(r"[0-9]{1,14}", fullmatch=True),
+    st.from_regex(r" ?[+-]?[0-9]{5,12} ?", fullmatch=True),
+    st.text(alphabet="0123456789abc .+-", max_size=15),
+    st.none(),
+)
+
+rewards = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.none(),
+)
+
+dob_strings = st.one_of(
+    st.dates(dt.date(1, 1, 1), dt.date(2200, 1, 1)).map(lambda d: d.strftime("%Y-%m-%d")),
+    st.datetimes(dt.datetime(1800, 1, 1), dt.datetime(2100, 1, 1)).map(
+        lambda d: d.strftime("%Y-%m-%d %H:%M:%S")
+    ),
+    st.dates(dt.date(100, 1, 1), dt.date(1900, 1, 1)).map(
+        lambda d: d.strftime("%Y-%m-%d") + " BC"
+    ),
+    st.text(max_size=12),
+    st.none(),
+)
+
+
+@SLOW
+@given(vals=st.lists(mobile_strings, min_size=1, max_size=30))
+def test_mobile_sanity_matches_python(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(mobile_sanity(F.col("v")).alias("m")).collect()]
+    want = [py_mobile_sanity(v) for v in vals]
+    assert got == want
+
+
+@SLOW
+@given(vals=st.lists(rewards, min_size=1, max_size=30))
+def test_modify_reward_matches_python(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r[0] for r in df.select(modify_reward(F.col("v")).alias("p")).collect()]
+    want = [py_modify_reward(v) for v in vals]
+    assert got == want
+
+
+@SLOW
+@given(vals=st.lists(dob_strings, min_size=1, max_size=30))
+def test_fix_dob_matches_python(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(fix_dob(F.col("v")).alias("d")).collect()]
+    want = [py_fix_dob(v) for v in vals]
+    assert got == want
+
+
+@given(
+    items=st.lists(st.integers(), max_size=200),
+    size=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunkify_partitions_exactly(items, size):
+    chunks = list(chunkify(items, size))
+    assert [x for c in chunks for x in c] == items
+    assert all(len(c) <= size for c in chunks)
+    if chunks:
+        assert all(len(c) == size for c in chunks[:-1])
+
+
+@given(size=st.integers(max_value=0))
+@settings(max_examples=20, deadline=None)
+def test_chunkify_rejects_nonpositive(size):
+    with pytest.raises(ValueError):
+        list(chunkify([1], size))

@@ -53,6 +53,65 @@ def test_stream_latest_per_key_matches_batch(spark, events_stream_dir, tmp_path)
     assert got == want
 
 
+def test_stream_foreachbatch_rest_export(spark, events_stream_dir, tmp_path):
+    """EP2 at streaming scale: incremental micro-batches -> transform ->
+    partition-parallel REST sink via foreachBatch (the streaming analog of
+    the reference's driver-side export loop)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from martech_pipelines_spark.operators.sinks import (
+        RestSinkConfig,
+        rest_batch_sink,
+    )
+
+    store: list[int] = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            store.append(len(json.loads(body)["d"]))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cfg = RestSinkConfig(
+        url=f"http://127.0.0.1:{srv.server_port}/upload", payload_size=100
+    )
+
+    stream = stream_events_source(spark, events_stream_dir)
+    filtered = stream.where(F.col("event_type").isin("purchase", "signup")).select(
+        F.col("user_id").cast("string").alias("identity"), "event_id", "event_type"
+    )
+
+    def ship(batch_df, batch_id: int) -> None:
+        rest_batch_sink(batch_df, cfg)
+
+    q = (
+        filtered.writeStream.foreachBatch(ship)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        srv.shutdown()
+
+    expected = (
+        load_table(spark, SF, "events")
+        .where(F.col("event_type").isin("purchase", "signup"))
+        .count()
+    )
+    assert sum(store) == expected
+    assert max(store) <= 100
+
+
 def test_stream_tumbling_counts_match_batch(spark, events_stream_dir, tmp_path):
     stream = stream_events_source(spark, events_stream_dir)
     agg = streaming_tumbling_counts(stream, "1 hour", "1 hour")
