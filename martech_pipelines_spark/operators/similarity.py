@@ -91,7 +91,7 @@ def brute_force_topk(
     )
     return (
         scored.where(F.col("cos_sim").isNotNull())
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
 
@@ -220,7 +220,7 @@ def lsh_topk(
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id).asc())
     return (
         scored.where(F.col("cos_sim").isNotNull())
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
 

@@ -67,7 +67,7 @@ def lang_scores(col: Column) -> dict[str, Column]:
     out = {}
     for lang, markers in LANG_MARKERS.items():
         hits = F.filter(toks, lambda t: t.isin(*markers))  # noqa: B023
-        out[f"score_{lang}"] = F.size(hits)
+        out[f"score_{lang}"] = F.size(hits).cast("long")
     return out
 
 

@@ -308,7 +308,7 @@ def e1_rank_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
+        ev.select("user_id", "event_id", F.row_number().over(w).cast("long").alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
 
