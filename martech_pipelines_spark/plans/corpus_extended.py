@@ -446,6 +446,20 @@ def s2_lsh_topk(spark, sf_dir):
     )
 
 
+@q("s2b_ivf_topk")  # rows-only: approximate (KMeans cells); recall in tests
+def s2b_ivf_topk(spark, sf_dir):
+    """IVF top-5 (16 cells, probe 4): KMeans coarse quantizer + in-cell
+    exact re-rank — the inverted-file ANN path. Rows-only driver check;
+    pytest gates recall against s1 ground truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(queries, emb, dim=64, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
+
+
 @q("s3_embedding_near_dup")  # rows-only: blocking recall pinned in tests
 def s3_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (>=0.9) via signature-band blocking

@@ -120,6 +120,22 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall {recall} too low"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.ivf_topk(queries, emb, dim=64, k=5, nlist=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # self-match must always survive: the query's own cell is probed first
+    r1 = {r["query_id"]: r["vec_id"] for r in approx.collect() if r["rnk"] == 1}
+    assert all(q == v for q, v in r1.items())
+
+
 def test_embedding_near_dup_catches_planted_pair(spark):
     emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 100)
     clone = emb.where(F.col("vec_id") == 7).select(
