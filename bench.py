@@ -32,6 +32,7 @@ HEADLINE = [
     "dd4_simhash",
     "s1_bruteforce_topk",
     "s2_lsh_topk",
+    "s2b_ivf_topk",
     "w2_sliding",
     "w3_session",
     "r4_rollup",

@@ -259,7 +259,9 @@ def ivf_topk(
     train = corpus.select(
         array_to_vector(_as_double(F.col(corpus_vec))).alias("features")
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    # a coarse quantizer converges in a handful of iterations; the default
+    # 20 rounds of distributed Lloyd's dominate the operator's cost
+    model = KMeans(k=nlist, seed=seed, maxIter=5, featuresCol="features").fit(train)
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
 
     @pandas_udf("array<int>")

@@ -117,6 +117,103 @@ def mm2_media_features(spark, sf_dir):
     return MM.extract_features(media).select("doc_id", "size_bytes", "byte_mean")
 
 
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure predicate-heavy scan + scalar aggregate — the
+    filter-pushdown benchmark (all four predicates reach the reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+
+@q(
+    "t6_tfidf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def t6_tfidf(spark, sf_dir):
+    """TF-IDF, fully oracle-checked: explode terms -> tf per (doc, term),
+    df per term (broadcastable), smoothed idf ln((N+1)/(df+1))+1, top-3
+    terms per doc ranked on the rounded score with term tie-break.
+
+    Plan shape: two aggregations sharing the exploded-term shuffle key +
+    one broadcast join (df is vocabulary-sized) — no corpus self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    from martech_pipelines_spark.operators.text import tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 # =============================================================================
 # Deeper relational fill-ins
 # =============================================================================
