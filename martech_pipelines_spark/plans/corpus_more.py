@@ -214,6 +214,92 @@ def t6_tfidf(spark, sf_dir):
     )
 
 
+@q(
+    "t7_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(0,
+                   list_transform({_TOKS_SQL},
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
+               (acc, h) -> (acc * 131 + h) % 2147483647
+           ) AS BIGINT) AS rolling_fp
+    FROM documents
+    """,
+)
+def t7_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint: per-token md5
+    bucket folded left with (acc*131 + h) mod (2^31 - 1). Unlike the
+    set-style md5 fingerprint (t5), token ORDER changes this hash —
+    the polynomial-rolling-hash family, md5-portable across engines.
+    Intermediate products stay < 2^39, no int64 overflow either engine."""
+    from martech_pipelines_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    M = 2147483647
+    hashed = F.transform(
+        tokens(F.col("text")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % M,
+    )
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % M,
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
+@q(
+    "r11_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def r11_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither pure rollup nor cube) via the SQL
+    surface — Catalyst expands to a single Expand + aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
+    "r12_exists_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def r12_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS via the SQL surface (Catalyst rewrites it to a
+    left-semi join — same plan as the DataFrame form in d2)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_ex c
+        WHERE EXISTS (
+            SELECT 1 FROM orders_ex o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """
+    )
+
+
 # =============================================================================
 # Deeper relational fill-ins
 # =============================================================================
