@@ -212,12 +212,23 @@ def minhash_near_duplicates(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
 
     Shingling happens ONCE: the exploded (id, shingle) table feeds both the
     signature aggregation and (via collect_set) the verification sets —
-    candidate generation and verify never re-tokenize the corpus."""
+    candidate generation and verify never re-tokenize the corpus.
+
+    ``cache_intermediate`` persists the per-doc signature+set table: the
+    self-join and the two verify joins reference it three ways with
+    different column pruning, so without materialization Catalyst re-runs
+    the scan+explode+agg per branch (8 scans in the static plan). For a
+    truly huge corpus, materialize signatures to a table instead and run
+    candidates/verify as a second job (two-stage form: see
+    ``minhash_signatures`` + ``lsh_candidate_pairs`` + ``jaccard_on_pairs``)."""
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = num_perm // bands
     expl = exploded_shingles(docs, text_col, id_col, shingle_n)
     sig_aggs = [
@@ -226,6 +237,8 @@ def minhash_near_duplicates(
     per_doc = expl.groupBy("id").agg(
         *sig_aggs, F.collect_set("s").alias("sh")
     )
+    if cache_intermediate:
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Skinny band rows (ids + 32-byte key only): the bucket-join shuffle
     # must not carry the shingle-set arrays. One posexplode pass, NOT a
