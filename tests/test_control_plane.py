@@ -79,6 +79,33 @@ def test_objectstore_surface(tmp_path):
 # --- salted compaction -------------------------------------------------------
 
 
+def test_salted_latest_under_planted_skew(spark):
+    """One key owning 99% of rows: the salted form must still agree with
+    the window form row-for-row (the scale difference is shuffle shape,
+    never semantics)."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(100_000).select(
+        F.lit(7).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 977).alias("v"),
+    )
+    cold = spark.range(1_000).select(
+        (F.col("id") + 100).alias("k"),
+        F.col("id").alias("seq"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    df = hot.unionByName(cold).withColumn(
+        "ts", F.timestamp_micros(F.col("seq") * 1_000_000)
+    )
+    a = cdc.latest_per_key(df, "k", "ts", ["seq"])
+    b = cdc.latest_per_key_salted(df, "k", "ts", ["seq"], salt_buckets=32)
+    sa = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+    sb = sorted(map(tuple, b.select(*sorted(b.columns)).collect()))
+    assert sa == sb
+    assert len(sa) == 1001  # hot key compacted to exactly one row
+
+
 def test_salted_latest_matches_window_form(spark):
     ev = load_table(spark, SF, "events")
     a = cdc.latest_per_key(ev, "user_id", "ts", ["event_id"])
