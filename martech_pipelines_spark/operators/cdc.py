@@ -203,6 +203,28 @@ def cdc_compact(
     return compact(df, key_cols, ts_col, tiebreak_cols)
 
 
+def observed_compact(
+    changes: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    **kwargs,
+) -> tuple[DataFrame, str]:
+    """E4 (modern form): the compaction with an ``observe`` metric bundle
+    attached — input row count and max timestamp collected as named
+    metrics during the SAME action that computes the result (no second
+    scan, unlike accumulator probes). Read them from the observation
+    after an action via ``spark.listenerManager`` or, simplest,
+    ``df.observe`` + QueryExecutionListener; tests use the collected
+    DataFrame route."""
+    name = "cdc_metrics"
+    observed = changes.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.max(ts_col).alias("max_ts"),
+    )
+    return cdc_compact(observed, key_cols, ts_col, **kwargs), name
+
+
 def update_watermark(
     spark: SparkSession,
     job_runs: DataFrame,

@@ -180,6 +180,32 @@ def c4_in_list(spark, sf_dir):
 
 
 @q(
+    "c3_dynamic_flag_filter",
+    """
+    SELECT property_name FROM (
+        SELECT p_name AS property_name,
+               p_size % 2 = 0 AS clevertap,
+               p_size % 3 = 0 AS netcore
+        FROM part
+    ) WHERE clevertap = TRUE
+    """,
+)
+def c3_dynamic_flag_filter(spark, sf_dir):
+    """C3: filter on a boolean column whose NAME comes from config — the
+    reference's per-platform attribute routing (reference:
+    martech_pipelines/tasks/user_profile/clevertap.py:57,
+    ``.where(f"{platform} = True")``). The mapping table is synthesized
+    from `part` so the oracle sees identical data."""
+    platform = "clevertap"  # conf["platform"] in the reference
+    mapping = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("property_name"),
+        (F.col("p_size") % 2 == 0).alias("clevertap"),
+        (F.col("p_size") % 3 == 0).alias("netcore"),
+    )
+    return mapping.where(F.col(platform) == True).select("property_name")  # noqa: E712
+
+
+@q(
     "c6_c7_project_rename",
     """
     SELECT c_custkey AS identity, c_name AS customer_name,

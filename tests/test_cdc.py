@@ -82,6 +82,54 @@ def test_cdc_compact_end_to_end(spark):
     assert got == {1: "m1-new", 2: "m2"}
 
 
+def test_incremental_two_run_flow(spark, tmp_path):
+    """H1 end to end across two job runs: cold start processes everything
+    and records a watermark; run 2 with later data sees ONLY the delta."""
+    df1 = _changes(spark)
+    wm_path = str(tmp_path / "wm")
+
+    # run 1: cold start
+    out1 = cdc.cdc_compact(
+        df1, "customer_id", "_commit_timestamp",
+        since=None, change_type_col="_change_type", tiebreak_cols=["mobile"],
+    )
+    assert out1.count() == 3
+    max_ts = df1.agg(F.max("_commit_timestamp")).collect()[0][0]
+    empty = spark.createDataFrame([], STREAMING_JOB_RUNS_SCHEMA)
+    cdc.update_watermark(spark, empty, "ct", max_ts).write.mode("overwrite").parquet(wm_path)
+
+    # run 2: one new change arrives after the watermark
+    new_rows = spark.createDataFrame(
+        [(1, "m1-newest", "update_postimage", dt.datetime(2024, 2, 1))],
+        df1.schema,
+    )
+    df2 = df1.unionByName(new_rows)
+    wm = cdc.lookup_watermark(spark.read.parquet(wm_path), "ct")
+    assert wm == max_ts
+    out2 = cdc.cdc_compact(
+        df2, "customer_id", "_commit_timestamp",
+        since=wm, change_type_col="_change_type", tiebreak_cols=["mobile"],
+    )
+    got = {r["customer_id"]: r["mobile"] for r in out2.collect()}
+    assert got == {1: "m1-newest"}  # delta only
+
+
+def test_observed_compact_metrics(spark):
+    df = _changes(spark)
+    out, name = cdc.observed_compact(
+        df, "customer_id", "_commit_timestamp",
+        change_type_col="_change_type", tiebreak_cols=["mobile"],
+    )
+    from pyspark.sql import Observation  # noqa: F401 - doc pointer
+
+    rows = out.collect()
+    assert len(rows) == 3
+    # the observation rides the plan; its metrics are exposed through the
+    # QueryExecutionListener bus — here we assert the plan carries it
+    assert name == "cdc_metrics"
+    assert "CollectMetrics" in out._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_update_watermark_upsert(spark):
     jr = spark.createDataFrame(
         [("ct", dt.datetime(2024, 1, 1)), ("nc", dt.datetime(2024, 1, 2))],
