@@ -25,9 +25,15 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.ts is parquet TIMESTAMP(NANOS); Spark needs the legacy long
-    mapping (see martech_pipelines_spark.session / sources.readers)."""
+    """Runtime confs the corpus depends on, applied to WHATEVER session the
+    driver hands us: the TIMESTAMP(NANOS) legacy mapping (events.ts — see
+    martech_pipelines_spark.session / sources.readers), and a UTC session
+    timezone so formatted-timestamp outputs match the DuckDB oracle's
+    naive reads regardless of the host's default timezone. AQE is a
+    performance nicety only; correctness never depends on it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def entry(spark: SparkSession) -> DataFrame:
