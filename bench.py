@@ -42,7 +42,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from martech_pipelines_spark import get_spark
+    from martech_pipelines_spark import caching, get_spark
     from martech_pipelines_spark.plans import QUERIES
 
     spark = get_spark("bench")
@@ -56,6 +56,7 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        caching.release()  # free operator-persisted intermediates per query
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from martech_pipelines_spark.sources.schemas import GENDER_SIGNAL_SCHEMA
+from martech_pipelines_spark.sources.schemas import gender_signal_schema
 
 IST = "Asia/Kolkata"
 
@@ -164,8 +164,8 @@ def gender_implicit_columns(col: Column, signal_field: str = "last7days") -> dic
     collapses to the 0 default (the reference would *crash* on bad JSON —
     we pin the graceful-default intent).
     """
-    parsed = F.from_json(col, GENDER_SIGNAL_SCHEMA)
-    sig = parsed[signal_field] if signal_field == "last7days" else parsed["last7days"]
+    parsed = F.from_json(col, gender_signal_schema(signal_field))
+    sig = parsed[signal_field]
     out = {}
     for k in ("men", "women", "kids", "home"):
         out[f"gender_{k}_dp"] = F.coalesce(sig[k].cast("int"), F.lit(0))

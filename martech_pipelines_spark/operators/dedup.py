@@ -229,6 +229,8 @@ def minhash_near_duplicates(
     ``minhash_signatures`` + ``lsh_candidate_pairs`` + ``jaccard_on_pairs``)."""
     from pyspark.storagelevel import StorageLevel
 
+    from martech_pipelines_spark import caching
+
     rows_per_band = num_perm // bands
     expl = exploded_shingles(docs, text_col, id_col, shingle_n)
     sig_aggs = [
@@ -238,7 +240,9 @@ def minhash_near_duplicates(
         *sig_aggs, F.collect_set("s").alias("sh")
     )
     if cache_intermediate:
-        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+        # Registered so callers can caching.release() after their action —
+        # repeated invocations in one session must not accumulate caches.
+        per_doc = caching.register(per_doc.persist(StorageLevel.MEMORY_AND_DISK))
 
     # Skinny band rows (ids + 32-byte key only): the bucket-join shuffle
     # must not carry the shingle-set arrays. One posexplode pass, NOT a

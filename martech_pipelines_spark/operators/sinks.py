@@ -105,11 +105,17 @@ def write_file(
 
 def default_post(url: str, body: bytes, headers: dict) -> int:
     """Production transport: stdlib urllib (requests-free, executor-safe)."""
+    import urllib.error
     import urllib.request
 
     req = urllib.request.Request(url, data=body, headers=headers, method="POST")
-    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
-        return resp.status
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            return resp.status
+    except urllib.error.HTTPError as e:
+        # Return the status instead of raising so the retry wrapper's
+        # 4xx-fail-fast / 5xx-retry classification stays authoritative.
+        return e.code
 
 
 def _batch_id(partition_id: int, chunk_idx: int, records: list[dict], identity_key: str) -> str:
@@ -150,15 +156,28 @@ def _jwt_hs256(payload: dict, secret: str) -> str:
     return f"{header}.{body}.{b64(sig)}"
 
 
+class HttpClientError(IOError):
+    """Non-retryable 4xx response (other than 429)."""
+
+
 def _post_with_retry(post_fn: PostFn, cfg: RestSinkConfig, body: bytes, headers: dict) -> int:
+    """Retry policy matching the reference's tenacity intent (hooks/
+    clevertap.py:21-25 retries ConnectionError only): connection-level
+    exceptions and transient statuses (5xx, 429) back off and retry;
+    permanent 4xx client errors fail fast — burning max_attempts with
+    backoff inside every executor task on a bad payload is pure waste."""
     attempt = 0
     while True:
         attempt += 1
         try:
             status = post_fn(cfg.url, body, headers)
-            if status >= 400:
+            if status == 429 or status >= 500:
                 raise IOError(f"HTTP {status}")
+            if status >= 400:
+                raise HttpClientError(f"HTTP {status}")
             return status
+        except HttpClientError:
+            raise
         except Exception:
             if attempt >= cfg.max_attempts:
                 raise

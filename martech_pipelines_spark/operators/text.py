@@ -77,9 +77,11 @@ def lang_id(col: Column, default: str = "und") -> Column:
     scores = lang_scores(col)
     best_lang = F.lit(default)
     best_score = F.lit(0)
-    # iterate in reverse-alphabetical order so that on ties the
-    # alphabetically-first language wins the final when() chain
-    for lang in sorted(LANG_MARKERS, reverse=True):
+    # Iterate in ascending alphabetical order: the first-processed tied
+    # language installs itself as best, and the strict '>' means later tied
+    # languages cannot displace it — so the alphabetically-first tied
+    # language wins, matching the oracle's de->en->es->fr CASE order.
+    for lang in sorted(LANG_MARKERS):
         s = scores[f"score_{lang}"]
         is_better = s > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)

@@ -30,7 +30,12 @@ def tumbling_agg(
         events.groupBy(F.col(key_col), w.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("sum_value"),
+            # Sum as DECIMAL so cross-engine double summation-order drift
+            # can't flip a 2dp rounding boundary (corpus DECIMAL-for-money
+            # rule; same form as r4_rollup / q1_pricing_summary).
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
         )
         .select(
             key_col,

@@ -480,7 +480,7 @@ def s3_embedding_near_dup(spark, sf_dir):
     SELECT user_id,
            strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -155,21 +155,27 @@ USER_PROPERTY_MAPPING_SCHEMA = T.StructType(
 
 # JSON signal blob parsed by get_gender_implicit_data
 # (reference: martech_pipelines/utils/data_sanity_helpers.py:165-177).
-GENDER_SIGNAL_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "last7days",
-            T.StructType(
-                [
-                    T.StructField("men", T.LongType()),
-                    T.StructField("women", T.LongType()),
-                    T.StructField("kids", T.LongType()),
-                    T.StructField("home", T.LongType()),
-                ]
-            ),
-        )
-    ]
-)
+# The reference reads the *configured* signal field from the JSON (default
+# last7days), so the parse schema is keyed on that field name.
+def gender_signal_schema(signal_field: str = "last7days") -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                signal_field,
+                T.StructType(
+                    [
+                        T.StructField("men", T.LongType()),
+                        T.StructField("women", T.LongType()),
+                        T.StructField("kids", T.LongType()),
+                        T.StructField("home", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+GENDER_SIGNAL_SCHEMA = gender_signal_schema()
 
 
 def schema_for(table: str) -> T.StructType:

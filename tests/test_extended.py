@@ -44,6 +44,20 @@ def test_lang_id_markers(spark):
     assert out == ["en", "es", "und"]
 
 
+def test_lang_id_tie_breaks_alphabetically(spark):
+    """Tied marker scores -> alphabetically-first language, matching the
+    oracle's de->en->es->fr CASE order (ADVICE r01)."""
+    df = spark.createDataFrame(
+        [
+            ("der das the and",),  # de=2, en=2 -> de
+            ("the of le la",),  # en=2, fr=2 -> en
+        ],
+        "t string",
+    )
+    out = [r[0] for r in df.select(TX.lang_id(F.col("t")).alias("lang")).collect()]
+    assert out == ["de", "en"]
+
+
 def test_quality_score_bounds(spark):
     docs = load_table(spark, SF, "documents")
     stats = docs.select(TX.quality_score(F.col("text")).alias("q")).agg(

@@ -142,6 +142,19 @@ def test_gender_implicit_defaults(spark):
     ]
 
 
+def test_gender_implicit_configured_signal_field(spark):
+    """signal_field is honored, not silently ignored (ADVICE r01): the
+    reference reads the *configured* field from the JSON blob."""
+    vals = [
+        '{"last30days": {"men": 7, "women": 4}, "last7days": {"men": 1}}',
+        '{"last7days": {"men": 9}}',  # wrong field -> defaults
+    ]
+    df = one_col(spark, vals)
+    cols = gender_implicit_columns(F.col("v"), signal_field="last30days")
+    rows = df.select(*[c.alias(n) for n, c in cols.items()]).collect()
+    assert [tuple(r) for r in rows] == [(7, 4, 0, 0), (0, 0, 0, 0)]
+
+
 # --- F1 identity coalesce ----------------------------------------------------
 
 

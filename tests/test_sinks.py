@@ -18,6 +18,7 @@ from martech_pipelines_spark.operators.sinks import (
     chunkify,
     chunkify_by_bytes,
     rest_batch_sink,
+    rest_csv_batch_sink,
     write_file,
 )
 
@@ -25,17 +26,28 @@ from martech_pipelines_spark.operators.sinks import (
 class _Recorder(BaseHTTPRequestHandler):
     store: list[dict] = []
     fail_first_n = 0
+    fail_status = 503
+    attempts = 0
 
     def do_POST(self):  # noqa: N802
         body = self.rfile.read(int(self.headers["Content-Length"]))
         cls = type(self)
+        cls.attempts += 1
         if cls.fail_first_n > 0:
             cls.fail_first_n -= 1
-            self.send_response(503)
+            self.send_response(cls.fail_status)
             self.end_headers()
             return
+        try:
+            payload = json.loads(body)
+        except ValueError:  # CSV sink bodies are not JSON
+            payload = None
         cls.store.append(
-            {"payload": json.loads(body), "auth": self.headers.get("Authorization")}
+            {
+                "payload": payload,
+                "size": len(body),
+                "auth": self.headers.get("Authorization"),
+            }
         )
         self.send_response(200)
         self.end_headers()
@@ -49,6 +61,8 @@ class _Recorder(BaseHTTPRequestHandler):
 def http_server():
     _Recorder.store = []
     _Recorder.fail_first_n = 0
+    _Recorder.fail_status = 503
+    _Recorder.attempts = 0
     srv = HTTPServer(("127.0.0.1", 0), _Recorder)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -67,6 +81,22 @@ def test_chunkify_by_bytes_caps_batches():
     batches = list(chunkify_by_bytes(recs, 30))
     assert all(sum(len(r) + 1 for r in b) <= 30 for b in batches)
     assert sum(len(b) for b in batches) == 10
+
+
+def test_netcore_csv_cap_with_multi_mb_rows(spark, http_server):
+    """B5 Netcore ≤4.5 MB cap pinned against multi-MB payloads (VERDICT
+    r01 #6, reference hooks/netcore.py:103-119): 10 rows of ~1 MB must
+    split so no POST body exceeds the cap (+ header line slack)."""
+    url, rec = http_server
+    cap = 4_500_000
+    df = spark.createDataFrame(
+        [(i, "x" * 1_000_000) for i in range(10)], "id long, blob string"
+    ).coalesce(1)
+    metrics = rest_csv_batch_sink(df, RestSinkConfig(url=url), max_bytes=cap)
+    assert metrics["sent"] == 10
+    assert metrics["batches"] >= 3  # 10 MB of rows cannot fit in 2 batches
+    header_slack = len("id,blob") + 2
+    assert all(r["size"] <= cap + header_slack for r in rec.store)
 
 
 def test_rest_sink_batches_and_metrics(spark, http_server):
@@ -111,6 +141,27 @@ def test_rest_sink_retries_on_5xx(spark, http_server):
     cfg = RestSinkConfig(url=url, payload_size=10, backoff_base_s=0.01)
     metrics = rest_batch_sink(df, cfg)
     assert metrics["sent"] == 1 and len(rec.store) == 1
+
+
+def test_rest_sink_retries_on_429(spark, http_server):
+    url, rec = http_server
+    rec.fail_first_n, rec.fail_status = 2, 429  # rate-limited twice, then ok
+    df = spark.createDataFrame([("1",)], "identity string").coalesce(1)
+    cfg = RestSinkConfig(url=url, payload_size=10, backoff_base_s=0.01)
+    metrics = rest_batch_sink(df, cfg)
+    assert metrics["sent"] == 1 and rec.attempts == 3
+
+
+def test_rest_sink_fails_fast_on_4xx(spark, http_server):
+    """Permanent client errors must NOT burn max_attempts with backoff
+    (ADVICE r01): exactly one POST, then raise."""
+    url, rec = http_server
+    rec.fail_first_n, rec.fail_status = 99, 400  # always 400
+    df = spark.createDataFrame([("1",)], "identity string").coalesce(1)
+    cfg = RestSinkConfig(url=url, payload_size=10, backoff_base_s=0.01)
+    with pytest.raises(Exception, match="HTTP 400"):
+        rest_batch_sink(df, cfg)
+    assert rec.attempts == 1
 
 
 def test_rest_sink_jwt_signing(spark, http_server):
