@@ -67,6 +67,29 @@ def documents_as_media(docs: DataFrame, fmt: str = "png") -> DataFrame:
     return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
 
 
+def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
+    """mm3 (SURVEY.md §7.3): REAL binary-corpus ingestion via Spark's
+    built-in ``binaryFile`` source — (path, modificationTime, length,
+    content) per file; ``pathGlobFilter`` narrows by extension without
+    listing cost. This is the production entry for image/audio dirs; the
+    ``documents_as_media`` adapter exists only for the parquet testdata."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def binary_ingest_summary(df: DataFrame) -> DataFrame:
+    """Deterministic per-file summary of a binaryFile scan: basename, size,
+    and content md5 (mtime/absolute path excluded so results are stable
+    across checkouts and engines)."""
+    return df.select(
+        F.substring_index("path", "/", -1).alias("file_name"),
+        F.col("length").cast("long").alias("size_bytes"),
+        F.md5(F.hex("content")).alias("content_md5"),
+    )
+
+
 def decode_image_stub(payload: bytes) -> None:
     """Placeholder for the real decoder (PIL not present in container)."""
     raise NotImplementedError(
@@ -79,12 +102,15 @@ def extract_features(
     media: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    batch_hint: int | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` — deterministic byte-histogram fake standing in for a
     real decode+embed kernel. The iterator-of-batches shape is exactly
-    what a real GPU/codec kernel wants (amortized setup per batch)."""
+    what a real GPU/codec kernel wants (amortized setup per batch).
+
+    Batch sizing is driven by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    (set it before calling for memory-bounded kernels) — NOT by counting
+    the input, which would add a full extra action on the data path."""
     import numpy as np
     import pandas as pd
 
@@ -107,9 +133,6 @@ def extract_features(
             )
 
     src = media.select(id_col, payload_col)
-    if batch_hint:
-        n = src.count()
-        src = src.repartition(max(1, -(-n // batch_hint)))
     return src.mapInPandas(kernel, FEATURE_SCHEMA)
 
 

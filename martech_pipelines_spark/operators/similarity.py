@@ -225,6 +225,53 @@ def lsh_topk(
     )
 
 
+def _centroid_kernels(centroids: np.ndarray, nprobe: int):
+    """Arrow kernels over a broadcast centroid matrix: per-batch squared-L2
+    to every centroid via one matmul; returns (probe_cells, assign_cell)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _d2(m: np.ndarray) -> np.ndarray:
+        # (q - c)^2 = q.q - 2 q.c + c.c
+        return (
+            (m * m).sum(1, keepdims=True)
+            - 2 * (m @ centroids.T)
+            + (centroids * centroids).sum(1)
+        )
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        nearest = np.argsort(_d2(m), axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in nearest])
+
+    @pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(_d2(m).argmin(axis=1).astype("int32"))
+
+    return probe_cells, assign_cell
+
+
+def _train_centroids(
+    corpus: DataFrame, corpus_vec: str, nlist: int, seed: int
+) -> np.ndarray:
+    """KMeans coarse quantizer (seeded, capped iterations)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(_as_double(F.col(corpus_vec))).alias("features")
+    )
+    # a coarse quantizer converges in a handful of iterations; the default
+    # 20 rounds of distributed Lloyd's dominate the operator's cost
+    model = KMeans(k=nlist, seed=seed, maxIter=5, featuresCol="features").fit(train)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -249,42 +296,12 @@ def ivf_topk(
     ~nprobe/nlist of the corpus.
 
     Centroids are a tiny model artifact (nlist x dim floats) broadcast
-    into an Arrow kernel for query assignment; at 100 TB the corpus
-    assignment is a one-off batch job whose output is a partitioned-by-
-    cell table (probing then prunes partitions)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
-
-    train = corpus.select(
-        array_to_vector(_as_double(F.col(corpus_vec))).alias("features")
-    )
-    # a coarse quantizer converges in a handful of iterations; the default
-    # 20 rounds of distributed Lloyd's dominate the operator's cost
-    model = KMeans(k=nlist, seed=seed, maxIter=5, featuresCol="features").fit(train)
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
-
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if m.size == 0:
-            return pd.Series([], dtype=object)
-        # squared L2 to every centroid: (q - c)^2 = q.q - 2 q.c + c.c
-        d2 = (m * m).sum(1, keepdims=True) - 2 * (m @ centroids.T) + (
-            centroids * centroids
-        ).sum(1)
-        nearest = np.argsort(d2, axis=1)[:, :nprobe]
-        return pd.Series([row.astype("int32").tolist() for row in nearest])
-
-    @pandas_udf("int")
-    def assign_cell(vecs: pd.Series) -> pd.Series:
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if m.size == 0:
-            return pd.Series([], dtype="int32")
-        d2 = (m * m).sum(1, keepdims=True) - 2 * (m @ centroids.T) + (
-            centroids * centroids
-        ).sum(1)
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+    into an Arrow kernel for query assignment. This in-line form retrains
+    per call — fine as a one-off; for repeated probing or 100 TB use the
+    two-stage materialized form (``ivf_build_index`` + ``ivf_probe_topk``)
+    whose corpus table is partitioned by cell so probes prune partitions."""
+    centroids = _train_centroids(corpus, corpus_vec, nlist, seed)
+    probe_cells, assign_cell = _centroid_kernels(centroids, nprobe)
 
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
@@ -307,6 +324,103 @@ def ivf_topk(
         ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id).asc())
+    return (
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    dim: int,
+    index_path: str,
+    nlist: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Stage 1 of the materialized IVF form: train the coarse quantizer,
+    assign every corpus vector its nearest centroid, and write
+
+    - ``{index_path}/corpus``    parquet **partitioned by cell** — the
+      inverted lists as physical partitions, so probing is partition
+      pruning, not a scan;
+    - ``{index_path}/centroids`` tiny parquet (cell, centroid) — the model
+      artifact the probe stage loads.
+
+    At 100 TB this is the one-off batch job the in-line ``ivf_topk``
+    docstring promises: assignment is a single Arrow-kernel pass over the
+    corpus and one partitioned write; no shuffle beyond the write's own
+    partitioning."""
+    spark = corpus.sparkSession
+    centroids = _train_centroids(corpus, corpus_vec, nlist, seed)
+    _, assign_cell = _centroid_kernels(centroids, nprobe=1)
+    (
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            _as_double(F.col(corpus_vec)).alias("v"),
+            assign_cell(F.col(corpus_vec)).alias("cell"),
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/corpus")
+    )
+    cdf = spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Stage 2: probe a prebuilt IVF index with partition pruning.
+
+    The probe cells of the (small, by construction) query set are computed
+    driver-side — a control-plane collect like the watermark lookup — so
+    the corpus read carries a LITERAL ``cell IN (...)`` predicate: static
+    partition pruning, visible as ``PartitionFilters`` in the scan node.
+    Only ~|cells probed|/nlist of the corpus is ever read, which is the
+    entire point of the inverted-file layout at 100 TB."""
+    spark = queries.sparkSession
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])]
+    )
+    probe_cells, _ = _centroid_kernels(centroids, nprobe)
+
+    qrows = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            _as_double(F.col(query_vec)).alias("__qv"),
+            F.explode(probe_cells(F.col(query_vec))).alias("cell"),
+        )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+    # control-plane collect of the distinct probed cells (bounded by nlist)
+    probed = sorted({r["cell"] for r in qrows.select("cell").distinct().collect()})
+
+    c = spark.read.parquet(f"{index_path}/corpus").where(
+        F.col("cell").isin([int(x) for x in probed])
+    )
+    denom = F.col("__qn") * F.col("n")
+    scored = F.broadcast(qrows).join(c, "cell").select(
+        F.col("__qid").alias(query_id),
+        "vec_id",
+        F.round(
+            F.when(denom > 0, dot(F.col("__qv"), F.col("v")) / denom), round_dp
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("vec_id").asc())
     return (
         scored.where(F.col("cos_sim").isNotNull())
         .withColumn("rnk", F.row_number().over(w).cast("long"))

