@@ -65,6 +65,36 @@ def duplicate_groups(
     )
 
 
+def cross_source_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source contamination audit: how many of a source's docs have an
+    exact-duplicate fingerprint that also appears in ANOTHER source — the
+    standard leakage/contamination check before mixing corpora into a
+    training set. Two keyed aggregations on the 32-byte fingerprint plus
+    one broadcast-sized join back of the per-fingerprint source counts;
+    never a doc-to-doc self-join."""
+    keyed = docs.select(
+        F.col(id_col), F.col(source_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    fp_sources = keyed.groupBy("fp").agg(
+        F.count_distinct(source_col).alias("n_sources")
+    )
+    return (
+        keyed.join(fp_sources, "fp")
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)).alias(
+                "n_cross_source"
+            ),
+        )
+    )
+
+
 # --- MinHash signatures ------------------------------------------------------
 
 

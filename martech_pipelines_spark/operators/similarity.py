@@ -331,6 +331,28 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label centroid components — the class-prototype computation
+    (few-shot prototypes, cluster summaries, drift monitoring). Output is
+    one row per (label, dim) with the rounded mean component: the exploded
+    form keeps the whole op a single posexplode + one keyed aggregation
+    with map-side combine — no array re-assembly, no UDF, and the oracle
+    can express it with unnest WITH ORDINALITY."""
+    exploded = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), round_dp).alias("mean_v"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 def ivf_build_index(
     corpus: DataFrame,
     dim: int,

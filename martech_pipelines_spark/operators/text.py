@@ -136,6 +136,98 @@ def quality_score(col: Column) -> Column:
     return F.round((len_ok + punct_ok + stop_ok) / 3, 4)
 
 
+# --- PII redaction -----------------------------------------------------------
+
+# Engine-portable regexes (same dialect subset in Java regex and RE2):
+# lowercase-normalized emails and standalone 10-digit phone numbers.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{10}\b"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-doc counts of email / phone matches (the audit side of
+    redaction — LLM pipelines log these before dropping or masking)."""
+    low = F.lower(col)
+    return {
+        "n_emails": F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(low, F.lit(PII_PHONE_RE), F.lit(0))).cast("long"),
+    }
+
+
+def redact_pii(col: Column, mask: str = "[PII]") -> Column:
+    """Replace email/phone spans with ``mask`` (emails first so a phone
+    regex can't split an address's digits). Pure regexp_replace — codegen,
+    no Python."""
+    out = F.regexp_replace(F.lower(col), PII_EMAIL_RE, mask)
+    return F.regexp_replace(out, PII_PHONE_RE, mask)
+
+
+# --- repetition scoring ------------------------------------------------------
+
+
+def bigrams(col: Column) -> Column:
+    """All word bigrams (NOT distinct — repetition needs multiplicity),
+    built from two shifted slices zipped together (see ``shingles`` for why
+    per-index element_at is the wrong form)."""
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(toks, 1, k), F.slice(toks, 2, k))
+    return F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+
+
+def repetition_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition ratio: top-bigram count / total bigrams — the
+    standard repeated-n-gram quality filter in LLM data pipelines (docs
+    with a dominant bigram are boilerplate/spam). Two keyed aggregations,
+    both with map-side combine; docs with <2 tokens drop out (no bigrams).
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("rep_ratio"),
+    )
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Offset-based sequence packing: assign each doc to a fixed
+    token-budget pack by its cumulative start offset within its
+    ``part_col`` partition (ordered by id). This is the relational form of
+    training-batch packing — pack boundaries are deterministic, and the
+    window partitions by source so the cumulative sum never needs a
+    global single-partition sort (the scale trap of naive packing).
+
+    Output: one row per (partition, pack) with doc count + token total."""
+    from pyspark.sql import Window
+
+    toks = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        F.col(part_col),
+        F.col(id_col),
+        toks.alias("n_tok"),
+        F.floor((F.sum(toks).over(w) - toks) / F.lit(budget)).alias("pack_id"),
+    )
+    return packed.groupBy(part_col, "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+
+
 # --- fingerprinting ----------------------------------------------------------
 
 

@@ -175,6 +175,130 @@ def t5_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+@q(
+    "t8_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0 THEN ' call 9876543210' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(lower(t), '\b[0-9]{10}\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
+                              '\b[0-9]{10}\b', '[PII]', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def t8_pii_redact(spark, sf_dir):
+    """PII audit + redaction (emails, 10-digit phones) — the synthetic
+    corpus carries no natural PII, so the query plants deterministic
+    addresses/numbers (every 7th/11th doc) and pins both the match counts
+    and the md5 of the redacted text. Pure regexp codegen, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 9876543210")).otherwise(
+            F.lit("")
+        ),
+    )
+    counts = TX.pii_counts(txt)
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(TX.redact_pii(txt)).alias("redacted_md5"),
+    )
+
+
+@q(
+    "t9_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] AS gram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    per AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS rep_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def t9_repetition(spark, sf_dir):
+    """Top-bigram repetition ratio — the repeated-n-gram boilerplate/spam
+    filter. Two keyed aggregations, both with map-side combine; docs with
+    <2 tokens drop out (no bigrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_table(docs)
+
+
+@q(
+    "t10_sequence_pack",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len({_DUCK_TOKENS.format(col='text')}) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tok) / 512.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def t10_sequence_pack(spark, sf_dir):
+    """Offset-based training-batch packing (512-token budget): each doc's
+    pack is floor(start_offset/budget) within its source partition — the
+    window partitions by source, so no global single-partition sort (the
+    scale trap of naive greedy packing). A pack's total may exceed the
+    budget when a doc straddles the boundary — that is the pinned
+    offset-based semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.sequence_pack(docs, budget=512)
+    return out.select(
+        "source", "pack_id", "n_docs", F.col("total_tokens").cast("long").alias("total_tokens")
+    )
+
+
+@q(
+    "s4_label_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS mean_v,
+           count(*) AS n_vecs
+    FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)
+    GROUP BY 1, 2
+    """,
+)
+def s4_label_centroids(spark, sf_dir):
+    """Per-label centroid components (class prototypes / drift monitoring):
+    posexplode + one keyed aggregation with map-side combine — exploded
+    (label, dim) rows instead of array re-assembly, so no UDF and a clean
+    unnest-based oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb)
+
+
 # =============================================================================
 # Deduplication
 # =============================================================================
@@ -386,6 +510,39 @@ def dd5_ngram_jaccard(spark, sf_dir):
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2000000).alias("id_b")
     )
     return DD.ngram_jaccard_pairs(pairs, corpus, n=3)
+
+
+@q(
+    "dd6_cross_source",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, md5({_DUCK_NORM.format(col='text')}) AS fp
+      FROM (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'mirror', text FROM documents WHERE doc_id % 10 = 0
+      )
+    ),
+    fps AS (SELECT fp, count(DISTINCT source) AS n_sources FROM keyed GROUP BY fp)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source
+    FROM keyed JOIN fps USING (fp)
+    GROUP BY source
+    """,
+)
+def dd6_cross_source(spark, sf_dir):
+    """Cross-source contamination audit: per source, how many docs share an
+    exact fingerprint with ANOTHER source — the leakage check before mixing
+    corpora into a training set. A planted 'mirror' source (exact copies of
+    every 10th doc) guarantees non-zero signal at gate scale. Two keyed
+    aggregations on the 32-byte fingerprint; never a doc-to-doc self-join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    return DD.cross_source_dup_stats(docs.unionByName(mirror))
 
 
 # =============================================================================

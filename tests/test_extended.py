@@ -66,6 +66,79 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= stats[0] <= stats[1] <= 1.0
 
 
+def test_pii_redaction_counts_and_mask(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail Bob.Smith+x@Example.COM and call 9876543210 now",),
+            ("digits 123456789 are only nine",),  # not a 10-digit phone
+            ("no pii here",),
+        ],
+        "t string",
+    )
+    c = TX.pii_counts(F.col("t"))
+    out = df.select(
+        c["n_emails"].alias("e"),
+        c["n_phones"].alias("p"),
+        TX.redact_pii(F.col("t")).alias("r"),
+    ).collect()
+    assert [(r["e"], r["p"]) for r in out] == [(1, 1), (0, 0), (0, 0)]
+    assert out[0]["r"] == "mail [PII] and call [PII] now"
+
+
+def test_repetition_ratio_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 3 bigrams, all 'spam spam'
+            (2, "a b c d"),  # 3 distinct bigrams
+            (3, "one"),  # <2 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.repetition_table(df).collect()}
+    assert rows[1]["rep_ratio"] == 1.0 and rows[1]["n_bigrams"] == 3
+    assert abs(rows[2]["rep_ratio"] - 0.3333) < 1e-9
+    assert 3 not in rows
+
+
+def test_sequence_pack_offset_semantics(spark):
+    # 4 docs of 3 tokens each, budget 5: offsets 0,3,6,9 -> packs 0,0,1,1
+    df = spark.createDataFrame(
+        [(i, "x y z", "s") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["pack_id"]): (r["n_docs"], r["total_tokens"])
+        for r in TX.sequence_pack(df, budget=5).collect()
+    }
+    assert out == {("s", 0): (2, 6), ("s", 1): (2, 6)}
+
+
+def test_cross_source_dup_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "same text"),
+            (2, "b", "same text"),  # cross-source dup with 1
+            (3, "a", "unique one"),
+            (4, "a", "also same"),
+            (5, "a", "also same"),  # same-source dup: NOT cross-source
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in DD.cross_source_dup_stats(df).collect()}
+    assert rows["a"]["n_docs"] == 4 and rows["a"]["n_cross_source"] == 1
+    assert rows["b"]["n_docs"] == 1 and rows["b"]["n_cross_source"] == 1
+
+
+def test_label_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
+        "label int, embedding array<float>",
+    )
+    rows = {(r["label"], r["dim"]): r for r in SIM.label_centroids(df).collect()}
+    assert rows[(1, 0)]["mean_v"] == 2.0 and rows[(1, 1)]["mean_v"] == 3.0
+    assert rows[(2, 0)]["n_vecs"] == 1
+
+
 # --- dedup -------------------------------------------------------------------
 
 
