@@ -191,6 +191,44 @@ def repetition_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def repetition_cols(col: Column) -> dict[str, Column]:
+    """Per-row repetition features with ZERO shuffle — the 100-TB form of
+    ``repetition_table``.
+
+    The relational form explodes every bigram and shuffles on
+    (doc, gram); at corpus scale that shuffle is proportional to total
+    token count. But the top-bigram count within one document is a purely
+    row-local quantity: sort the bigram array, then the longest run of
+    equal adjacent elements IS the max multiplicity. One array_sort + one
+    aggregate fold per row, all inside codegen — no exchange anywhere.
+
+    Note the fold keeps (prev, run, best) in a struct; the run-update
+    expression appears twice because Catalyst does no CSE inside lambda
+    bodies — it is two comparisons, not a recomputed subtree."""
+    grams = F.array_sort(bigrams(col))
+    n = F.size(grams)
+
+    def step(acc: Column, g: Column) -> Column:
+        is_new = acc["prev"].isNull() | (acc["prev"] != g)
+        run = F.when(is_new, F.lit(1).cast("long")).otherwise(acc["run"] + 1)
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    folded = F.aggregate(grams, init, step)
+    return {
+        "n_bigrams": n.cast("long"),
+        "rep_ratio": F.when(n > 0, F.round(folded["best"] / n, 4)),
+    }
+
+
 # --- sequence packing --------------------------------------------------------
 
 

@@ -247,6 +247,40 @@ def t9_repetition(spark, sf_dir):
     return TX.repetition_table(docs)
 
 
+# Same oracle as t9 — the shuffle-free form must produce identical rows.
+_T9_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] AS gram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    per AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS rep_ratio
+    FROM per GROUP BY doc_id
+"""
+
+
+@q("t9b_repetition_hof", _T9_ORACLE)
+def t9b_repetition_hof(spark, sf_dir):
+    """t9 with ZERO shuffle (the 100-TB form): top-bigram multiplicity =
+    longest equal-adjacent run in the sorted bigram array, one codegen
+    fold per row. Shares t9's oracle — proof the shuffle elimination is a
+    pure physical change."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = TX.repetition_cols(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            cols["n_bigrams"].alias("n_bigrams"),
+            cols["rep_ratio"].alias("rep_ratio"),
+        )
+        .where(F.col("n_bigrams") > 0)
+    )
+
+
 @q(
     "t10_sequence_pack",
     f"""
@@ -959,8 +993,8 @@ def r7_range_join(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS sum_qty,
            CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS sum_base,
-           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS DOUBLE) AS sum_disc,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc,
            CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_disc,
            count(*) AS n
     FROM lineitem
@@ -979,12 +1013,11 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
             F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base"),
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-                    "double"
-                ),
-                2,
-            ).alias("sum_disc"),
+            # 4dp product sums round in DECIMAL space (exact HALF_UP both
+            # engines) — round(cast-to-double) flips on exact .xx5 sums
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc"),
             F.round(
                 F.sum(dec("l_discount")).cast("double") / F.count("*"), 4
             ).alias("avg_disc"),
@@ -997,8 +1030,8 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT o_orderkey,
-           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1029,12 +1062,9 @@ def q3_shipping_priority(spark, sf_dir):
         .join(li, li.l_orderkey == od.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-                    "double"
-                ),
-                2,
-            ).alias("revenue")
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -1050,8 +1080,8 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_volume",
     """
     SELECT n_name,
-           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1088,11 +1118,8 @@ def q5_local_volume(spark, sf_dir):
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-                    "double"
-                ),
-                2,
-            ).alias("revenue")
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
         )
     )

@@ -142,8 +142,8 @@ def mm2_media_features(spark, sf_dir):
 @q(
     "q6_forecast_revenue",
     """
-    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE)
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS revenue,
            count(*) AS n
     FROM lineitem
@@ -167,10 +167,116 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2
-            ).alias("revenue"),
+            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery as a left-semi join with a non-equi
+    conjunct (shipped after order date), then a tiny group-count. The semi
+    join hashes on l_orderkey; the fact side never duplicates rows."""
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20. The
+    nation dim broadcasts; revenue ranks on the ROUNDED decimal sum with a
+    c_custkey tie-break so cross-engine ordering is deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(od, od.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # Round in DECIMAL space (exact, HALF_UP in both engines), then
+            # cast to double: round(cast-to-double, 2) diverges across
+            # engines on exact .xx5 boundaries (hit at sf0.01: 307843.595).
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q12_priority_class",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape: conditional CASE counts per class after a
+    fact-fact join — the classic pivot-by-CASE aggregation."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
