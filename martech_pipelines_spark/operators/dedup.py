@@ -243,39 +243,55 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     cache_intermediate: bool = True,
+    verify: str = "carried",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
 
-    Shingling happens ONCE: the exploded (id, shingle) table feeds both the
-    signature aggregation and (via collect_set) the verification sets —
-    candidate generation and verify never re-tokenize the corpus.
+    ``verify`` picks how the exact-Jaccard step obtains shingle sets —
+    both produce identical results (shared oracle):
 
-    ``cache_intermediate`` persists the per-doc signature+set table: the
-    self-join and the two verify joins reference it three ways with
-    different column pruning, so without materialization Catalyst re-runs
-    the scan+explode+agg per branch (8 scans in the static plan). For a
-    truly huge corpus, materialize signatures to a table instead and run
-    candidates/verify as a second job (two-stage form: see
-    ``minhash_signatures`` + ``lsh_candidate_pairs`` + ``jaccard_on_pairs``)."""
+    - ``"carried"`` (default): collect_set the shingles through the same
+      groupBy that computes the signatures. One corpus scan total, but
+      collect_set partials ARE the sets, so the keyed shuffle scales with
+      total corpus shingles. Wins when many docs are candidates (dense
+      dup corpora — the planted test corpus is ~30% dups, where this form
+      benches ~25% faster).
+    - ``"rejoin"``: keep the signature aggregation SKINNY (min() gets real
+      map-side combine; the shuffle carries P longs per doc) and re-derive
+      shingle sets for CANDIDATE docs only via a semi-join-pruned second
+      scan. Wins when candidates are rare — the normal 100-TB case
+      (near-dup rate a few %), where shuffling every doc's shingle set
+      dwarfs a pruned re-scan.
+
+    Flip criterion: expected candidate-doc share. Below ~10% of the
+    corpus, use ``rejoin``; above, ``carried``.
+
+    ``cache_intermediate`` persists the tables each plan reads twice
+    (signature table for the self-join; rejoin's candidate sets for the
+    pair join); callers release via ``caching.release()`` after their
+    action. For a truly huge corpus, materialize signatures to a table and
+    run candidates/verify as a second job (two-stage form:
+    ``minhash_signatures`` + ``lsh_candidate_pairs`` +
+    ``jaccard_on_pairs``)."""
     from pyspark.storagelevel import StorageLevel
 
     from martech_pipelines_spark import caching
 
     rows_per_band = num_perm // bands
-    expl = exploded_shingles(docs, text_col, id_col, shingle_n)
     sig_aggs = [
         F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
     ]
-    per_doc = expl.groupBy("id").agg(
-        *sig_aggs, F.collect_set("s").alias("sh")
-    )
+    if verify == "carried":
+        expl = exploded_shingles(docs, text_col, id_col, shingle_n)
+        per_doc = expl.groupBy("id").agg(*sig_aggs, F.collect_set("s").alias("sh"))
+    else:
+        per_doc = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
     if cache_intermediate:
         # Registered so callers can caching.release() after their action —
         # repeated invocations in one session must not accumulate caches.
         per_doc = caching.register(per_doc.persist(StorageLevel.MEMORY_AND_DISK))
 
-    # Skinny band rows (ids + 32-byte key only): the bucket-join shuffle
-    # must not carry the shingle-set arrays. One posexplode pass, NOT a
+    # Skinny band rows (ids + 32-byte key only). One posexplode pass, NOT a
     # per-band union — union branches differ by a literal, so Catalyst
     # cannot reuse the aggregation exchange across them and would re-run
     # the whole explode+agg once per band.
@@ -308,7 +324,20 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    sets = per_doc.select("id", "sh")
+    if verify == "carried":
+        sets = per_doc.select("id", "sh")
+    else:
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sets = docs.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+        ).join(cand_ids, "id", "left_semi")
+        if cache_intermediate:
+            sets = caching.register(sets.persist(StorageLevel.MEMORY_AND_DISK))
+
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b_ = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

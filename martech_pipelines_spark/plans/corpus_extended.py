@@ -469,6 +469,26 @@ def dd3_minhash_near_dup(spark, sf_dir):
     )
 
 
+@q("dd3b_minhash_rejoin", _minhash_oracle())
+def dd3b_minhash_rejoin(spark, sf_dir):
+    """dd3 through the ``verify='rejoin'`` path: skinny signature shuffle
+    (P longs per doc, real map-side combine) + semi-join-pruned shingle
+    re-derivation for candidate docs only — the sparse-corpus 100-TB form.
+    Shares dd3's bit-exact oracle, proving the two verify strategies are
+    interchangeable (flip criterion: candidate share ~10%, see
+    operators/dedup.py::minhash_near_duplicates)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    return DD.minhash_near_duplicates(
+        corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3, verify="rejoin"
+    )
+
+
 def _simhash_oracle() -> str:
     toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
     bit_terms = "\n             + ".join(
