@@ -112,6 +112,76 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_id"),
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps one
+    state row per key only until the watermark passes it — bounded state,
+    unlike plain streaming dropDuplicates whose state grows forever. The
+    streaming face of the dd1 exact-dedup operator (at-least-once sources
+    re-deliver; this makes the downstream effectively-once)."""
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """§7.3 streaming windows, session form: gap-merged per-user sessions
+    maintained incrementally; the watermark closes sessions and evicts
+    their state."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_purchase_after_signup(
+    signups: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "2 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within ``max_gap``
+    after the same user's signup. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can evict join state
+    once the watermark passes signup_ts + max_gap — without the time bound
+    the state store would buffer both streams forever."""
+    s = signups.select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    ).withWatermark("signup_ts", watermark_delay)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        "event_id",
+        "value",
+    ).withWatermark("purchase_ts", watermark_delay)
+    return s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_ts",
+        "purchase_ts",
+        "event_id",
+        "value",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -14,7 +14,10 @@ from martech_pipelines_spark.sources import load_table
 from martech_pipelines_spark.streaming import (
     run_stream_to_memory,
     stream_events_source,
+    streaming_dedup_events,
     streaming_latest_per_key,
+    streaming_purchase_after_signup,
+    streaming_session_counts,
     streaming_tumbling_counts,
 )
 
@@ -110,6 +113,88 @@ def test_stream_foreachbatch_rest_export(spark, events_stream_dir, tmp_path):
     )
     assert sum(store) == expected
     assert max(store) <= 100
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """A re-delivered file (at-least-once source analog) must not double
+    rows: dropDuplicatesWithinWatermark emits each (user, event) once."""
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "part-001.parquet")  # duplicate delivery
+    # both files in ONE micro-batch so the watermark hasn't advanced past them
+    stream = stream_events_source(spark, str(d), max_files_per_trigger=2)
+    deduped = streaming_dedup_events(stream)
+    q = run_stream_to_memory(deduped, "dedup_mem", "append", str(tmp_path / "ck_dd"))
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) FROM dedup_mem").collect()[0][0]
+    finally:
+        q.stop()
+    want = load_table(spark, SF, "events").select("user_id", "event_id").distinct().count()
+    assert got == want
+
+
+def test_stream_session_counts_match_batch(spark, events_stream_dir, tmp_path):
+    from martech_pipelines_spark.operators import windows as WIN
+
+    stream = stream_events_source(spark, events_stream_dir, max_files_per_trigger=10)
+    agg = streaming_session_counts(stream, "30 minutes", "1 hour")
+    # session-window aggs support append (emit on watermark close) or
+    # complete — update is rejected; complete lets us compare everything
+    q = run_stream_to_memory(agg, "sess_mem", "complete", str(tmp_path / "ck_sess"))
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["sess_start"], r["sess_end"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_mem").collect()
+        }
+    finally:
+        q.stop()
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    want = {(r["user_id"], r["s"], r["e"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream_dir, tmp_path):
+    """Watermarked stream-stream join (purchase within 2h of signup)
+    equals the batch time-range join on the same data."""
+    s_stream = stream_events_source(spark, events_stream_dir).where(
+        F.col("event_type") == "signup"
+    )
+    p_stream = stream_events_source(spark, events_stream_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming_purchase_after_signup(s_stream, p_stream, "2 hours", "1 hour")
+    q = run_stream_to_memory(joined, "ss_mem", "append", str(tmp_path / "ck_ss"))
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["signup_ts"], r["event_id"])
+            for r in spark.sql("SELECT * FROM ss_mem").collect()
+        }
+    finally:
+        q.stop()
+    ev = load_table(spark, SF, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "event_id"
+    )
+    batch = s.join(
+        p,
+        (F.col("su") == F.col("pu"))
+        & (F.col("pts") >= F.col("sts"))
+        & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 2 hours")),
+    )
+    want = {(r["su"], r["sts"], r["event_id"]) for r in batch.collect()}
+    assert got == want
 
 
 def test_stream_tumbling_counts_match_batch(spark, events_stream_dir, tmp_path):
