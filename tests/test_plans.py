@@ -107,6 +107,36 @@ def test_metadata_stats_never_reads_payload(spark):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
+def test_t8_and_t9b_are_shuffle_free(spark):
+    """PII redaction and the HOF repetition scorer are per-row codegen —
+    zero exchanges, zero Python on the data path."""
+    for name in ("t8_pii_redact", "t9b_repetition_hof"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_q4_uses_left_semi(spark):
+    """Q4's EXISTS must plan as a semi join (no row duplication), never a
+    cartesian."""
+    plan = plan_of(QUERIES["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_broadcasts_nation_dim(spark):
+    plan = plan_of(QUERIES["q10_returned_items"](spark, SF))
+    assert "BroadcastExchange" in plan
+
+
+def test_dd6_no_self_join_of_docs(spark):
+    """The contamination audit joins fingerprint aggregates, never doc
+    rows to doc rows: no cartesian, bounded exchanges."""
+    plan = plan_of(QUERIES["dd6_cross_source"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_export_pipeline(spark):
     """The export transform must be one fused codegen stage — no Python,
     no extra exchanges before the sink boundary."""

@@ -135,3 +135,20 @@ def test_chunkify_partitions_exactly(items, size):
 def test_chunkify_rejects_nonpositive(size):
     with pytest.raises(ValueError):
         list(chunkify([1], size))
+
+
+@given(
+    recs=st.lists(st.text(min_size=0, max_size=40), max_size=50),
+    cap=st.integers(min_value=1, max_value=120),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunkify_by_bytes_properties(recs, cap):
+    """Order preserved; every chunk within cap unless it is a single
+    oversize record (which must travel alone)."""
+    from martech_pipelines_spark.operators.sinks import chunkify_by_bytes
+
+    chunks = list(chunkify_by_bytes(recs, cap))
+    assert [r for c in chunks for r in c] == recs
+    for c in chunks:
+        size = sum(len(r.encode("utf-8")) + 1 for r in c)
+        assert size <= cap or len(c) == 1
