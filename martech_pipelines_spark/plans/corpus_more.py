@@ -281,6 +281,58 @@ def q12_priority_class(spark, sf_dir):
     )
 
 
+@q(
+    "r13_lead_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def r13_lead_lag(spark, sf_dir):
+    """§2.J window-function fill-in: lag/lead/first_value/ntile over the
+    per-customer order timeline — one hash shuffle on the partition key,
+    unique-orderkey tie-break for determinism."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@q(
+    "r14_json_map",
+    """
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS key_list,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def r14_json_map(spark, sf_dir):
+    """§2.J map-function fill-in: JSON props parsed as map<string,int> —
+    sorted key list, key count, typed value lookup. Native from_json /
+    map_keys codegen, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("key_list"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+    )
+
+
 _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
 )
