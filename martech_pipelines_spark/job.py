@@ -56,13 +56,20 @@ class UserProfileExportJob:
             pass_types=tuple(self.conf.get("pass_types", ["purchase", "signup"])),
             tiebreak_cols=[self.conf.get("tiebreak_col", "event_id")],
             use_agg=bool(self.conf.get("use_agg", False)),
+            skew_mode=bool(self.conf.get("skew_mode", False)),
+            salt_buckets=int(self.conf.get("salt_buckets", 16)),
         )
+        from martech_pipelines_spark.functions import profile as P
+
         return compact.select(
             F.col(self.conf.get("key_col", "user_id")).alias("identity"),
             F.date_format(self.conf.get("ts_col", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
                 "updated_at"
             ),
-            (F.col("value") * 100).cast("long").alias("value_paise"),
+            # F6 via the shared function so the pinned truncate-toward-zero
+            # semantics have one source of truth (it compiles to the same
+            # *100 long cast this inlined before)
+            P.modify_reward(F.col("value")).alias("value_paise"),
             F.get_json_object("props", "$.k").cast("int").alias("k"),
         )
 
