@@ -96,6 +96,75 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow kernel with MAP-SIDE top-k.
+
+    Same result as ``brute_force_topk`` (pytest pins equality); different
+    physical plan: the query matrix (small by construction) is collected
+    once and closed over by a ``mapInPandas`` kernel that scores each
+    corpus Arrow batch against ALL queries in one matmul and emits only
+    each query's within-batch top-k. The final window then ranks
+    |batches| * |Q| * k candidate rows instead of |Q| * N scored pairs —
+    at 100 TB the shuffle shrinks by ~N/(batches*k), which is the
+    difference between a terabyte-scale and a megabyte-scale exchange.
+    Scoring is float64 numpy; ranks are taken on the ROUNDED similarity
+    (same contract as s1) so 1-ulp summation-order noise cannot flip them.
+    """
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        schema = f"{query_id} long, {corpus_id} long, cos_sim double, rnk long"
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = f"{query_id} long, {corpus_id} long, cos_sim double"
+
+    def kernel(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            c_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]]
+            )
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            denom = np.outer(c_norm, q_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, (c_mat @ q_mat.T) / denom, np.nan)
+            kk = min(k, len(c_ids))
+            # within-batch top-k per query (argpartition = O(batch))
+            top = np.argpartition(-np.nan_to_num(sims, nan=-2.0), kk - 1, axis=0)[:kk]
+            rows = []
+            for qi in range(len(q_ids)):
+                for ci in top[:, qi]:
+                    s = sims[ci, qi]
+                    if not np.isnan(s):
+                        rows.append((int(q_ids[qi]), int(c_ids[ci]), float(s)))
+            yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
+
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(kernel, out_schema)
+    scored = cand.select(
+        query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 # --- random-hyperplane LSH ---------------------------------------------------
 
 

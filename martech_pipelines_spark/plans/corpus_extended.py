@@ -642,6 +642,21 @@ def s1_bruteforce_topk(spark, sf_dir):
     )
 
 
+@q("s1b_bruteforce_arrow")  # rows-only: equality-vs-s1 pinned in tests
+def s1b_bruteforce_arrow(spark, sf_dir):
+    """s1 through the Arrow map-side-top-k kernel: one matmul per corpus
+    batch against the collected query matrix, only within-batch top-k
+    rows reach the final window — the exact-search plan whose shuffle
+    stays megabytes at 100 TB. pytest pins result equality with s1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk_arrow(queries, emb, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
+
+
 @q("s2_lsh_topk")  # no SQL oracle: approximate op; recall pinned in tests
 def s2_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH top-5 (16 bits, 4 bands): the scale path —

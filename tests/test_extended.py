@@ -194,6 +194,20 @@ def test_bruteforce_topk_self_is_rank_one(spark):
     assert all(q == v for q, v in r1.items())  # self-similarity = 1.0
 
 
+def test_bruteforce_arrow_equals_hof_form(spark):
+    """The Arrow map-side-top-k kernel must reproduce s1's exact results
+    (same rounded sims, same ranks) — it is a physical rewrite only."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hof = SIM.brute_force_topk(queries, emb, k=5)
+    arrow = SIM.brute_force_topk_arrow(queries, emb, k=5)
+    a = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"]) for r in hof.collect()}
+    b = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"]) for r in arrow.collect()}
+    assert a == b
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
