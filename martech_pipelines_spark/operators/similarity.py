@@ -405,6 +405,32 @@ def ivf_topk(
     )
 
 
+def normalized_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Unit-normalize embeddings (the pre-index step that turns cosine
+    into dot product). Zero vectors -> null.
+
+    Two-stage on purpose: the norm is aliased in a prior projection and
+    only *referenced* inside the division lambda — checked empirically,
+    the optimized plan keeps ONE aggregate fold; a single-expression
+    form would re-evaluate the norm subtree per element (Catalyst does
+    no CSE inside lambda bodies). Rounded output for oracle stability."""
+    staged = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    return staged.select(
+        id_col,
+        F.when(
+            F.col("__n") > 0,
+            F.transform("__v", lambda x: F.round(x / F.col("__n"), round_dp)),
+        ).alias("unit"),
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     label_col: str = "label",

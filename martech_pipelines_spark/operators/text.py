@@ -266,6 +266,58 @@ def sequence_pack(
     )
 
 
+def chunk_spans(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping chunking: fixed-size character windows every
+    ``stride`` chars (overlap = chunk_chars - stride). One sequence+explode
+    per row — output volume is len/stride rows per doc, no shuffle. Chunks
+    identified by (doc, chunk_id) with md5 content fingerprints so a
+    downstream index can dedupe re-chunked docs."""
+    n = F.length(F.col(text_col))
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride)))
+    exploded = docs.select(
+        F.col(id_col), F.col(text_col), F.explode(starts).alias("s")
+    )
+    chunk = F.substring(F.col(text_col), F.col("s") + 1, chunk_chars)
+    return exploded.select(
+        id_col,
+        (F.col("s") / stride).cast("long").alias("chunk_id"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    pct: int = 25,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stratified deterministic sampling: keep a row iff the md5 of
+    (stratum, id) lands under ``pct``%. Unlike ``df.sample`` this is
+    reproducible across runs, engines, partitionings, and cluster sizes —
+    the property training-data splits need so train/eval membership never
+    drifts. Pure codegen filter; pushdown-friendly."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(strat_col), F.lit(":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.where(bucket < pct)
+
+
 # --- fingerprinting ----------------------------------------------------------
 
 

@@ -315,6 +315,66 @@ def t10_sequence_pack(spark, sf_dir):
 
 
 @q(
+    "t11_chunk_spans",
+    """
+    WITH spans AS (
+      SELECT doc_id, s, substring(text, CAST(s + 1 AS INTEGER), 200) AS chunk
+      FROM documents,
+           unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 150)) AS u(s)
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(s / 150 AS BIGINT) AS chunk_id,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           md5(chunk) AS chunk_md5
+    FROM spans
+    """,
+)
+def t11_chunk_spans(spark, sf_dir):
+    """RAG-style overlapping chunking: 200-char windows every 150 chars
+    (50 overlap), identified by (doc, chunk_id) + content md5 — one
+    sequence+explode per row, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_spans(docs, chunk_chars=200, stride=150)
+
+
+@q(
+    "t12_deterministic_sample",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 25
+    """,
+)
+def t12_deterministic_sample(spark, sf_dir):
+    """Stratified deterministic ~25% sample: membership = md5(stratum:id)
+    bucket — reproducible across runs, engines, partitionings, and
+    cluster sizes, which is what train/eval splits need (df.sample is
+    seed- AND partitioning-dependent). Pure codegen filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.deterministic_sample(docs, pct=25).select("doc_id", "source")
+
+
+@q(
+    "s5_normalized_embeddings",
+    """
+    SELECT vec_id,
+           CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) > 0
+                THEN list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> round(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))), 6))
+           END AS unit
+    FROM embeddings
+    """,
+)
+def s5_normalized_embeddings(spark, sf_dir):
+    """Unit-normalization of the embedding column (pre-index step: cosine
+    becomes dot product). Norm computed once per row via a staged alias —
+    see operators/similarity.py::normalized_embeddings for the no-CSE-in-
+    lambda rationale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.normalized_embeddings(emb)
+
+
+@q(
     "s4_label_centroids",
     """
     SELECT label, CAST(i - 1 AS INTEGER) AS dim,

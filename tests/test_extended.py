@@ -113,6 +113,31 @@ def test_sequence_pack_offset_semantics(spark):
     assert out == {("s", 0): (2, 6), ("s", 1): (2, 6)}
 
 
+def test_chunk_spans_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 350), (2, ""), (3, "xyz")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_len"])
+        for r in TX.chunk_spans(df, chunk_chars=200, stride=150).collect()
+    )
+    # doc1: [0:200], [150:350], [300:350]; doc2 empty -> none; doc3 one short
+    assert rows == [(1, 0, 200), (1, 1, 200), (1, 2, 50), (3, 0, 3)]
+
+
+def test_deterministic_sample_is_partitioning_invariant(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {r["doc_id"] for r in TX.deterministic_sample(docs, pct=30).collect()}
+    b = {
+        r["doc_id"]
+        for r in TX.deterministic_sample(docs.repartition(17), pct=30).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    # monotone: raising pct only adds members (nested splits)
+    c = {r["doc_id"] for r in TX.deterministic_sample(docs, pct=60).collect()}
+    assert a <= c
+
+
 def test_cross_source_dup_stats(spark):
     df = spark.createDataFrame(
         [
