@@ -100,6 +100,42 @@ def write_file(
     writer.save(path)
 
 
+def _dir_bytes(spark, path: str) -> int:
+    """Total byte size of a directory through the Hadoop FS API — works
+    for any filesystem Spark can read (local, S3A, HDFS)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Lakehouse maintenance: rewrite a directory of small files into
+    ~``target_mb`` output files. Small-file proliferation is the classic
+    incremental-sink pathology (every micro-batch writes a file per
+    partition; a year later the table is a million 100 KB files and scan
+    planning dominates query time). Returns the output file count.
+
+    Sizing uses the on-disk (compressed) directory size — a deliberate
+    approximation: the alternative (sampling decoded row sizes) costs a
+    read of the data for marginal accuracy. Writes to ``dest_path``,
+    never in place — the caller swaps paths/partitions atomically in its
+    catalog, so a failed compaction never corrupts the live table."""
+    import math
+
+    total = _dir_bytes(spark, src_path)
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src_path)
+    df.repartition(n).write.mode("overwrite").format(fmt).save(dest_path)
+    return n
+
+
 # --- REST batch sink (B4-B6) -------------------------------------------------
 
 

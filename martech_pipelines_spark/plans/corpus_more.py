@@ -333,6 +333,40 @@ def r14_json_map(spark, sf_dir):
     )
 
 
+@q(
+    "r15_time_range_frame",
+    """
+    SELECT user_id, event_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_1h,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events
+    """,
+)
+def r15_time_range_frame(spark, sf_dir):
+    """§2.J frame fill-in: event-time RANGE frame (trailing 1-hour sum and
+    count per user). Spark's rangeBetween needs a numeric order key, so the
+    frame runs over epoch MICROS — the same precision DuckDB's TIMESTAMP
+    arithmetic uses, making the interval boundary bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
 _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
 )

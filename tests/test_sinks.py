@@ -173,6 +173,22 @@ def test_rest_sink_jwt_signing(spark, http_server):
     assert auth and auth.startswith("Bearer ") and auth.count(".") == 2
 
 
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from martech_pipelines_spark.operators.sinks import compact_files
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(0, 20_000).selectExpr("id", "repeat('x', 64) AS pad")
+    df.repartition(40).write.parquet(src)  # 40 small files
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 40
+    dest = str(tmp_path / "compacted")
+    n = compact_files(spark, src, dest, target_mb=128)
+    assert n == 1  # tiny table fits one target file
+    assert len(glob.glob(f"{dest}/part-*")) == 1
+    assert spark.read.parquet(dest).count() == 20_000
+
+
 def test_file_sink_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     path = str(tmp_path / "out_parquet")
