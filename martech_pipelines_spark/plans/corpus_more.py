@@ -367,6 +367,80 @@ def r15_time_range_frame(spark, sf_dir):
     )
 
 
+@q(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_custkey, o_orderkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery with a grouped HAVING — planned as an
+    aggregate-then-semi-join, so the big lineitem table is reduced before
+    any join touches it. Quantities are integer-valued doubles, so the
+    HAVING threshold is exact across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(od, od.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+def _profile_oracle(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table}"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@q("dp1_profile_customer", _profile_oracle("customer", _CUSTOMER_COLS))
+def dp1_profile_customer(spark, sf_dir):
+    """Data-profiling operator: per-column null count + exact distinct in
+    ONE pass (a single multi-distinct aggregate, unpivoted with stack) —
+    the pre-ingestion audit every pipeline runs before trusting a new
+    source. A per-column loop of separate aggs would scan the table once
+    per column."""
+    df = load_table(spark, sf_dir, "customer")
+    aggs = []
+    for c in _CUSTOMER_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd" for c in _CUSTOMER_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_CUSTOMER_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+    )
+
+
 _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
 )
