@@ -801,6 +801,94 @@ def s3_embedding_near_dup(spark, sf_dir):
 
 
 # =============================================================================
+# Martech analytics (funnel, retention) — the domain queries a user of the
+# reference would actually run on the event stream
+# =============================================================================
+
+
+@q(
+    "mart1_funnel",
+    """
+    WITH stg AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1_view,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS s2_click_after_view,
+           CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS s3_purchase_after_click
+    FROM stg
+    """,
+)
+def mart1_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): one conditional-min
+    aggregation per user, then scalar stage counts. Pinned simplified
+    semantics: a user advances a stage iff the FIRST occurrence of each
+    stage is strictly later than the first occurrence of the previous one
+    (null comparisons fail closed). Single keyed shuffle + tiny final agg."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stg = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    adv2 = F.col("t_click") > F.col("t_view")
+    adv3 = adv2 & (F.col("t_purchase") > F.col("t_click"))
+    return stg.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("s1_view"),
+        F.sum(F.when(adv2, 1).otherwise(0)).alias("s2_click_after_view"),
+        F.sum(F.when(adv3, 1).otherwise(0)).alias("s3_purchase_after_click"),
+    )
+
+
+@q(
+    "mart2_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cohort, w) / 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity JOIN firstw USING (user_id)
+    GROUP BY cohort, w
+    """,
+)
+def mart2_retention(spark, sf_dir):
+    """Weekly retention cohorts: cohort = ISO week of first activity,
+    n_active = distinct users of that cohort active k weeks later. Both
+    engines truncate weeks to Monday, so offsets are exact day/7 on
+    aligned dates. Two keyed aggregations + one join on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        activity.join(firstw, "user_id")
+        .groupBy("cohort", "w")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("w", "cohort") / 7).cast("long").alias("week_offset"),
+            "n_active",
+        )
+    )
+
+
+# =============================================================================
 # Event-time windows (batch-expressible)
 # =============================================================================
 
