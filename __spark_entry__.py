@@ -55,6 +55,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_nanos_conf(spark)
+            # Release the PREVIOUS query's operator-persisted intermediates:
+            # the driver runs ~90 queries in one session, and without this
+            # each MinHash invocation's cache would accumulate (the registry
+            # holds strong refs, so ContextCleaner can't reclaim them).
+            # Releasing on entry (not exit) keeps the current query's cache
+            # alive until the driver's action has consumed it.
+            from martech_pipelines_spark import caching
+
+            caching.release()
             return fn(spark, sf_dir)
 
         return run

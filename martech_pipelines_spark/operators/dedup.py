@@ -22,15 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from martech_pipelines_spark.operators.text import fingerprint, shingles, tokens, normalized_text
-
-
-def _md5_bucket32(col: Column, salt: Column | str | int) -> Column:
-    """First 8 md5 hex chars as an unsigned-ish 32-bit long — the portable
-    hash primitive (Spark ``conv`` == DuckDB hex cast)."""
-    salted = F.concat(F.lit(str(salt)) if not isinstance(salt, Column) else salt,
-                      F.lit(":"), col)
-    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+from martech_pipelines_spark.operators.text import (
+    fingerprint,
+    md5_bucket32 as _md5_bucket32,
+    normalized_text,
+    shingles,
+    tokens,
+)
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -277,6 +275,8 @@ def minhash_near_duplicates(
 
     from martech_pipelines_spark import caching
 
+    if verify not in ("carried", "rejoin"):
+        raise ValueError(f"verify must be 'carried' or 'rejoin', got {verify!r}")
     rows_per_band = num_perm // bands
     sig_aggs = [
         F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)

@@ -121,21 +121,23 @@ def brute_force_topk_arrow(
     """
     import pandas as pd
 
+    id_type = dict(queries.dtypes)[query_id]
+    cid_type = dict(corpus.dtypes)[corpus_id]
     q_rows = queries.select(query_id, query_vec).collect()
     if not q_rows:
-        schema = f"{query_id} long, {corpus_id} long, cos_sim double, rnk long"
+        schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cos_sim double, rnk long"
         return corpus.sparkSession.createDataFrame([], schema)
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_ids = [r[0] for r in q_rows]
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
 
-    out_schema = f"{query_id} long, {corpus_id} long, cos_sim double"
+    out_schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cos_sim double"
 
     def kernel(batches) -> "pd.DataFrame":
         for pdf in batches:
             if pdf.empty:
                 continue
-            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            c_ids = pdf[corpus_id].to_numpy()
             c_mat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]]
             )
@@ -143,18 +145,27 @@ def brute_force_topk_arrow(
             denom = np.outer(c_norm, q_norm)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(denom > 0, (c_mat @ q_mat.T) / denom, np.nan)
+            # Candidate selection MUST honor the final ranking contract
+            # (rounded sim desc, corpus id asc): selecting on unrounded
+            # sims can drop the smaller-id member of a rounded tie that
+            # the window would rank. np.round is half-even vs Spark's
+            # HALF_UP — they differ only on exact .5-ulp boundaries,
+            # measure-zero for 64-dim double cosines.
+            sims_r = np.round(np.nan_to_num(sims, nan=-2.0), round_dp)
             kk = min(k, len(c_ids))
-            # within-batch top-k per query (argpartition = O(batch))
-            top = np.argpartition(-np.nan_to_num(sims, nan=-2.0), kk - 1, axis=0)[:kk]
+            id_rank = np.argsort(np.argsort(c_ids))  # ordinal id rank (any id type)
+            id_keys = np.broadcast_to(id_rank, (len(q_ids), len(c_ids)))
+            order = np.lexsort((id_keys, -sims_r.T), axis=1)  # sim desc, id asc
             rows = []
             for qi in range(len(q_ids)):
-                for ci in top[:, qi]:
+                for ci in order[qi, :kk]:
                     s = sims[ci, qi]
                     if not np.isnan(s):
-                        rows.append((int(q_ids[qi]), int(c_ids[ci]), float(s)))
+                        rows.append((q_ids[qi], c_ids[ci], float(s)))
             yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
 
-    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(kernel, out_schema)
+    src = corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull())
+    cand = src.mapInPandas(kernel, out_schema)
     scored = cand.select(
         query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
     )
@@ -349,7 +360,6 @@ def _train_centroids(
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    dim: int,
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 4,
@@ -455,7 +465,6 @@ def label_centroids(
 
 def ivf_build_index(
     corpus: DataFrame,
-    dim: int,
     index_path: str,
     nlist: int = 16,
     corpus_id: str = "vec_id",

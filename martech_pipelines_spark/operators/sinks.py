@@ -122,7 +122,10 @@ def compact_files(
     partition; a year later the table is a million 100 KB files and scan
     planning dominates query time). Returns the output file count.
 
-    Sizing uses the on-disk (compressed) directory size — a deliberate
+    Returns the REQUESTED output file count (the repartition target) —
+    the actual part-file count can differ when the table has fewer rows
+    than targets or recompression changes sizes. Sizing uses the on-disk
+    (compressed) directory size including metadata files — a deliberate
     approximation: the alternative (sampling decoded row sizes) costs a
     read of the data for marginal accuracy. Writes to ``dest_path``,
     never in place — the caller swaps paths/partitions atomically in its

@@ -21,6 +21,18 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = "[^a-z0-9']+"
 
 
+def md5_bucket32(col: Column, salt: Column | str | int) -> Column:
+    """First 8 md5 hex chars of ``salt:value`` as an unsigned-ish 32-bit
+    long — the engine's ONE portable hash primitive (Spark ``conv`` ==
+    DuckDB ``('0x'||substr(md5(x),1,8))::BIGINT``). MinHash permutations,
+    SimHash token hashes, and deterministic sampling all derive from this
+    single definition so a change to the idiom can't diverge them."""
+    salted = F.concat(
+        F.lit(str(salt)) if not isinstance(salt, Column) else salt, F.lit(":"), col
+    )
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+
+
 def tokens(col: Column) -> Column:
     """Lowercased word tokens as an array column (empty strings removed)."""
     arr = F.split(F.lower(col), TOKEN_SPLIT_RE)
@@ -139,26 +151,28 @@ def quality_score(col: Column) -> Column:
 # --- PII redaction -----------------------------------------------------------
 
 # Engine-portable regexes (same dialect subset in Java regex and RE2):
-# lowercase-normalized emails and standalone 10-digit phone numbers.
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# case-insensitive emails ((?i) inline flag works in both) and standalone
+# 10-digit phone numbers.
+PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE_RE = r"\b[0-9]{10}\b"
 
 
 def pii_counts(col: Column) -> dict[str, Column]:
     """Per-doc counts of email / phone matches (the audit side of
     redaction — LLM pipelines log these before dropping or masking)."""
-    low = F.lower(col)
     return {
-        "n_emails": F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long"),
-        "n_phones": F.size(F.regexp_extract_all(low, F.lit(PII_PHONE_RE), F.lit(0))).cast("long"),
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), F.lit(0))).cast("long"),
     }
 
 
 def redact_pii(col: Column, mask: str = "[PII]") -> Column:
-    """Replace email/phone spans with ``mask`` (emails first so a phone
-    regex can't split an address's digits). Pure regexp_replace — codegen,
-    no Python."""
-    out = F.regexp_replace(F.lower(col), PII_EMAIL_RE, mask)
+    """Replace email/phone spans with ``mask``, preserving all other text
+    verbatim — matching is case-insensitive via the inline (?i) flag, NOT
+    by lowercasing the document (which would destroy casing corpus-wide).
+    Emails first so the phone regex can't split an address's digits.
+    Pure regexp_replace — codegen, no Python."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, mask)
     return F.regexp_replace(out, PII_PHONE_RE, mask)
 
 
@@ -303,18 +317,7 @@ def deterministic_sample(
     reproducible across runs, engines, partitionings, and cluster sizes —
     the property training-data splits need so train/eval membership never
     drifts. Pure codegen filter; pushdown-friendly."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(strat_col), F.lit(":"), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = md5_bucket32(F.col(id_col).cast("string"), F.col(strat_col)) % 100
     return docs.where(bucket < pct)
 
 

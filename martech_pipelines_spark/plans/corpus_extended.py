@@ -187,9 +187,9 @@ def t5_fingerprint(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(lower(t), '\b[0-9]{10}\b')) AS BIGINT) AS n_phones,
-           md5(regexp_replace(regexp_replace(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
+           CAST(len(regexp_extract_all(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b[0-9]{10}\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
                               '\b[0-9]{10}\b', '[PII]', 'g')) AS redacted_md5
     FROM aug
     """,
@@ -741,7 +741,7 @@ def s2b_ivf_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivf_topk(queries, emb, dim=64, k=5).select(
+    return SIM.ivf_topk(queries, emb, k=5).select(
         "query_id", "vec_id", "cos_sim", "rnk"
     )
 
@@ -764,7 +764,7 @@ def s2c_ivf_materialized(spark, sf_dir):
         ".ivf_cache",
         sf_name,
     )
-    SIM.ivf_build_index(emb, dim=64, index_path=index_path, nlist=16)
+    SIM.ivf_build_index(emb, index_path=index_path, nlist=16)
     # every 100th vector as the probe set: a realistically-narrow query
     # batch, so the partition pruning is visible (probing every 10th vector
     # touches all 16 cells and the INSET degenerates to the full list)

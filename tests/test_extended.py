@@ -72,6 +72,7 @@ def test_pii_redaction_counts_and_mask(spark):
             ("mail Bob.Smith+x@Example.COM and call 9876543210 now",),
             ("digits 123456789 are only nine",),  # not a 10-digit phone
             ("no pii here",),
+            ("Keep My Case, mail bob@x.com",),
         ],
         "t string",
     )
@@ -81,8 +82,10 @@ def test_pii_redaction_counts_and_mask(spark):
         c["n_phones"].alias("p"),
         TX.redact_pii(F.col("t")).alias("r"),
     ).collect()
-    assert [(r["e"], r["p"]) for r in out] == [(1, 1), (0, 0), (0, 0)]
+    assert [(r["e"], r["p"]) for r in out] == [(1, 1), (0, 0), (0, 0), (1, 0)]
     assert out[0]["r"] == "mail [PII] and call [PII] now"
+    # non-PII text keeps its casing — only the spans are masked
+    assert out[3]["r"] == "Keep My Case, mail [PII]"
 
 
 def test_repetition_ratio_planted(spark):
@@ -252,7 +255,7 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = SIM.brute_force_topk(queries, emb, k=5)
-    approx = SIM.ivf_topk(queries, emb, dim=64, k=5, nlist=16, nprobe=4)
+    approx = SIM.ivf_topk(queries, emb, k=5, nlist=16, nprobe=4)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
@@ -271,9 +274,9 @@ def test_ivf_materialized_matches_inline_and_prunes_partitions(spark, tmp_path):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     index_path = str(tmp_path / "ivf")
-    SIM.ivf_build_index(emb, dim=64, index_path=index_path, nlist=16)
+    SIM.ivf_build_index(emb, index_path=index_path, nlist=16)
     probed = SIM.ivf_probe_topk(queries, index_path, k=5, nprobe=4)
-    inline = SIM.ivf_topk(queries, emb, dim=64, k=5, nlist=16, nprobe=4)
+    inline = SIM.ivf_topk(queries, emb, k=5, nlist=16, nprobe=4)
     got = {(r["query_id"], r["vec_id"], r["rnk"]) for r in probed.collect()}
     want = {(r["query_id"], r["vec_id"], r["rnk"]) for r in inline.collect()}
     assert got == want
