@@ -93,6 +93,60 @@ def cross_source_dup_stats(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: cluster id =
+    min member id. Pair output alone under-deduplicates — near-dup is
+    transitive in practice (A~B, B~C => one cluster {A,B,C}), so keeping
+    one representative PER CLUSTER, not per pair, is what an actual
+    dedup pass needs.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow — tiny diameters).
+    The driver loop is the legitimate pattern for iterative algorithms:
+    each iteration is a distributed join+agg, `localCheckpoint` truncates
+    the growing lineage, and the convergence test is one count per round.
+    At extreme scale swap the iteration body for the large-star/small-star
+    variant (alternating asymmetric joins) — same loop skeleton."""
+    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges_fwd.union(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
 # --- MinHash signatures ------------------------------------------------------
 
 

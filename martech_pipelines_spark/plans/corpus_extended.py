@@ -461,7 +461,14 @@ def dd2_dup_groups(spark, sf_dir):
     return DD.duplicate_groups(corpus).where(F.col("group_size") > 1)
 
 
-def _minhash_oracle() -> str:
+_MINHASH_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _minhash_oracle(corpus_sql: str = _MINHASH_CORPUS_SQL) -> str:
     toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
     perm_mins = ",\n               ".join(
         "list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) AS m{i}".format(i=i)
@@ -475,9 +482,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH corpus AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-        UNION ALL
-        SELECT doc_id + 2000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+{corpus_sql}
     ), toksrc AS (
         SELECT doc_id, {toks} AS t FROM corpus
     ), shs AS (
@@ -547,6 +552,58 @@ def dd3b_minhash_rejoin(spark, sf_dir):
     return DD.minhash_near_duplicates(
         corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3, verify="rejoin"
     )
+
+
+_CLUSTER_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _dup_cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_CLUSTER_CORPUS_SQL)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM verts
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY id
+    """
+
+
+@q("dd7_dup_clusters", _dup_cluster_oracle())
+def dd7_dup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS (connected components over near-dup pairs):
+    the corpus plants transitive chains — every 10th doc has both an
+    exact copy (+1M) and a perturbed near-copy (+2M), so {base, +1M, +2M}
+    must merge into one cluster even though (+1M, +2M) may never pair
+    directly. Spark side = iterative min-label propagation; oracle =
+    DuckDB recursive CTE reachability — an iterative distributed
+    algorithm checked exactly against a recursive-SQL ground truth."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    exact = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(near)
+    pairs = DD.minhash_near_duplicates(
+        corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+    return DD.dup_clusters(pairs).select("id", F.col("cluster").cast("long"))
 
 
 def _simhash_oracle() -> str:

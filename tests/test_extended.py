@@ -209,6 +209,21 @@ def test_simhash_exact_dup_has_zero_hamming(spark):
     assert len(rows) == 1 and rows[0]["hamming"] == 0
 
 
+def test_dup_clusters_transitive_merge(spark):
+    """Chains and stars must collapse to min-id clusters even when the
+    endpoints never pair directly."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),  # chain 1-2-3-4 -> cluster 1
+            (10, 11), (10, 12),      # star at 10 -> cluster 10
+            (20, 21),                # isolated pair -> cluster 20
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in DD.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 # --- similarity --------------------------------------------------------------
 
 
