@@ -136,6 +136,95 @@ def extract_features(
     return src.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary->binary resize kernel shape (mapInPandas, 1 row in -> 1 row
+    out). The real decode+resample needs PIL/libvips (absent in this
+    container), so the payload transform is a deterministic fake — bytes
+    resampled by stride to exactly width*height — while the Spark-side
+    contract (schema, Arrow batching, metadata update) is real and
+    tested. Swap the inner function for a PIL kernel in production."""
+    import numpy as np
+    import pandas as pd
+
+    target = width * height
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    resized = np.zeros(target, dtype=np.uint8)
+                else:
+                    idx = (np.arange(target) * arr.size // target) % arr.size
+                    resized = arr[idx]
+                out.append(
+                    (int(doc_id), resized.tobytes(), width, height, int(target))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "width", "height", "size_bytes"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_size", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling kernel shape (mapInPandas, 1 row in -> N rows out):
+    treat the payload as fixed-size frames and keep every ``every_n``-th —
+    the row-expanding contract a real video decoder (av/ffmpeg, absent
+    here) would fill in. Output volume is bounded by len/frame_bytes/
+    every_n per row; the kernel yields per input batch so memory stays
+    one Arrow batch regardless of expansion."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = len(payload) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    chunk = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    out.append((int(doc_id), fi, bytes(chunk), len(chunk)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_bytes", "frame_size"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — verifies column pruning: the plan must
     not read the payload column (check ReadSchema in explain)."""

@@ -128,6 +128,33 @@ def mm3_binary_ingest(spark, sf_dir):
     return MM.binary_ingest_summary(MM.read_binary_dir(spark, _MEDIA))
 
 
+@q("mm4_resize")  # rows-only: binary->binary Arrow kernel, no SQL form
+def mm4_resize(spark, sf_dir):
+    """Resize kernel shape over binary payloads (deterministic fake
+    resample; real PIL kernel slots in unchanged) — byte-exact output
+    pinned in tests/test_extended.py."""
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.resize_images(media, 32, 32).select(
+        "doc_id", "width", "height", "size_bytes"
+    )
+
+
+@q("mm5_frame_sample")  # rows-only: 1->N Arrow kernel, no SQL form
+def mm5_frame_sample(spark, sf_dir):
+    """Frame-sampling kernel shape (row-expanding mapInPandas) — frame
+    indices/sizes pinned in tests/test_extended.py."""
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.sample_frames(media, frame_bytes=64, every_n=2).select(
+        "doc_id", "frame_idx", "frame_size"
+    )
+
+
 @q("mm2_media_features")  # rows-only: mapInPandas kernel, no SQL form
 def mm2_media_features(spark, sf_dir):
     """Arrow-batched byte-histogram features over binary payloads (the
@@ -364,6 +391,19 @@ def r15_time_range_frame(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
         ).alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@q("r8b_approx_percentiles")  # rows-only: sketch-based, engine-specific
+def r8b_approx_percentiles(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch): engine-specific like
+    the HLL in r3b, so rows-only for the driver; pytest bounds its error
+    against the exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("approx_p")
     )
 
 

@@ -379,6 +379,38 @@ def test_decode_stub_raises():
         MM.decode_image_stub(b"\x89PNG")
 
 
+def test_resize_kernel_exact_bytes(spark):
+    df = spark.createDataFrame([(1, bytes(range(8)))], "doc_id long, payload binary")
+    out = MM.resize_images(df, 2, 2).collect()[0]
+    # stride resample of 8 bytes down to 4: indices 0,2,4,6
+    assert bytes(out["payload"]) == bytes([0, 2, 4, 6])
+    assert (out["width"], out["height"], out["size_bytes"]) == (2, 2, 4)
+    # empty payload -> zero-filled target
+    empty = spark.createDataFrame([(2, b"")], "doc_id long, payload binary")
+    assert bytes(MM.resize_images(empty, 2, 2).collect()[0]["payload"]) == bytes(4)
+
+
+def test_frame_sampling_expands_rows(spark):
+    payload = bytes(range(256))  # 16 frames of 16 bytes
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    rows = MM.sample_frames(df, frame_bytes=16, every_n=4).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 4, 8, 12]
+    assert all(r["frame_size"] == 16 for r in rows)
+    assert bytes(rows[1]["frame_bytes"]) == bytes(range(64, 80))
+
+
+def test_approx_percentiles_bounded_error(spark):
+    li = load_table(spark, SF, "lineitem")
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("p")
+    ).collect()[0]["p"]
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("p")
+    ).collect()[0]["p"]
+    for a, e in zip(approx, exact):
+        assert abs(a - e) / max(abs(e), 1e-9) < 0.02
+
+
 def test_metadata_stats_prunes_payload(spark):
     docs = load_table(spark, SF, "documents")
     media = MM.documents_as_media(docs)
