@@ -100,6 +100,28 @@ def write_file(
     writer.save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog-table sink — the co-located-join lever: two tables
+    bucketed on the same key and bucket count sort-merge join with ZERO
+    exchanges (pinned by tests/test_plans.py::test_bucketed_join_is_
+    exchange_free). Bucket the standing fact tables on their join key when
+    the same fact-fact join runs repeatedly; the shuffle is paid once at
+    write, not on every query. ``sort_cols`` additionally sorts within
+    buckets so merge joins skip the per-task sort."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def _dir_bytes(spark, path: str) -> int:
     """Total byte size of a directory through the Hadoop FS API — works
     for any filesystem Spark can read (local, S3A, HDFS)."""

@@ -137,6 +137,39 @@ def test_dd6_no_self_join_of_docs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Bucketing (the co-located-join lever from the 100-TB playbook):
+    two tables bucketed by the join key on the same bucket count must
+    sort-merge join with ZERO exchanges — at scale this converts the
+    nightly fact-fact join from a full shuffle into a local merge."""
+    from martech_pipelines_spark.operators.sinks import write_bucketed_table
+
+    od = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed_table(od, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the plan shows the bucketed SMJ path the
+        # test is about (at real fact-fact scale broadcast is off the
+        # table anyway — neither side fits)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_whole_stage_codegen_covers_export_pipeline(spark):
     """The export transform must be one fused codegen stage — no Python,
     no extra exchanges before the sink boundary."""
