@@ -408,6 +408,73 @@ def r8b_approx_percentiles(spark, sf_dir):
 
 
 @q(
+    "f12_standardize",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER w)
+                 / stddev_samp(c_acctbal) OVER w, 4) AS z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def f12_standardize(spark, sf_dir):
+    """Per-group z-score standardization (training feature prep): one
+    window over the group key computes mean and sample stddev in the same
+    pass — no join-back. Rounded to 4dp so last-ulp aggregate drift can't
+    flip the hash."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(
+            (F.col("c_acctbal") - F.avg("c_acctbal").over(w))
+            / F.stddev_samp("c_acctbal").over(w),
+            4,
+        ).alias("z"),
+    )
+
+
+@q(
+    "r16_winsorize",
+    """
+    WITH b AS (
+        SELECT l_returnflag,
+               percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(least(greatest(l_extendedprice, lo), hi), 4) AS clipped
+    FROM lineitem JOIN b USING (l_returnflag)
+    """,
+)
+def r16_winsorize(spark, sf_dir):
+    """Winsorization (outlier clipping to the per-group 5th/95th
+    percentile): tiny percentile dim computed once, broadcast back onto
+    the fact — the standard tail-taming step before numeric features
+    enter training. Exact percentile interpolation is the same linear
+    formula in both engines; output rounded to absorb last-ulp drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")),
+                4,
+            ).alias("clipped"),
+        )
+    )
+
+
+@q(
     "q18_large_orders",
     """
     SELECT c_custkey, o_orderkey,
