@@ -857,6 +857,70 @@ def s3_embedding_near_dup(spark, sf_dir):
     return SIM.embedding_near_duplicates(corpus, dim=64, threshold=0.9)
 
 
+def _pipeline_oracle() -> str:
+    """End-to-end prep oracle assembled from the per-operator fragments."""
+    toks = _DUCK_TOKENS.format(col="text")
+    norm = _DUCK_NORM.format(col="text")
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    lang_case = f"""CASE
+        WHEN greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) = 0 THEN 'und'
+        WHEN {_lang_score_sql('de')} = greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) THEN 'de'
+        WHEN {_lang_score_sql('en')} = greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) THEN 'en'
+        WHEN {_lang_score_sql('es')} = greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) THEN 'es'
+        ELSE 'fr' END"""
+    quality = f"""round((least(len({toks}) / 20.0, 1.0)
+        + (1.0 - least(round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                             / length(text), 4) * 5, 1.0))
+        + least(round(len(list_filter({toks}, x -> x IN ({stop})))::DOUBLE / len({toks}), 4) * 4, 1.0)) / 3, 4)"""
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE length(text) > 0 AND len({toks}) > 0
+          AND ({lang_case}) = 'en'
+          AND ({quality}) >= 0.4
+    ), ranked AS (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+        FROM kept
+    ), deduped AS (
+        SELECT doc_id, source, text FROM ranked WHERE rn = 1
+    ), sampled AS (
+        SELECT doc_id, source, text FROM deduped
+        WHERE ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+    )
+    SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens
+    FROM sampled
+    """
+
+
+@q("pipe1_training_prep", _pipeline_oracle())
+def pipe1_training_prep(spark, sf_dir):
+    """End-to-end training-data prep as ONE DataFrame chain: quality
+    filter -> language filter (en) -> exact dedup (lowest-id survivor) ->
+    deterministic 50% stratified sample -> token counting. Every stage is
+    an operator from this engine composed unchanged — the user story the
+    whole north-star surface exists for. The only shuffle is the dedup's
+    fingerprint window; everything else is narrow codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(
+        (F.length("text") > 0)
+        & (TX.token_count(F.col("text")) > 0)
+        & (TX.lang_id(F.col("text")) == "en")
+        & (TX.quality_score(F.col("text")) >= 0.4)
+    )
+    deduped = DD.exact_dedup(kept)
+    sampled = TX.deterministic_sample(deduped, pct=50)
+    return sampled.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
 # =============================================================================
 # Martech analytics (funnel, retention) — the domain queries a user of the
 # reference would actually run on the event stream
