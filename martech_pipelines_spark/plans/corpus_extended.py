@@ -721,9 +721,7 @@ def dd6_cross_source(spark, sf_dir):
 # =============================================================================
 
 
-@q(
-    "s1_bruteforce_topk",
-    """
+_S1_ORACLE = """
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id % 10 = 0
@@ -743,8 +741,10 @@ def dd6_cross_source(spark, sf_dir):
         ) AS rnk
         FROM scored WHERE cos_sim IS NOT NULL
     ) WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@q("s1_bruteforce_topk", _S1_ORACLE)
 def s1_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-5 per query (every 10th vector as query set):
     broadcast queries x corpus, double-precision dot products, rank on the
@@ -759,12 +759,14 @@ def s1_bruteforce_topk(spark, sf_dir):
     )
 
 
-@q("s1b_bruteforce_arrow")  # rows-only: equality-vs-s1 pinned in tests
+@q("s1b_bruteforce_arrow", _S1_ORACLE)  # SHARES s1's oracle: exact twin
 def s1b_bruteforce_arrow(spark, sf_dir):
     """s1 through the Arrow map-side-top-k kernel: one matmul per corpus
     batch against the collected query matrix, only within-batch top-k
     rows reach the final window — the exact-search plan whose shuffle
-    stays megabytes at 100 TB. pytest pins result equality with s1."""
+    stays megabytes at 100 TB. Shares s1's full oracle (rank on rounded
+    sims makes the numpy-vs-fold summation-order 1-ulp noise invisible);
+    pytest additionally pins row-for-row equality with s1."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
