@@ -114,12 +114,17 @@ def dup_clusters(
     At extreme scale swap the iteration body for the large-star/small-star
     variant (alternating asymmetric joins) — same loop skeleton."""
     edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Materialize the symmetric edge table ONCE: `pairs` is typically the
+    # whole LSH candidates+verify pipeline, and every iteration references
+    # edges twice (neighbor join + convergence count) — without this the
+    # full upstream lineage would re-execute 2x per round.
     edges = edges_fwd.union(
         edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -144,6 +149,13 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); the component diameter "
+            "exceeds the iteration budget — raise max_iter or switch to "
+            "the large-star/small-star variant"
+        )
     return labels.select("id", F.col("label").alias("cluster"))
 
 

@@ -357,21 +357,39 @@ def t12_deterministic_sample(spark, sf_dir):
 @q(
     "s5_normalized_embeddings",
     """
-    SELECT vec_id,
-           CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) > 0
-                THEN list_transform(CAST(embedding AS DOUBLE[]),
-                                    x -> round(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))), 6))
-           END AS unit
-    FROM embeddings
+    WITH u AS (
+        SELECT vec_id,
+               CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) > 0
+                    THEN list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> round(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))), 6))
+               END AS unit
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(unit[CAST(i AS INTEGER)] AS DOUBLE) AS unit_v
+    FROM u, unnest(range(1, len(unit) + 1)) AS t(i)
+    UNION ALL
+    SELECT vec_id, NULL AS dim, NULL AS unit_v FROM u WHERE unit IS NULL
     """,
 )
 def s5_normalized_embeddings(spark, sf_dir):
     """Unit-normalization of the embedding column (pre-index step: cosine
     becomes dot product). Norm computed once per row via a staged alias —
     see operators/similarity.py::normalized_embeddings for the no-CSE-in-
-    lambda rationale."""
+    lambda rationale.
+
+    Checked output is the EXPLODED scalar form (vec_id, dim, unit_v) —
+    mirrors s4_label_centroids — because the driver's correctness harness
+    canonicalizes via pandas, which cannot hash array-typed cells
+    (CORRECTNESS_r02: the one red row). The array-returning operator
+    itself stays pinned by tests/test_similarity.py. posexplode_outer
+    keeps zero-vector rows (null unit) visible as a (vec_id, null, null)
+    row; the oracle's UNION ALL branch matches that."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.normalized_embeddings(emb)
+    unit = SIM.normalized_embeddings(emb)
+    return unit.select(
+        "vec_id", F.posexplode_outer("unit").alias("dim", "unit_v")
+    )
 
 
 @q(

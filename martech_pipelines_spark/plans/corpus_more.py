@@ -398,13 +398,22 @@ def r15_time_range_frame(spark, sf_dir):
 def r8b_approx_percentiles(spark, sf_dir):
     """approx_percentile (Greenwald-Khanna sketch): engine-specific like
     the HLL in r3b, so rows-only for the driver; pytest bounds its error
-    against the exact percentiles."""
+    against the exact percentiles. Output is exploded to scalar
+    (p, approx_v) rows — the driver canonicalizer cannot hash
+    array-typed cells (the s5/CORRECTNESS_r02 lesson)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.95, 0.99], 10000
-        ).alias("approx_p")
+    ps = [0.5, 0.95, 0.99]
+    agg = li.agg(
+        F.percentile_approx("l_extendedprice", ps, 10000).alias("approx_p")
     )
+    return agg.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in ps]).alias("p"),
+                F.col("approx_p").alias("approx_v"),
+            )
+        ).alias("z")
+    ).select(F.col("z.p").alias("p"), F.col("z.approx_v").alias("approx_v"))
 
 
 @q(

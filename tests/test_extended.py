@@ -157,6 +157,20 @@ def test_cross_source_dup_stats(spark):
     assert rows["b"]["n_docs"] == 1 and rows["b"]["n_cross_source"] == 1
 
 
+def test_normalized_embeddings_array_form(spark):
+    # Pins the array-returning operator directly: the s5 corpus query only
+    # checks the exploded scalar projection (driver-hashability), so the
+    # unit-vector array contract lives here.
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["unit"] for r in SIM.normalized_embeddings(df).collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] is None  # zero vector -> null, not NaN components
+    assert rows[3] is None
+
+
 def test_label_centroids_exact(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
@@ -222,6 +236,34 @@ def test_dup_clusters_transitive_merge(spark):
     )
     got = {r["id"]: r["cluster"] for r in DD.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_raises_when_unconverged(spark):
+    """Silent wrong labels are worse than an error: a diameter-5 chain
+    cannot converge in one round, and the loop must say so."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.dup_clusters(chain, max_iter=1)
+
+
+def test_caching_scope_releases_only_inner_handles(spark):
+    """scope() must not drain caches registered outside it (the global
+    release() hazard flagged in round-2 advice)."""
+    from martech_pipelines_spark import caching
+
+    outer = caching.register(spark.range(10).persist())
+    outer.count()
+    with caching.scope():
+        inner = caching.register(spark.range(20).persist())
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # scoped handle released
+    assert outer.storageLevel.useMemory      # outer survives the scope
+    assert caching.release() == 1            # global drain still works
 
 
 # --- similarity --------------------------------------------------------------
