@@ -57,7 +57,8 @@ def lookup_watermark(job_runs: DataFrame, query_name: str) -> dt.datetime | None
 def incremental_scan(
     changes: DataFrame,
     ts_col: str,
-    since: dt.datetime | str | None,
+    since: dt.datetime | str | int | None,
+    inclusive: bool = False,
 ) -> Column | DataFrame:
     """A2/A3: bound an append-only change log by the watermark.
 
@@ -67,10 +68,62 @@ def incremental_scan(
     partitioned by date) — the built-in analog of the reference's manual
     ``startingTimestamp`` option (reference:
     martech_pipelines/tasks/user_profile/clevertap.py:19-27).
+
+    ``inclusive`` selects ``>=`` instead of the watermark-default ``>``
+    (Delta CDF's starting bounds are inclusive; the read_change_feed
+    adapter lowers onto this flag).
     """
     if since is None:
         return changes
-    return changes.where(F.col(ts_col) > F.lit(since))
+    bound = F.lit(since)
+    pred = F.col(ts_col) >= bound if inclusive else F.col(ts_col) > bound
+    return changes.where(pred)
+
+
+def read_change_feed(
+    changes: DataFrame,
+    ts_col: str = "ts",
+    version_col: str | None = None,
+    **options,
+) -> DataFrame:
+    """Delta-CDF-option-compatible adapter over the append-log scan
+    (COVERAGE.md A2): accepts the option names a Delta
+    ``readChangeFeed`` caller already uses and lowers each onto
+    ``incremental_scan``'s pushed-filter predicate.
+
+    Options (Delta semantics — starting/ending bounds are INCLUSIVE):
+    - ``startingTimestamp`` / ``endingTimestamp`` — bound ``ts_col``
+    - ``startingVersion`` / ``endingVersion``   — bound ``version_col``
+      (pass ``version_col`` naming the monotonic commit-version column
+      of the log; required for version bounds)
+
+    No starting option = cold start, full history (A3 branch — exactly
+    Delta's ``startingVersion=0``). ``startingTimestamp`` and
+    ``startingVersion`` are mutually exclusive, as in Delta.
+    """
+    st = options.pop("startingTimestamp", None)
+    sv = options.pop("startingVersion", None)
+    et = options.pop("endingTimestamp", None)
+    ev = options.pop("endingVersion", None)
+    if options:
+        raise ValueError(f"unknown change-feed options: {sorted(options)}")
+    if st is not None and sv is not None:
+        raise ValueError(
+            "provide either startingTimestamp or startingVersion, not both"
+        )
+    if (sv is not None or ev is not None) and version_col is None:
+        raise ValueError("version bounds require version_col")
+
+    df = changes
+    if st is not None:
+        df = incremental_scan(df, ts_col, st, inclusive=True)
+    if sv is not None:
+        df = incremental_scan(df, version_col, int(sv), inclusive=True)
+    if et is not None:
+        df = df.where(F.col(ts_col) <= F.lit(et))
+    if ev is not None:
+        df = df.where(F.col(version_col) <= F.lit(int(ev)))
+    return df
 
 
 def filter_change_types(

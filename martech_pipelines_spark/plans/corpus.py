@@ -827,6 +827,35 @@ def h3_incremental_scan(spark, sf_dir):
 
 
 @q(
+    "h5_change_feed_window",
+    """
+    SELECT event_type, count(*) AS n,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def h5_change_feed_window(spark, sf_dir):
+    """A2 (Delta-CDF-option-compatible form): the read_change_feed adapter
+    with startingTimestamp/endingTimestamp — INCLUSIVE bounds per Delta
+    semantics — lowered onto pushed scan filters, then a summary agg."""
+    ev = load_table(spark, sf_dir, "events")
+    window = cdc.read_change_feed(
+        ev,
+        ts_col="ts",
+        startingTimestamp="2024-01-10 00:00:00",
+        endingTimestamp="2024-01-20 00:00:00",
+    )
+    return window.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@q(
     "h4_cold_start_stats",
     """
     SELECT count(*) AS n,

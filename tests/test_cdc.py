@@ -41,6 +41,67 @@ def test_incremental_scan_bounds(spark):
     assert out.count() == 3  # strictly-after semantics
 
 
+def _versioned_changes(spark):
+    rows = [
+        (1, "v0", 0, dt.datetime(2024, 1, 1, 8)),
+        (1, "v1", 1, dt.datetime(2024, 1, 1, 10)),
+        (2, "v1", 1, dt.datetime(2024, 1, 1, 10)),
+        (2, "v2", 2, dt.datetime(2024, 1, 1, 12)),
+        (3, "v3", 3, dt.datetime(2024, 1, 1, 14)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "customer_id long, payload string, _commit_version long, _commit_timestamp timestamp",
+    )
+
+
+def test_read_change_feed_starting_timestamp_inclusive(spark):
+    df = _versioned_changes(spark)
+    out = cdc.read_change_feed(
+        df,
+        ts_col="_commit_timestamp",
+        startingTimestamp=dt.datetime(2024, 1, 1, 10),
+    )
+    # Delta CDF starting bounds are inclusive: the two 10:00 rows stay
+    assert out.count() == 4
+
+
+def test_read_change_feed_starting_version(spark):
+    df = _versioned_changes(spark)
+    out = cdc.read_change_feed(
+        df, version_col="_commit_version", startingVersion=2
+    )
+    assert sorted(r["payload"] for r in out.collect()) == ["v2", "v3"]
+
+
+def test_read_change_feed_version_range(spark):
+    df = _versioned_changes(spark)
+    out = cdc.read_change_feed(
+        df, version_col="_commit_version", startingVersion=1, endingVersion=2
+    )
+    assert out.count() == 3  # versions 1 and 2, both ends inclusive
+
+
+def test_read_change_feed_cold_start_and_errors(spark):
+    import pytest as _pytest
+
+    df = _versioned_changes(spark)
+    # no starting option = full history (A3 cold-start branch)
+    assert cdc.read_change_feed(df, ts_col="_commit_timestamp").count() == 5
+    with _pytest.raises(ValueError, match="not both"):
+        cdc.read_change_feed(
+            df,
+            ts_col="_commit_timestamp",
+            version_col="_commit_version",
+            startingTimestamp=dt.datetime(2024, 1, 1),
+            startingVersion=1,
+        )
+    with _pytest.raises(ValueError, match="version_col"):
+        cdc.read_change_feed(df, startingVersion=1)
+    with _pytest.raises(ValueError, match="unknown change-feed options"):
+        cdc.read_change_feed(df, readChangeFeed="true")
+
+
 def test_change_type_filter(spark):
     out = cdc.filter_change_types(_changes(spark))
     kinds = {r["_change_type"] for r in out.collect()}
