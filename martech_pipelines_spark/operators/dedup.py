@@ -19,7 +19,7 @@ changes one function and no plan shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from martech_pipelines_spark.operators.text import (
@@ -219,6 +219,108 @@ def minhash_signatures(
     return expl.groupBy("id").agg(*aggs)
 
 
+def _band_key_exprs(num_perm: int, bands: int) -> list[Column]:
+    """Per-band bucket keys: md5 over the band's slice of signature
+    columns m0..m{P-1}. Shared by the inline pipeline, the candidate-pair
+    helper, and the materialized two-stage form so the banding arithmetic
+    cannot drift between them."""
+    rows_per_band = num_perm // bands
+    keys = []
+    for b in range(bands):
+        start = b * rows_per_band
+        keys.append(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{start + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+        )
+    return keys
+
+
+def _jaccard_scored(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for a (id_a, id_b) pair table given an
+    (id, sh) set table — the shared verify join of the inline, rejoin,
+    and materialized pipelines."""
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, F.round(inter / union, 4))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+
+
+def minhash_build_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Stage 1 of the materialized two-stage MinHash form (the
+    minhash_near_duplicates docstring promise): ONE scan over the raw
+    corpus computes, per doc, the P min-hash slots AND the shingle set,
+    and writes them to ``{index_path}/signatures`` parquet.
+
+    Carrying the shingle set in the index is the space-for-rescans trade:
+    stage 2 (candidates + exact-Jaccard verify) then reads ONLY the
+    index — re-runs with different (threshold, bands) sweeps never touch
+    the 100-TB raw corpus again. Banding is NOT materialized: band keys
+    are a cheap projection over m0..m{P-1} at probe time, so one index
+    serves every ``bands`` choice that divides ``num_perm``."""
+    expl = exploded_shingles(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
+    ]
+    per_doc = expl.groupBy("id").agg(*aggs, F.collect_set("s").alias("sh"))
+    per_doc.write.mode("overwrite").parquet(f"{index_path}/signatures")
+
+
+def minhash_index_near_duplicates(
+    spark: SparkSession,
+    index_path: str,
+    threshold: float = 0.7,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Stage 2: LSH candidates + exact-Jaccard verify reading ONLY the
+    materialized signature table — zero raw-document scans (pinned by a
+    plan assertion in tests/test_plans.py). Identical results to the
+    inline ``minhash_near_duplicates`` (shared oracle, dd3c)."""
+    per_doc = spark.read.parquet(f"{index_path}/signatures")
+    band_rows = per_doc.select(
+        "id", F.posexplode(F.array(*_band_key_exprs(num_perm, bands))).alias(
+            "band", "band_key"
+        )
+    )
+    cand = (
+        band_rows.select("band", "band_key", F.col("id").alias("id_a"))
+        .join(
+            band_rows.select("band", "band_key", F.col("id").alias("id_b")),
+            ["band", "band_key"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = _jaccard_scored(cand, per_doc.select("id", "sh"))
+    return scored.where(F.col("jaccard") >= threshold)
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -236,25 +338,12 @@ def lsh_candidate_pairs(
     so skew only appears if many documents truly share a band — which is
     exactly the signal.
     """
-    rows_per_band = num_perm // bands
     with_sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
-
-    band_keys = []
-    for b in range(bands):
-        start = b * rows_per_band
-        band_keys.append(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{start + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            )
-        )
     band_rows = with_sig.select(
-        "id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+        "id",
+        F.posexplode(F.array(*_band_key_exprs(num_perm, bands))).alias(
+            "band", "band_key"
+        ),
     )
 
     left = band_rows.select("band", "band_key", F.col("id").alias("id_a"))
@@ -343,7 +432,6 @@ def minhash_near_duplicates(
 
     if verify not in ("carried", "rejoin"):
         raise ValueError(f"verify must be 'carried' or 'rejoin', got {verify!r}")
-    rows_per_band = num_perm // bands
     sig_aggs = [
         F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
     ]
@@ -361,22 +449,11 @@ def minhash_near_duplicates(
     # per-band union — union branches differ by a literal, so Catalyst
     # cannot reuse the aggregation exchange across them and would re-run
     # the whole explode+agg once per band.
-    band_keys = []
-    for b in range(bands):
-        start = b * rows_per_band
-        band_keys.append(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{start + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            )
-        )
     band_rows = per_doc.select(
-        "id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+        "id",
+        F.posexplode(F.array(*_band_key_exprs(num_perm, bands))).alias(
+            "band", "band_key"
+        ),
     )
 
     cand = (
@@ -404,21 +481,7 @@ def minhash_near_duplicates(
         if cache_intermediate:
             sets = caching.register(sets.persist(StorageLevel.MEMORY_AND_DISK))
 
-    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b_ = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    scored = (
-        cand.join(a, "id_a")
-        .join(b_, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.when(union > 0, F.round(inter / union, 4))
-            .otherwise(F.lit(0.0))
-            .alias("jaccard"),
-        )
-    )
+    scored = _jaccard_scored(cand, sets)
     return scored.where(F.col("jaccard") >= threshold)
 
 

@@ -572,6 +572,31 @@ def dd3b_minhash_rejoin(spark, sf_dir):
     )
 
 
+@q("dd3c_minhash_materialized", _minhash_oracle())
+def dd3c_minhash_materialized(spark, sf_dir):
+    """dd3 through the MATERIALIZED two-stage form: stage 1 writes the
+    signature+shingle-set table once (one raw-corpus scan); stage 2 runs
+    candidates + exact-Jaccard verify reading ONLY that table — the
+    re-run path for threshold/band sweeps over a 100-TB corpus. Shares
+    dd3's bit-exact oracle (third interchangeable formulation, after the
+    carried and rejoin verify strategies); the stage-2 no-raw-scan claim
+    is pinned by a plan assertion in tests/test_plans.py."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    index_path = tempfile.mkdtemp(prefix="minhash_index_")
+    DD.minhash_build_index(corpus, index_path, num_perm=16, shingle_n=3)
+    return DD.minhash_index_near_duplicates(
+        spark, index_path, threshold=0.5, num_perm=16, bands=4
+    )
+
+
 _CLUSTER_CORPUS_SQL = """
         SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
         UNION ALL

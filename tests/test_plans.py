@@ -137,6 +137,30 @@ def test_dd6_no_self_join_of_docs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_stage2_reads_only_the_index(spark, tmp_path):
+    """Two-stage MinHash: after minhash_build_index, the candidates+verify
+    plan must scan ONLY the materialized signature table — never the raw
+    document corpus (that is the whole point of materializing)."""
+    from martech_pipelines_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    index_path = str(tmp_path / "mh_index")
+    DD.minhash_build_index(docs, index_path, num_perm=16, shingle_n=3)
+    stage2 = DD.minhash_index_near_duplicates(
+        spark, index_path, threshold=0.5, num_perm=16, bands=4
+    )
+    plan = plan_of(stage2)
+    assert "mh_index" in plan                    # scans the index...
+    assert "documents.parquet" not in plan       # ...and nothing else
+    # and the stage-2 result matches the inline pipeline bit-for-bit
+    inline = DD.minhash_near_duplicates(
+        docs, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+    assert sorted(map(tuple, stage2.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
     """Bucketing (the co-located-join lever from the 100-TB playbook):
     two tables bucketed by the join key on the same bucket count must
