@@ -115,6 +115,72 @@ def test_stream_foreachbatch_rest_export(spark, events_stream_dir, tmp_path):
     assert max(store) <= 100
 
 
+def test_stream_foreachbatch_csv_byte_cap_multi_mb_rows(spark, tmp_path):
+    """B5 composed with streaming (VERDICT r02 #8): the Netcore-style CSV
+    sink's byte cap must hold end-to-end in the foreachBatch path too —
+    multi-hundred-KB rows arriving as micro-batches still ship in bodies
+    under the cap, every row exactly once."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from martech_pipelines_spark.operators.sinks import (
+        RestSinkConfig,
+        rest_csv_batch_sink,
+    )
+
+    bodies: list[bytes] = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            bodies.append(self.rfile.read(int(self.headers["Content-Length"])))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    # 12 rows x ~300 KB against a 1 MB cap: 3-per-chunk ceilings per
+    # partition, never a body over the cap.
+    src_dir = tmp_path / "wide_src"
+    cap = 1_000_000
+    spark.createDataFrame(
+        [(i, "x" * 300_000) for i in range(12)], "id long, payload string"
+    ).coalesce(2).write.mode("overwrite").parquet(str(src_dir))
+
+    cfg = RestSinkConfig(url=f"http://127.0.0.1:{srv.server_port}/csv")
+    stream = (
+        spark.readStream.schema("id long, payload string")
+        .parquet(str(src_dir))
+    )
+
+    def ship(batch_df, batch_id: int) -> None:
+        rest_csv_batch_sink(batch_df, cfg, max_bytes=cap)
+
+    q = (
+        stream.writeStream.foreachBatch(ship)
+        .option("checkpointLocation", str(tmp_path / "ckpt_csv"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        srv.shutdown()
+
+    assert all(len(b) <= cap for b in bodies)
+    data_lines = [
+        line
+        for b in bodies
+        for line in b.decode().strip().splitlines()
+        if line != "id,payload"
+    ]
+    assert len(data_lines) == 12  # every row exactly once, none dropped
+    assert len(bodies) >= 4  # the cap actually forced chunking
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """A re-delivered file (at-least-once source analog) must not double
     rows: dropDuplicatesWithinWatermark emits each (user, event) once."""
