@@ -49,14 +49,22 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup is not billed to the first query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # n repeats per query, best-of-n recorded: single runs at sub-second
+    # scales are jitter-dominated (VERDICT r02: dd4 "+33%" was exactly
+    # this), and min is the standard noise-robust floor estimator.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        caching.release()  # free operator-persisted intermediates per query
+        best = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            elapsed = time.perf_counter() - t0
+            caching.release()  # free operator-persisted intermediates per run
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -67,6 +75,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": n_runs,
             }
         )
     )

@@ -1,0 +1,119 @@
+"""sf1 scale smoke (VERDICT r02 #7): run the three heaviest query families
+at 10x the bench scale and record wall-clocks, proving the 100x scaling
+claims trend right on real data, not just plan shapes.
+
+The driver ships sf{0.001,0.01,0.1} only, so sf1 is synthesized once from
+sf0.1 by unioning 10 key-shifted copies of the three tables the heavy
+families read (events, documents, embeddings):
+
+- shifts keep key cardinality scaling 10x too (flagship's latest-per-key
+  output grows with distinct users, as it would in production);
+- document text gets a per-copy suffix so near-dup density stays at the
+  planted rate instead of exploding to 10 exact copies of everything
+  (which would measure a pathological corpus, not scale);
+- shift constants are multiples of 10 so the queries' doc_id % 5 / % 10
+  sampling patterns are preserved per copy.
+
+Usage: python tools/bench_sf1.py  -> writes BENCH_sf1.json at repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+SF1_DIR = os.path.join(REPO, ".sf1")
+COPIES = 10
+HEAVY = ["flagship_cdc_dedup", "dd3_minhash_near_dup", "s1b_bruteforce_arrow"]
+N_RUNS = 2
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from martech_pipelines_spark.sources import load_table
+
+    specs = {
+        # table: (id shifts per copy, text-perturbation column or None)
+        "events": ({"event_id": 10_000_000_000, "user_id": 10_000_000}, None),
+        "documents": ({"doc_id": 100_000_000}, "text"),
+        "embeddings": ({"vec_id": 10_000_000}, None),
+    }
+    for table, (shifts, text_col) in specs.items():
+        dest = os.path.join(SF1_DIR, f"{table}.parquet")
+        if os.path.exists(dest):
+            continue
+        base = load_table(spark, SRC, table)
+        parts = []
+        for k in range(COPIES):
+            df = base
+            for col, step in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(k * step))
+            if text_col and k > 0:
+                df = df.withColumn(
+                    text_col, F.concat(F.col(text_col), F.lit(f" c{k}"))
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if table == "events":
+            # Mirror the driver parquet's physical layout: ts is stored as
+            # a raw nanosecond LONG (load_table's nanos read path expects
+            # it — see sources/readers.py::_NANOS_COLS).
+            out = out.withColumn(
+                "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+            )
+        out.write.mode("overwrite").parquet(dest)
+        print(f"built {dest}", file=sys.stderr)
+
+
+def main() -> None:
+    from martech_pipelines_spark import caching, get_spark
+    from martech_pipelines_spark.plans import QUERIES
+
+    spark = get_spark("bench_sf1")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    build_sf1(spark)
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEAVY:
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            rows[name] = QUERIES[name](spark, SF1_DIR).count()
+            elapsed = time.perf_counter() - t0
+            caching.release()
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
+        print(f"{name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "sf1_scale_smoke",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": 1.0,
+        "n": N_RUNS,
+        "note": (
+            "sf1 synthesized as 10 key-shifted copies of sf0.1 "
+            "events/documents/embeddings; see tools/bench_sf1.py"
+        ),
+    }
+    path = os.path.join(REPO, "BENCH_sf1.json")
+    with open(path, "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
