@@ -1,0 +1,267 @@
+"""Corpus batch 4: deeper TPC-H-shaped relational coverage (§2.J widening)
+— nation-pair trade volume, distribution histograms, share-of-total,
+window-vs-group correlated aggregates, and anti-join dormancy, each
+adapted to the synthetic schema (no partsupp/comment/phone columns) and
+each with a full DuckDB oracle.
+
+Same oracle-portability ground rules as corpus.py: DECIMAL money sums
+rounded in decimal space, 4dp ratios, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.plans.corpus import q
+from martech_pipelines_spark.sources import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+_REV_DUCK = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+_REV_SPARK = lambda: _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))  # noqa: E731
+
+
+@q(
+    "q7_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+           CAST(round(sum({_REV_DUCK}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship-year. Both nation dims and the supplier dim broadcast; the only
+    big shuffle is the lineitem->orders join, and the nation IN-filters
+    semi-reduce both fact sides before it."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_REV_SPARK()), 2).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q13_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count histogram, zero-order
+    customers included (left join + count of the nullable key). Two
+    keyed aggregations; the second groups on a tiny integer domain, so
+    map-side combine collapses it before the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(od, od.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q14_promo_share",
+    f"""
+    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV_DUCK} ELSE 0 END)
+                      / sum({_REV_DUCK}), 4) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month. The part dim
+    broadcasts; share computed as one conditional aggregate pair —
+    DECIMAL sums, ratio rounded at 4dp for cross-engine stability."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _REV_SPARK()
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            4,
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+@q(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(round(sum({_REV_DUCK}), 2) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
+    per-supplier revenue CTE aggregates lineitem ONCE; the scalar max is
+    a 1-row aggregate of that table crossJoin-broadcast back onto it —
+    no global rank window (which would single-partition |suppliers|
+    rows) and no second lineitem scan. The revenue table is persisted
+    for its two consumers and released by the caller."""
+    from pyspark.storagelevel import StorageLevel
+
+    from martech_pipelines_spark import caching
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = caching.register(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_REV_SPARK()), 2).cast("double").alias("total_revenue"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
+    )
+    return (
+        supp.join(top, supp.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q17_small_qty_revenue",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand. The correlated per-part average becomes ONE window over
+    l_partkey (no join-back, no second lineitem scan); the brand filter
+    broadcasts from the part dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    w = Window.partitionBy("l_partkey")
+    with_cut = li.withColumn("qty_cut", F.lit(0.2) * F.avg("l_quantity").over(w))
+    return (
+        with_cut.join(F.broadcast(part), with_cut.l_partkey == part.p_partkey)
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
+            .cast("decimal(28,8)")
+            .alias("__s")
+        )
+        .select(F.round("__s", 2).cast("double").alias("avg_yearly"))
+    )
+
+
+@q(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (schema-adapted: market segment stands in for the
+    phone country code): well-funded customers with no RECENT orders —
+    the recency cutoff keeps the result non-empty at every SF (an
+    all-history NOT EXISTS matches nobody in the synthetic data, and a
+    0-row oracle match is vacuous). The scalar average broadcasts via
+    crossJoin of a 1-row aggregate; the no-orders test is a LEFT ANTI
+    join against the date-filtered orders — never a per-row subquery."""
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(od, cust.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
