@@ -255,6 +255,7 @@ def test_caching_scope_releases_only_inner_handles(spark):
     release() hazard flagged in round-2 advice)."""
     from martech_pipelines_spark import caching
 
+    caching.release()  # drain residue left registered by earlier tests
     outer = caching.register(spark.range(10).persist())
     outer.count()
     with caching.scope():
