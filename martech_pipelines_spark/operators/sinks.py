@@ -67,6 +67,36 @@ def chunkify_by_bytes(
         yield batch
 
 
+def probe_uniform_chunks(
+    records: list[str], max_bytes: int
+) -> Generator[list[str], None, None]:
+    """B5 parity mode: the reference's adaptive size probe (reference:
+    martech_pipelines/hooks/netcore.py:103-119) rendered on encoded lines.
+
+    Behavior reproduced exactly: start with the whole partition as one
+    chunk; while the FIRST chunk's rendered size exceeds the cap, bump the
+    divisor ``i`` and re-probe the first ``len/i`` records; then emit the
+    whole set in uniform ``len/i``-record chunks. Only the first chunk is
+    probed, so a later chunk with wider rows can still exceed the cap —
+    that is the reference's behavior, kept for parity. The default
+    ``chunkify_by_bytes`` path has no such hole (it measures every chunk)
+    and is what production should use; this mode exists so a reference
+    job ported verbatim sees identical batch boundaries."""
+    size = len(records)
+    if size == 0:
+        return
+
+    def rendered_bytes(chunk: list[str]) -> int:
+        return sum(len(r.encode("utf-8")) + 1 for r in chunk)
+
+    i = 1
+    chunk = records
+    while rendered_bytes(chunk) > max_bytes and size // i > 1:
+        i += 1
+        chunk = records[: size // i]
+    yield from chunkify(records, max(1, size // i))
+
+
 # --- file sinks (B1-B3) ------------------------------------------------------
 
 
@@ -316,13 +346,22 @@ def rest_csv_batch_sink(
     cfg: RestSinkConfig,
     post_fn: PostFn = default_post,
     max_bytes: int = 4_500_000,
+    chunk_strategy: str = "bytes",
 ) -> dict[str, int]:
     """B5: Netcore-shaped CSV sink — per partition, rows render to CSV
     lines and ship in byte-capped chunks (reference probes the cap by
     iterative halving, martech_pipelines/hooks/netcore.py:103-119; we size
     each chunk directly from encoded lengths in one pass).
 
+    ``chunk_strategy``: ``"bytes"`` (default) sizes every chunk directly
+    and guarantees the cap; ``"probe"`` reproduces the reference's
+    first-chunk divisor probe + uniform record-count chunks
+    (``probe_uniform_chunks``) for ported jobs that depend on the
+    reference's batch boundaries.
+
     Header travels with every chunk (each POST is a standalone CSV)."""
+    if chunk_strategy not in ("bytes", "probe"):
+        raise ValueError(f"unknown chunk_strategy: {chunk_strategy!r}")
     spark = df.sparkSession
     sc = spark.sparkContext
     acc_sent = sc.accumulator(0)
@@ -343,7 +382,11 @@ def rest_csv_batch_sink(
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         lines = (",".join(csv_cell(v) for v in row) for row in rows)
-        for idx, chunk in enumerate(chunkify_by_bytes(lines, max_bytes)):
+        if chunk_strategy == "probe":
+            chunks = probe_uniform_chunks(list(lines), max_bytes)
+        else:
+            chunks = chunkify_by_bytes(lines, max_bytes)
+        for idx, chunk in enumerate(chunks):
             body = ("\n".join([header, *chunk]) + "\n").encode("utf-8")
             bid = hashlib.sha256(f"{pid}:{idx}:{len(chunk)}".encode()).hexdigest()[:24]
             headers = {

@@ -46,6 +46,7 @@ class _Recorder(BaseHTTPRequestHandler):
             {
                 "payload": payload,
                 "size": len(body),
+                "lines": body.count(b"\n"),
                 "auth": self.headers.get("Authorization"),
             }
         )
@@ -97,6 +98,42 @@ def test_netcore_csv_cap_with_multi_mb_rows(spark, http_server):
     assert metrics["batches"] >= 3  # 10 MB of rows cannot fit in 2 batches
     header_slack = len("id,blob") + 2
     assert all(r["size"] <= cap + header_slack for r in rec.store)
+
+
+def test_probe_uniform_chunks_matches_reference_divisor_search():
+    """Parity mode reproduces hooks/netcore.py:103-119: bump divisor i
+    until the FIRST len/i-record chunk fits, then uniform len/i chunks."""
+    from martech_pipelines_spark.operators.sinks import probe_uniform_chunks
+
+    recs = ["x" * 9] * 12  # 10 bytes each incl newline, 120 total
+    # cap 50 -> i=1 (120) fails, i=2 (first 6 recs = 60) fails, i=3 (40) fits
+    chunks = list(probe_uniform_chunks(recs, 50))
+    assert [len(c) for c in chunks] == [4, 4, 4]
+    # everything fits in one chunk when under the cap
+    assert [len(c) for c in list(probe_uniform_chunks(recs, 200))] == [12]
+    assert list(probe_uniform_chunks([], 50)) == []
+    # a single over-cap record terminates at 1-record chunks (reference
+    # would loop toward a zero divisor; we stop at 1 and let it exceed)
+    big = ["y" * 100]
+    assert [len(c) for c in probe_uniform_chunks(big, 10)] == [1]
+
+
+def test_netcore_probe_strategy_ships_uniform_chunks(spark, http_server):
+    """chunk_strategy='probe' wires the reference's batch boundaries into
+    the partition-parallel sink: uniform record counts per POST."""
+    url, rec = http_server
+    df = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(20)], "id long, blob string"
+    ).coalesce(1)
+    metrics = rest_csv_batch_sink(
+        df, RestSinkConfig(url=url), max_bytes=500, chunk_strategy="probe"
+    )
+    assert metrics["sent"] == 20
+    counts = [r["lines"] - 1 for r in rec.store]  # minus header line
+    assert sum(counts) == 20
+    assert len(set(counts[:-1])) <= 1  # all full chunks uniform
+    with pytest.raises(ValueError):
+        rest_csv_batch_sink(df, RestSinkConfig(url=url), chunk_strategy="nope")
 
 
 def test_rest_sink_batches_and_metrics(spark, http_server):
