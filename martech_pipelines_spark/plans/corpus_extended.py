@@ -819,12 +819,74 @@ def s1b_bruteforce_arrow(spark, sf_dir):
     )
 
 
-@q("s2_lsh_topk")  # no SQL oracle: approximate op; recall pinned in tests
+def _rp_sig_sql(vec_expr: str, dim: int = 64, bits: int = 16) -> str:
+    """DuckDB expression computing the SAME b-bit random-hyperplane
+    signature as operators.similarity.rp_signature_pandas: bit i = sign of
+    list_dot_product(vec, plane_i), plane constants inlined as exact
+    double literals (md5-derived, so both engines see identical planes).
+    Sign decisions are fp-stable across engines except measure-zero
+    exact-zero dots."""
+    terms = []
+    for i in range(bits):
+        lits = ", ".join(repr(c) for c in SIM._hyperplane(dim, i))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+def _banded_sql(source_cte: str, bands: int = 4, band_bits: int = 4) -> str:
+    """CTE fragment: one (band, band_val) row per vector per band —
+    DuckDB twin of the single posexplode pass in lsh_topk."""
+    mask = (1 << band_bits) - 1
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
+        SELECT vec_id, v, b.band, (sig >> (b.band * {band_bits})) & {mask} AS band_val
+        FROM {source_cte} CROSS JOIN (SELECT unnest([{band_list}]) AS band) b
+    """
+
+
+_S2_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, v, {_rp_sig_sql('v')} AS sig FROM base
+    ), banded AS ({_banded_sql('sig')}),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        FROM banded qb JOIN banded cb USING (band, band_val)
+        WHERE qb.vec_id % 10 = 0
+    ), scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               round(CASE WHEN sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(e.v, e.v)) > 0
+                     THEN list_dot_product(q.v, e.v)
+                          / (sqrt(list_dot_product(q.v, q.v))
+                             * sqrt(list_dot_product(e.v, e.v)))
+                     END, 4) AS cos_sim
+        FROM cand
+        JOIN base q ON q.vec_id = cand.query_id
+        JOIN base e ON e.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 5
+    """
+
+
+@q("s2_lsh_topk", _S2_ORACLE)
 def s2_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH top-5 (16 bits, 4 bands): the scale path —
     no crossJoin; candidates come from signature-band collisions only.
-    Approximate by design => rows-only driver check + pytest recall gate
-    against s1 ground truth (tests/test_similarity.py)."""
+    Approximate vs. exhaustive search, but DETERMINISTIC given the
+    md5-derived hyperplanes, so the full candidate-generation + re-rank
+    pipeline has an exact DuckDB oracle (signature bits recomputed from
+    the same inlined plane constants via list_dot_product). Recall vs s1
+    ground truth additionally pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -878,10 +940,43 @@ def s2c_ivf_materialized(spark, sf_dir):
     )
 
 
-@q("s3_embedding_near_dup")  # rows-only: blocking recall pinned in tests
+_S3_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000,
+               CAST(list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 20 = 0
+    ), sig AS (
+        SELECT vec_id, v, {_rp_sig_sql('v')} AS sig FROM corpus
+    ), banded AS ({_banded_sql('sig')}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b USING (band, band_val)
+        WHERE a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT cand.id_a, cand.id_b,
+               round(CASE WHEN sqrt(list_dot_product(va.v, va.v))
+                               * sqrt(list_dot_product(vb.v, vb.v)) > 0
+                     THEN list_dot_product(va.v, vb.v)
+                          / (sqrt(list_dot_product(va.v, va.v))
+                             * sqrt(list_dot_product(vb.v, vb.v)))
+                     END, 4) AS cos_sim
+        FROM cand
+        JOIN corpus va ON va.vec_id = cand.id_a
+        JOIN corpus vb ON vb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.9
+    """
+
+
+@q("s3_embedding_near_dup", _S3_ORACLE)
 def s3_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (>=0.9) via signature-band blocking
-    + exact-cosine verify.
+    + exact-cosine verify. Deterministic given the md5-derived
+    hyperplanes, so the blocking itself is oracle-checked: the DuckDB twin
+    recomputes the same signature bits, band join, and rounded cosine.
 
     The synthetic corpus has no natural pairs above the threshold at gate
     scale (CORRECTNESS_r01 saw 0 rows = zero driver signal), so the query
