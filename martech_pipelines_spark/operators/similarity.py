@@ -605,3 +605,149 @@ def embedding_near_duplicates(
             F.when(denom > 0, dot(F.col("v_a"), F.col("v_b")) / denom), 4
         ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+# --- SemDeDup: semantic dedup via cluster + in-cluster cosine ----------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    cluster_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp",
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    the corpus into clusters, compare pairs ONLY within a cluster, and
+    drop every vector that has an earlier-id in-cluster neighbor with
+    cosine >= threshold. Output: (vec_id, cluster, keep).
+
+    The paper clusters with k-means; this operator uses the low
+    ``cluster_bits`` bits of the deterministic random-hyperplane signature
+    (same md5-derived planes as ``rp_signature``) so the whole pipeline —
+    clustering included — is reproducible and oracle-checkable. The drop
+    rule ("any lower-id neighbor above threshold") is the one-pass
+    deterministic variant of the paper's keep-one-per-group.
+
+    Scale shape: with C = 2**cluster_bits balanced clusters the pairwise
+    work is N^2/C, the SemDeDup trade exactly — cluster count grows with
+    the corpus (the paper uses 50k clusters for LAION) so in-cluster
+    blocks stay bounded; the join shuffles each side once on the cluster
+    id and nothing is ever all-pairs across clusters. Norms are computed
+    once per row before the join, not per pair."""
+    sig = rp_signature_pandas(dim, bits=cluster_bits, seed=seed)
+    base = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+            sig(F.col(vec_col)).alias("cluster"),
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"), "cluster",
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), "cluster",
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_b"),
+            F.round(
+                F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return base.join(dropped, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.coalesce(F.col("__dropped") == F.lit(False), F.lit(True)).alias("keep"),
+    )
+
+
+# --- SQ8: scalar-quantized (int8) approximate search -------------------------
+
+
+def sq8_stats(
+    corpus: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 codebook. One
+    posexplode + tiny groupBy(dim) aggregation; the result is a
+    dim-row control table (collected like the IVF centroid table)."""
+    rows = (
+        corpus.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mins = [0.0] * dim
+    maxs = [0.0] * dim
+    for r in rows:
+        mins[r["pos"]] = r["mn"]
+        maxs[r["pos"]] = r["mx"]
+    return mins, maxs
+
+
+def sq8_dequantized(
+    vec: Column, mins: list[float], maxs: list[float]
+) -> Column:
+    """Quantize each component to an 8-bit code (round((x-mn)*255/(mx-mn)))
+    and immediately dequantize (mn + code*(mx-mn)/255) — the exact value a
+    stored-int8 index would reconstruct at query time. Expressed per-dim
+    with literal codebook constants, so the whole thing is codegen'd; in a
+    materialized index the code array (4x smaller than float32) is what's
+    written, and this expression is the reader."""
+    comps = []
+    for d in range(len(mins)):
+        x = F.element_at(vec, d + 1).cast("double")
+        mn, mx = F.lit(mins[d]), F.lit(maxs[d])
+        code = F.when(
+            F.lit(maxs[d] > mins[d]), F.round((x - mn) * 255.0 / (mx - mn))
+        ).otherwise(F.lit(0.0))
+        comps.append(mn + code * (mx - mn) / 255.0)
+    return F.array(*comps)
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 search: full-precision queries scored against the
+    int8-reconstructed corpus (ADC). Same plan as ``brute_force_topk``
+    (broadcast queries, corpus never shuffled, per-query top-k window) —
+    the scale win is the 4x-smaller corpus scan when codes are
+    materialized; here quantization is inline and deterministic, so the
+    entire path has a full DuckDB oracle (unlike trained-codebook PQ)."""
+    mins, maxs = sq8_stats(corpus, dim, vec_col=corpus_vec)
+    dequant = corpus.select(
+        F.col(corpus_id),
+        sq8_dequantized(F.col(corpus_vec), mins, maxs).alias("__dq"),
+    )
+    return brute_force_topk(
+        queries,
+        dequant,
+        k=k,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        query_vec=query_vec,
+        corpus_vec="__dq",
+    )

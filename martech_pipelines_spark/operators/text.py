@@ -353,3 +353,125 @@ def shingles(col: Column, n: int = 3) -> Column:
         zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
     return F.array_distinct(grams)
+
+
+# --- Gopher-style rule filters -----------------------------------------------
+
+# Defaults follow the published Gopher rules (Rae et al. 2021, "Scaling
+# Language Models", App. A1.1): 50..100k words, mean word length 3..10,
+# symbol-to-word ratio <= 0.1, >=80% words with an alphabetic char, >=2
+# stop-word hits. Line-level rules (bullet/ellipsis line fractions) are
+# omitted: the synthetic corpus is single-line (documented in FIXTURES.md)
+# and they would be degenerate — the token-level rules carry the signal.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    col: Column,
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Per-rule boolean columns for the Gopher quality filter, plus the
+    conjunction ``keep``. One narrow projection per document — every rule
+    is a token-array expression inside whole-stage codegen, so the filter
+    adds no shuffle and scales linearly with executors."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, t: a + t)
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    # Gopher counts '#' and '...' occurrences relative to word count.
+    n_symbols = F.size(F.split(col, "#", -1)) - 1 + (
+        F.size(F.split(col, r"\.\.\.", -1)) - 1
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    flags = {
+        "ok_n_tokens": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "ok_mean_len": (mean_len >= min_mean_token_len)
+        & (mean_len <= max_mean_token_len),
+        "ok_symbol_ratio": F.when(
+            n_tok > 0, n_symbols / n_tok <= max_symbol_ratio
+        ).otherwise(F.lit(False)),
+        "ok_alpha_words": F.when(
+            n_tok > 0, n_alpha / n_tok >= min_alpha_word_ratio
+        ).otherwise(F.lit(False)),
+        "ok_stopwords": n_stop >= min_stop_hits,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    flags["keep"] = keep
+    return flags
+
+
+# --- exact-substring window dedup --------------------------------------------
+
+
+def window_hashes(col: Column, w: int = 8) -> Column:
+    """md5 of every ``w``-token sliding window (with its start offset kept
+    by position) — the exact-substring dedup unit from Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    uses a suffix array on one machine; the distributed equivalent is
+    hash-per-window + shuffle on the hash. Returns an array (one element
+    per window start); docs shorter than ``w`` tokens get an empty array."""
+    toks = tokens(normalized_text(col))
+    k = F.size(toks) - (w - 1)
+    # sequence(1, k) DESCENDS for k <= 0, so build over max(k, 1) and trim
+    # with slice(_, 1, max(k, 0)) — docs shorter than w tokens yield [].
+    all_h = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+    )
+    return F.slice(all_h, 1, F.greatest(k, F.lit(0)))
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-span statistics: how many of a doc's w-token
+    windows also appear in ANOTHER doc. Output: (doc_id, n_windows,
+    n_dup_windows, dup_ratio).
+
+    Scale shape: SINGLE lineage — explode, one groupBy (doc, hash) with
+    map-side combine, a count-over-window partitioned by hash for the
+    cross-doc test, then the per-doc rollup. No self-join of the window
+    table and no broadcast of a dup-hash set (which at corpus scale is NOT
+    small — a join-back formulation re-executed the explode three times
+    and shipped that set to every executor). Three shuffles total, each on
+    the already-collapsed (doc, hash) table, which is the minimum for
+    hash-partitioned cross-doc counting."""
+    from pyspark.sql import Window
+
+    win = docs.select(
+        F.col(id_col), F.explode(window_hashes(F.col(text_col), w)).alias("h")
+    )
+    # windows per (doc, hash) — collapses within-doc repeats before the
+    # cross-doc count so a doc repeating its own phrase is not a "dup"
+    per_doc_hash = win.groupBy(id_col, "h").agg(F.count("*").alias("cnt"))
+    flagged = per_doc_hash.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("h"))
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_windows",
+        "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_ratio"),
+    )

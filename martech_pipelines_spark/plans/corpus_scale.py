@@ -1,0 +1,274 @@
+"""Round-3 scale-operator corpus: Gopher rule filters, exact-substring
+window dedup, SemDeDup semantic dedup, and SQ8 quantized ANN — the
+training-data-pipeline operators from the published playbooks (Gopher
+App. A; Lee et al. 2022; Abbas et al. 2023; FAISS SQ), each with a full
+DuckDB oracle (the quantizers here are deterministic, unlike trained
+PQ/k-means, so even the ANN paths hash-match).
+
+Same oracle-portability ground rules as corpus.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import similarity as SIM
+from martech_pipelines_spark.operators import text as TX
+from martech_pipelines_spark.plans.corpus import q
+from martech_pipelines_spark.plans.corpus_extended import (
+    _DUCK_NORM,
+    _DUCK_TOKENS,
+    _rp_sig_sql,
+)
+from martech_pipelines_spark.sources import load_table
+
+# =============================================================================
+# t13: Gopher-style rule filter
+# =============================================================================
+
+# Corpus-tuned bounds (FIXTURES.md: token counts 10..99, mean word length
+# 3.7..5.3 — the paper's 50..100k / 3..10 would be degenerate here); the
+# operator defaults stay at the published values.
+_T13_BOUNDS = dict(
+    min_tokens=20,
+    max_tokens=90,
+    min_mean_token_len=4.0,
+    max_mean_token_len=5.0,
+    max_symbol_ratio=0.1,
+    min_alpha_word_ratio=0.8,
+    min_stop_hits=2,
+)
+
+_T13_STOP = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
+
+_T13_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text, {_DUCK_TOKENS.format(col='text')} AS toks
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                         / len(toks)
+                    ELSE 0.0 END AS mean_len,
+               len(string_split(text, '#')) - 1
+                 + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS n_sym,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+               len(list_filter(toks, x -> x IN ({_T13_STOP}))) AS n_stop
+        FROM base
+    )
+    SELECT doc_id,
+           n_tok >= {_T13_BOUNDS['min_tokens']}
+             AND n_tok <= {_T13_BOUNDS['max_tokens']} AS ok_n_tokens,
+           mean_len >= {_T13_BOUNDS['min_mean_token_len']}
+             AND mean_len <= {_T13_BOUNDS['max_mean_token_len']} AS ok_mean_len,
+           CASE WHEN n_tok > 0
+                THEN n_sym / n_tok <= {_T13_BOUNDS['max_symbol_ratio']}
+                ELSE FALSE END AS ok_symbol_ratio,
+           CASE WHEN n_tok > 0
+                THEN n_alpha / n_tok >= {_T13_BOUNDS['min_alpha_word_ratio']}
+                ELSE FALSE END AS ok_alpha_words,
+           n_stop >= {_T13_BOUNDS['min_stop_hits']} AS ok_stopwords,
+           (n_tok >= {_T13_BOUNDS['min_tokens']}
+             AND n_tok <= {_T13_BOUNDS['max_tokens']})
+           AND (mean_len >= {_T13_BOUNDS['min_mean_token_len']}
+             AND mean_len <= {_T13_BOUNDS['max_mean_token_len']})
+           AND (CASE WHEN n_tok > 0
+                THEN n_sym / n_tok <= {_T13_BOUNDS['max_symbol_ratio']}
+                ELSE FALSE END)
+           AND (CASE WHEN n_tok > 0
+                THEN n_alpha / n_tok >= {_T13_BOUNDS['min_alpha_word_ratio']}
+                ELSE FALSE END)
+           AND n_stop >= {_T13_BOUNDS['min_stop_hits']} AS keep
+    FROM feat
+    """
+
+
+@q("t13_gopher_filter", _T13_ORACLE)
+def t13_gopher_filter(spark, sf_dir):
+    """Gopher rule filter (Rae et al. 2021 App. A1.1): per-rule flags +
+    conjunction, one narrow codegen projection, no shuffle. Line-level
+    rules omitted (single-line corpus, FIXTURES.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = TX.gopher_flags(F.col("text"), **_T13_BOUNDS)
+    return docs.select(
+        "doc_id",
+        *[
+            flags[k].alias(k)
+            for k in (
+                "ok_n_tokens",
+                "ok_mean_len",
+                "ok_symbol_ratio",
+                "ok_alpha_words",
+                "ok_stopwords",
+                "keep",
+            )
+        ],
+    )
+
+
+# =============================================================================
+# dd8: exact-substring window dedup
+# =============================================================================
+
+_DD8_W = 8
+
+_DD8_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex({_DUCK_NORM.format(col='text')},
+                   '[^a-z0-9'']+'), x -> x <> '') AS t
+        FROM documents
+    ), win AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + {_DD8_W - 1} AS INTEGER)], ' '
+               )) AS h
+        FROM toks, unnest(range(1, len(t) - {_DD8_W - 2})) u(i)
+        WHERE len(t) >= {_DD8_W}
+    ), pdh AS (
+        SELECT doc_id, h, count(*) AS cnt FROM win GROUP BY 1, 2
+    ), cross_h AS (
+        SELECT h FROM pdh GROUP BY h HAVING count(*) >= 2
+    ), per_doc AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_windows FROM pdh GROUP BY 1
+    ), dup AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_windows
+        FROM pdh WHERE h IN (SELECT h FROM cross_h) GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_windows,
+           coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+           round(coalesce(d.n_dup_windows, 0) / p.n_windows, 4) AS dup_ratio
+    FROM per_doc p LEFT JOIN dup d USING (doc_id)
+    """
+
+
+@q("dd8_substring_window", _DD8_ORACLE)
+def dd8_substring_window(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022): hash every 8-token window,
+    count per doc how many windows also occur in another doc. The
+    generator's planted near-dup docs share most windows, so the stats
+    carry real signal (1,015 cross-doc hashes at sf0.01). Shuffles once on
+    the window hash with two-level aggregation — never a self-join of the
+    window table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.substring_dup_stats(docs, w=_DD8_W)
+
+
+# =============================================================================
+# s6: SemDeDup semantic dedup
+# =============================================================================
+
+_S6_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000,
+               CAST(list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 20 = 0
+    ), sig AS (
+        SELECT vec_id, v, {_rp_sig_sql('v', bits=4)} AS cluster FROM corpus
+    ), pairs AS (
+        SELECT b.vec_id AS id_b,
+               round(CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v)) > 0
+                     THEN list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v)))
+                     END, 4) AS cs
+        FROM sig a JOIN sig b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ), dropped AS (
+        SELECT DISTINCT id_b FROM pairs WHERE cs >= 0.95
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           vec_id NOT IN (SELECT id_b FROM dropped) AS keep
+    FROM sig
+    """
+
+
+@q("s6_semdedup", _S6_ORACLE)
+def s6_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with a deterministic twist: clusters
+    come from the low 4 bits of the md5-derived hyperplane signature
+    instead of k-means, so the ENTIRE pipeline (clustering included) is
+    oracle-checked. Planted 1.5x-scaled copies of every 20th vector
+    guarantee dropped-row signal (scaling preserves direction => cosine
+    1.0 AND identical signature => same cluster). Pairwise work is N^2/C
+    within clusters; nothing crosses clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5))
+        .cast("array<float>")
+        .alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return SIM.semdedup(corpus, dim=64, threshold=0.95, cluster_bits=4)
+
+
+# =============================================================================
+# s7: SQ8 scalar-quantized ANN
+# =============================================================================
+
+_S7_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+        SELECT CAST(u.i AS INTEGER) AS pos,
+               min(v[CAST(u.i AS INTEGER)]) AS mn,
+               max(v[CAST(u.i AS INTEGER)]) AS mx
+        FROM base, unnest(range(1, 65)) u(i)
+        GROUP BY 1
+    ), stats AS (
+        SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+        FROM dims
+    ), dq AS (
+        SELECT vec_id,
+               list_transform(range(1, 65), i -> CASE
+                   WHEN maxs[CAST(i AS INTEGER)] > mins[CAST(i AS INTEGER)]
+                   THEN mins[CAST(i AS INTEGER)]
+                        + round((v[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)])
+                                * 255.0
+                                / (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)]))
+                          * (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)])
+                          / 255.0
+                   ELSE mins[CAST(i AS INTEGER)] END) AS dqv
+        FROM base CROSS JOIN stats
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(CASE WHEN sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.dqv, c.dqv)) > 0
+                     THEN list_dot_product(q.v, c.dqv)
+                          / (sqrt(list_dot_product(q.v, q.v))
+                             * sqrt(list_dot_product(c.dqv, c.dqv)))
+                     END, 4) AS cos_sim
+        FROM base q CROSS JOIN dq c
+        WHERE q.vec_id % 10 = 0
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 5
+    """
+
+
+@q("s7_sq8_topk", _S7_ORACLE)
+def s7_sq8_topk(spark, sf_dir):
+    """SQ8 asymmetric search (FAISS-style scalar quantizer): per-dim
+    min/max codebook, int8 codes, full-precision queries vs reconstructed
+    corpus. Deterministic quantization => full DuckDB oracle, unlike
+    trained-codebook PQ (s2b covers that niche rows-only). Same broadcast
+    plan as s1; the scale win is the 4x-smaller materialized code table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.sq8_topk(queries, emb, dim=64, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )

@@ -1,0 +1,151 @@
+"""Round-3 scale operators: Gopher rule filter, exact-substring window
+dedup, SemDeDup, SQ8 quantized search — semantics pinned on crafted
+inputs (the full-corpus hash checks live in test_oracle_corpus)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from martech_pipelines_spark.operators import similarity as SIM  # noqa: E402
+from martech_pipelines_spark.operators import text as TX  # noqa: E402
+from martech_pipelines_spark.sources import load_table  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _flags_row(spark, text, **bounds):
+    df = spark.createDataFrame([(text,)], "text string")
+    flags = TX.gopher_flags(F.col("text"), **bounds)
+    return df.select(
+        *[flags[k].alias(k) for k in sorted(flags)]
+    ).collect()[0].asDict()
+
+
+def test_gopher_each_rule_fires_independently(spark):
+    good = "the quick brown fox jumps over that lazy dog list and more of have to be with words here filling space"
+    r = _flags_row(spark, good, min_tokens=5)
+    assert r == {
+        "keep": True,
+        "ok_alpha_words": True,
+        "ok_mean_len": True,
+        "ok_n_tokens": True,
+        "ok_stopwords": True,
+        "ok_symbol_ratio": True,
+    }
+    # too short
+    assert not _flags_row(spark, "the and of", min_tokens=5)["ok_n_tokens"]
+    # symbol soup: one '#' per word blows the 0.1 symbol-to-word ratio
+    sym = "the # and # of # to # that # have # with # be"
+    assert not _flags_row(spark, sym, min_tokens=5)["ok_symbol_ratio"]
+    # numeric tokens fail the alpha-word rule
+    nums = "the 111 222 333 444 555 666 777 888 999 000 of"
+    assert not _flags_row(spark, nums, min_tokens=5)["ok_alpha_words"]
+    # no stopwords
+    assert not _flags_row(spark, "quick brown fox jumps over lazy dog today", min_tokens=5)["ok_stopwords"]
+    # mean token length out of published [3, 10] bounds
+    short = "a b c d e f g h i j k l m n o p"
+    assert not _flags_row(spark, short, min_tokens=5)["ok_mean_len"]
+
+
+def test_gopher_empty_doc_fails_everything(spark):
+    r = _flags_row(spark, "")
+    assert not r["keep"]
+    assert not r["ok_symbol_ratio"] and not r["ok_alpha_words"]
+
+
+def test_substring_dup_stats_planted(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    rows = [
+        (1, shared + " lambda mu"),          # 12 tokens -> 5 windows
+        (2, "intro words " + shared),        # 12 tokens -> 5 windows
+        (3, "one two three four five six seven eight nine ten"),  # disjoint
+        (4, "too short"),                    # < 8 tokens -> no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in TX.substring_dup_stats(df, w=8).collect()
+    }
+    # doc 4 has no 8-token window at all -> absent from output
+    assert set(out) == {1, 2, 3}
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_ratio"] == 0.0
+    # the 10 shared tokens give 3 shared windows; each doc has 5 total
+    assert out[1]["n_windows"] == 5 and out[2]["n_windows"] == 5
+    assert out[1]["n_dup_windows"] == 3 and out[2]["n_dup_windows"] == 3
+    assert out[1]["dup_ratio"] == 0.6
+
+
+def test_substring_within_doc_repeat_is_not_cross_doc_dup(spark):
+    phrase = "red orange yellow green blue indigo violet pink"  # exactly 8
+    df = spark.createDataFrame(
+        [(1, phrase + " " + phrase), (2, "totally different words forever and ever again more")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in TX.substring_dup_stats(df, w=8).collect()}
+    # doc 1 repeats its own phrase: the repeated window is NOT cross-doc
+    assert out[1]["n_dup_windows"] == 0
+
+
+def test_semdedup_drops_scaled_copy_keeps_rest(spark):
+    emb = load_table(spark, SF0001, "embeddings").limit(40)
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0))
+        .cast("array<float>")
+        .alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    out = SIM.semdedup(corpus, dim=64, threshold=0.95, cluster_bits=4)
+    rows = {r["vec_id"]: r.asDict() for r in out.collect()}
+    originals = [v for v in rows if v < 1_000_000]
+    copies = [v for v in rows if v >= 1_000_000]
+    assert copies, "fixture must plant copies"
+    for c in copies:
+        # scaled copy: same direction -> same cluster, and dropped (id > original)
+        assert rows[c]["cluster"] == rows[c - 1_000_000]["cluster"]
+        assert rows[c]["keep"] is False
+        assert rows[c - 1_000_000]["keep"] is True
+    # row count preserved: semdedup annotates, it does not filter
+    assert len(rows) == len(originals) + len(copies)
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    emb = load_table(spark, SF0001, "embeddings")
+    mins, maxs = SIM.sq8_stats(emb, dim=64)
+    # max reconstruction error per dim is half a quantization step
+    half_steps = [(mx - mn) / 255.0 / 2.0 + 1e-12 for mn, mx in zip(mins, maxs)]
+    dq = emb.select(
+        "vec_id",
+        SIM.sq8_dequantized(F.col("embedding"), mins, maxs).alias("dq"),
+        SIM._as_double(F.col("embedding")).alias("v"),
+    )
+    err = dq.select(
+        F.max(
+            F.aggregate(
+                F.zip_with("v", "dq", lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            )
+        ).alias("worst")
+    ).collect()[0]["worst"]
+    assert err <= max(half_steps)
+
+
+def test_sq8_topk_high_recall_vs_exact(spark):
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.sq8_topk(queries, emb, dim=64, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # int8 distortion on 64-dim vectors is tiny; recall should be near-exact
+    assert recall >= 0.9, f"SQ8 recall {recall} too low"
