@@ -28,6 +28,7 @@ from martech_pipelines_spark.operators.text import (
     normalized_text,
     shingles,
     tokens,
+    window_hashes,
 )
 
 
@@ -586,3 +587,49 @@ def ngram_jaccard_pairs(
     """Word n-gram Jaccard for an explicit pair table (blocking-free
     verification path; LSH provides the blocking at scale)."""
     return jaccard_on_pairs(pairs, docs, text_col, id_col, shingle_n=n)
+
+
+# --- benchmark decontamination -----------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination audit: for every training doc, count its
+    w-token windows that also occur anywhere in the eval (benchmark) set —
+    the standard decontamination pass before an LLM training run (the
+    GPT-3/PaLM reports use 8-13-gram overlap exactly like this). Output:
+    (doc_id, n_eval_hits, contaminated).
+
+    Scale shape: the EVAL side is small by nature (benchmarks are
+    thousands of docs, the training corpus is billions), so its distinct
+    window-hash set is broadcast — the train corpus is scanned once,
+    map-side filtered against the broadcast set, and aggregated per doc.
+    No shuffle touches the full train window table; this is the one
+    dedup-family operator where a broadcast IS the 100-TB design (contrast
+    ``substring_dup_stats``, where both sides are the corpus)."""
+    twin = train.select(
+        F.col(id_col), F.explode(window_hashes(F.col(text_col), w)).alias("h")
+    )
+    ewin = (
+        eval_docs.select(F.explode(window_hashes(F.col(text_col), w)).alias("h"))
+        .distinct()
+    )
+    hits = (
+        twin.join(F.broadcast(ewin), "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_eval_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

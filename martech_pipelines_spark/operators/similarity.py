@@ -751,3 +751,202 @@ def sq8_topk(
         query_vec=query_vec,
         corpus_vec="__dq",
     )
+
+
+# --- PQ: product quantization (ADC) ------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace codebooks (m, ksub, dim/m) via local Lloyd's on a
+    deterministic sample — the FAISS recipe: PQ codebooks train on a
+    bounded sample (~100k vectors) regardless of corpus size, so this is
+    driver-side control-plane work even at 100 TB, like the IVF centroid
+    table. Sample = first ``sample`` vectors by id (deterministic);
+    init = seeded permutation of the sample."""
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.permutation(len(sub))[:ksub]].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2 * (sub @ cent.T)
+                + (cent * cent).sum(1)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Arrow encoder: per batch, one distance matmul per subspace ->
+    argmin code. Codes are the materialization unit: m bytes per vector
+    (vs 4*dim for float32 — 32x smaller at dim=64, m=8)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cent = codebooks[j]
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2 * (sub @ cent.T)
+                + (cent * cent).sum(1)
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+    round_dp: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """PQ asymmetric-distance search with exact refine (the FAISS
+    IVFADC+refine recipe): full-precision queries vs m-byte codes. Per
+    query a lookup table LUT[j][c] = dot(q_subj, centroid_jc) turns
+    scoring into m table gathers per corpus vector — no float corpus scan
+    in the shortlist pass, only the code table. Estimated cosine =
+    sum_j LUT[j][code_j] / (|q| * |x_hat|), with |x_hat| reconstructed
+    from the codes.
+
+    ADC estimates are noisy where true neighbors are near-ties, so the
+    kernel emits a refine*k shortlist per (query, batch) and the final
+    ranking re-scores the shortlist with EXACT cosines — a broadcast-
+    shortlist semi-join against the corpus, touching only candidate rows.
+    ``refine=0`` ranks raw ADC scores directly.
+
+    Same map-side top-k shape as ``brute_force_topk_arrow``: the exchange
+    is batches*|Q|*refine*k rows. Trained codebooks make shortlist
+    membership seed-dependent => rows-only driver check + recall gate in
+    pytest (the deterministic-quantizer twin with a full oracle is
+    ``sq8_topk``)."""
+    codebooks = pq_train_codebooks(
+        corpus, dim, m=m, ksub=ksub, corpus_vec=corpus_vec,
+        corpus_id=corpus_id, seed=seed,
+    )
+    _, _, dsub = codebooks.shape
+    encode = pq_encode_udf(codebooks)
+
+    id_type = dict(queries.dtypes)[query_id]
+    cid_type = dict(corpus.dtypes)[corpus_id]
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cos_sim double, rnk long"
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    # LUT[q, j, c] = dot(q_subj, centroid_jc)
+    lut = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), codebooks)
+    # reconstructed-norm contribution per (j, c): |centroid_jc|^2
+    cent_sq = (codebooks * codebooks).sum(axis=2)  # (m, ksub)
+
+    out_schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cos_sim double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[corpus_id].to_numpy()
+            codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf["__codes"]])
+            j_idx = np.arange(m)
+            # ADC inner products: gather LUT along the code axis, (Q, batch)
+            ip = np.stack([lut[:, j, codes[:, j]] for j in range(m)]).sum(axis=0)
+            xhat_norm = np.sqrt(cent_sq[j_idx, codes].sum(axis=1))  # (batch,)
+            denom = np.outer(q_norm, xhat_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, ip / denom, np.nan)  # (Q, batch)
+            sims_r = np.round(np.nan_to_num(sims, nan=-2.0), round_dp)
+            kk = min(max(k, refine * k), len(c_ids))
+            id_rank = np.argsort(np.argsort(c_ids))
+            id_keys = np.broadcast_to(id_rank, (len(q_ids), len(c_ids)))
+            order = np.lexsort((id_keys, -sims_r), axis=1)
+            rows = []
+            for qi in range(len(q_ids)):
+                for ci in order[qi, :kk]:
+                    s = sims[qi, ci]
+                    if not np.isnan(s):
+                        rows.append((q_ids[qi], c_ids[ci], float(s)))
+            yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
+
+    codes_df = corpus.select(
+        F.col(corpus_id), encode(F.col(corpus_vec)).alias("__codes")
+    )
+    cand = codes_df.mapInPandas(kernel, out_schema)
+    if refine:
+        # exact re-rank of the shortlist: broadcast the candidate pairs,
+        # semi-join-shaped BHJ against the corpus so only shortlisted rows
+        # carry their full vectors into scoring
+        qv = queries.select(
+            F.col(query_id), _as_double(F.col(query_vec)).alias("__qv")
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+        cv = corpus.select(
+            F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("__cv")
+        ).withColumn("__cn", l2_norm(F.col("__cv")))
+        denom = F.col("__qn") * F.col("__cn")
+        scored = (
+            cv.join(F.broadcast(cand.select(query_id, corpus_id)), corpus_id)
+            .join(F.broadcast(qv), query_id)
+            .select(
+                query_id,
+                corpus_id,
+                F.round(
+                    F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+                    round_dp,
+                ).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim").isNotNull())
+        )
+    else:
+        scored = cand.select(
+            query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
+        )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

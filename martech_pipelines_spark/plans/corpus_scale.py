@@ -272,3 +272,76 @@ def s7_sq8_topk(spark, sf_dir):
     return SIM.sq8_topk(queries, emb, dim=64, k=5).select(
         "query_id", "vec_id", "cos_sim", "rnk"
     )
+
+
+# =============================================================================
+# dd9: train/eval decontamination
+# =============================================================================
+
+_DD9_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex({_DUCK_NORM.format(col='text')},
+                   '[^a-z0-9'']+'), x -> x <> '') AS t
+        FROM documents
+    ), win AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + {_DD8_W - 1} AS INTEGER)], ' '
+               )) AS h
+        FROM toks, unnest(range(1, len(t) - {_DD8_W - 2})) u(i)
+        WHERE len(t) >= {_DD8_W}
+    ), eval_h AS (
+        SELECT DISTINCT h FROM win WHERE doc_id % 10 = 3
+    ), hits AS (
+        SELECT w.doc_id, CAST(count(DISTINCT w.h) AS BIGINT) AS n_eval_hits
+        FROM win w
+        WHERE w.doc_id % 10 <> 3 AND w.h IN (SELECT h FROM eval_h)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 3) d
+    LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@q("dd9_decontaminate", _DD9_ORACLE)
+def dd9_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id%10==3 act as the eval
+    set; every other doc is audited for 8-token-window overlap with it.
+    The generator's near-dup pairs straddle the split (6 contaminated
+    docs, 370 window hits at sf0.01), so the audit has real signal. Eval
+    hash set is broadcast — the train scan is one pass, map-side
+    filtered."""
+    from martech_pipelines_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+    return DD.decontaminate(train, eval_docs, w=_DD8_W)
+
+
+# =============================================================================
+# s8: product quantization ANN
+# =============================================================================
+
+
+@q("s8_pq_topk")  # rows-only: trained codebooks; recall gate in pytest
+def s8_pq_topk(spark, sf_dir):
+    """PQ ADC top-5 with exact refine (m=8 subspaces, 32 centroids each;
+    shortlist 8k then re-rank exact): per-query LUT + code gathers,
+    map-side top-k, broadcast-shortlist exact re-score. Random synthetic
+    embeddings are PQ's adversarial case (near-tie neighbors, no cluster
+    structure), hence the larger codebook + refine here (0.86 recall vs
+    exact at sf0.01). Trained codebooks => seed-dependent, so the driver
+    records rows-only; pytest pins recall and encode determinism. The
+    deterministic-quantizer twin with a full oracle is s7_sq8_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_topk(queries, emb, dim=64, k=5, ksub=32, refine=8).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )

@@ -149,3 +149,52 @@ def test_sq8_topk_high_recall_vs_exact(spark):
     recall = len(e & a) / len(e)
     # int8 distortion on 64-dim vectors is tiny; recall should be near-exact
     assert recall >= 0.9, f"SQ8 recall {recall} too low"
+
+
+def test_decontaminate_flags_only_overlapping_train_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    train = spark.createDataFrame(
+        [
+            (1, shared + " lambda mu"),                       # overlaps eval
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "short doc"),                                  # no windows
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "prefix words " + shared)], "doc_id long, text string"
+    )
+    from martech_pipelines_spark.operators import dedup as DD
+
+    out = {r["doc_id"]: r.asDict() for r in DD.decontaminate(train, eval_docs, w=8).collect()}
+    # every train doc appears, windowless ones included (n_eval_hits 0)
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated"] and out[1]["n_eval_hits"] == 3
+    assert not out[2]["contaminated"] and out[2]["n_eval_hits"] == 0
+    assert not out[3]["contaminated"]
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    emb = load_table(spark, SF0001, "embeddings")
+    books = SIM.pq_train_codebooks(emb, dim=64, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    encode = SIM.pq_encode_udf(books)
+    codes = emb.select("vec_id", encode(F.col("embedding")).alias("c")).collect()
+    for r in codes:
+        assert len(r["c"]) == 8 and all(0 <= c < 16 for c in r["c"])
+    # retrain + re-encode must be byte-identical (seeded sample + init)
+    books2 = SIM.pq_train_codebooks(emb, dim=64, m=8, ksub=16)
+    assert (books == books2).all()
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.pq_topk(queries, emb, dim=64, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"PQ recall {recall} too low"
