@@ -37,6 +37,10 @@ HEADLINE = [
     "w3_session",
     "r4_rollup",
     "r6_asof_join",
+    # round-3 additions (no BASELINE floor entries — totals are therefore
+    # not comparable across rounds; per-query floors are, see BENCH_NOTES)
+    "dd8_substring_window",
+    "s7_sq8_topk",
 ]
 
 

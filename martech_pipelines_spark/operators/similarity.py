@@ -736,13 +736,16 @@ def sq8_topk(
     (broadcast queries, corpus never shuffled, per-query top-k window) —
     the scale win is the 4x-smaller corpus scan when codes are
     materialized; here quantization is inline and deterministic, so the
-    entire path has a full DuckDB oracle (unlike trained-codebook PQ)."""
+    entire path has a full DuckDB oracle (unlike trained-codebook PQ).
+    Scoring goes through the Arrow map-side-top-k kernel (same
+    rounded-rank contract as the HOF form — the s1/s1b equivalence
+    argument), with quantize+reconstruct still a JVM-side projection."""
     mins, maxs = sq8_stats(corpus, dim, vec_col=corpus_vec)
     dequant = corpus.select(
         F.col(corpus_id),
         sq8_dequantized(F.col(corpus_vec), mins, maxs).alias("__dq"),
     )
-    return brute_force_topk(
+    return brute_force_topk_arrow(
         queries,
         dequant,
         k=k,

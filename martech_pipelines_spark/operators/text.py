@@ -422,16 +422,20 @@ def window_hashes(col: Column, w: int = 8) -> Column:
     ("Deduplicating Training Data Makes Language Models Better"), which
     uses a suffix array on one machine; the distributed equivalent is
     hash-per-window + shuffle on the hash. Returns an array (one element
-    per window start); docs shorter than ``w`` tokens get an empty array."""
+    per window start); docs shorter than ``w`` tokens get an empty array.
+
+    Built from ``w`` shifted slices zipped together (the ``shingles``
+    idiom) — NOT ``slice(toks, i, w)`` inside a per-index lambda, which
+    re-evaluates the whole normalize+tokenize subtree once PER WINDOW
+    (Catalyst does no CSE inside lambda bodies; that form benched 10x
+    slower at sf0.1). This form tokenizes a constant ~w+1 times per row
+    and needs no sequence() (which descends for empty docs)."""
     toks = tokens(normalized_text(col))
-    k = F.size(toks) - (w - 1)
-    # sequence(1, k) DESCENDS for k <= 0, so build over max(k, 1) and trim
-    # with slice(_, 1, max(k, 0)) — docs shorter than w tokens yield [].
-    all_h = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+    k = F.greatest(F.size(toks) - (w - 1), F.lit(0))  # window count
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, k) for j in range(w)])
+    return F.transform(
+        zipped, lambda s: F.md5(F.concat_ws(" ", *[s[str(j)] for j in range(w)]))
     )
-    return F.slice(all_h, 1, F.greatest(k, F.lit(0)))
 
 
 def substring_dup_stats(

@@ -345,3 +345,185 @@ def s8_pq_topk(spark, sf_dir):
     return SIM.pq_topk(queries, emb, dim=64, k=5, ksub=32, refine=8).select(
         "query_id", "vec_id", "cos_sim", "rnk"
     )
+
+
+# =============================================================================
+# t14: BPE merge-pair statistics (tokenizer induction)
+# =============================================================================
+
+_T14_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS tok FROM documents
+    ), pairs AS (
+        SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+        FROM toks, unnest(range(1, length(tok))) u(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 50
+    """
+
+
+@q("t14_bpe_pairs", _T14_ORACLE)
+def t14_bpe_pairs(spark, sf_dir):
+    """Adjacent-symbol pair frequencies within tokens — the statistic one
+    round of BPE vocabulary induction maximizes (Sennrich et al. 2016:
+    merge the most frequent pair, recount, repeat; the recount is this
+    same query over the merged symbols). Explode + groupBy with map-side
+    combine: the shuffle carries the pair vocabulary (bounded by
+    charset^2), not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+# =============================================================================
+# pipe2: end-to-end prep with the round-3 operators
+# =============================================================================
+
+
+def _pipe2_oracle() -> str:
+    """Assembled from the t13/dd8/dd9/t10 fragments, stage for stage."""
+    toks = _DUCK_TOKENS.format(col="text")
+    norm_toks = (
+        "list_filter(string_split_regex("
+        + _DUCK_NORM.format(col="text")
+        + ", '[^a-z0-9'']+'), x -> x <> '')"
+    )
+    stop = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
+    keep = f"""
+        len({toks}) >= {_T13_BOUNDS['min_tokens']}
+        AND len({toks}) <= {_T13_BOUNDS['max_tokens']}
+        AND list_sum(list_transform({toks}, x -> length(x)))::DOUBLE / len({toks})
+            >= {_T13_BOUNDS['min_mean_token_len']}
+        AND list_sum(list_transform({toks}, x -> length(x)))::DOUBLE / len({toks})
+            <= {_T13_BOUNDS['max_mean_token_len']}
+        AND (len(string_split(text, '#')) - 1
+             + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len({toks})
+            <= {_T13_BOUNDS['max_symbol_ratio']}
+        AND len(list_filter({toks}, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+            / len({toks}) >= {_T13_BOUNDS['min_alpha_word_ratio']}
+        AND len(list_filter({toks}, x -> x IN ({stop})))
+            >= {_T13_BOUNDS['min_stop_hits']}
+    """
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE doc_id % 10 <> 3 AND ({keep})
+    ), ktoks AS (
+        SELECT doc_id, {norm_toks} AS t FROM kept
+    ), kwin AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + {_DD8_W - 1} AS INTEGER)], ' '
+               )) AS h
+        FROM ktoks, unnest(range(1, len(t) - {_DD8_W - 2})) u(i)
+        WHERE len(t) >= {_DD8_W}
+    ), pdh AS (
+        SELECT doc_id, h, count(*) AS cnt FROM kwin GROUP BY 1, 2
+    ), flagged AS (
+        SELECT doc_id, cnt, count(*) OVER (PARTITION BY h) AS n_docs FROM pdh
+    ), dupstats AS (
+        SELECT doc_id,
+               round(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)
+                     / sum(cnt), 4) AS dup_ratio
+        FROM flagged GROUP BY doc_id
+    ), kept2 AS (
+        SELECT k.doc_id, k.source, k.text FROM kept k
+        JOIN dupstats d USING (doc_id) WHERE d.dup_ratio <= 0.5
+    ), etoks AS (
+        SELECT doc_id, {norm_toks} AS t FROM documents WHERE doc_id % 10 = 3
+    ), evwin AS (
+        SELECT DISTINCT md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + {_DD8_W - 1} AS INTEGER)], ' '
+               )) AS h
+        FROM etoks, unnest(range(1, len(t) - {_DD8_W - 2})) u(i)
+        WHERE len(t) >= {_DD8_W}
+    ), k2toks AS (
+        SELECT doc_id, {norm_toks} AS t FROM kept2
+    ), contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       t[CAST(i AS INTEGER):CAST(i + {_DD8_W - 1} AS INTEGER)], ' '
+                   )) AS h
+            FROM k2toks, unnest(range(1, len(t) - {_DD8_W - 2})) u(i)
+            WHERE len(t) >= {_DD8_W}
+        ) WHERE h IN (SELECT h FROM evwin)
+    ), clean AS (
+        SELECT doc_id, source, text FROM kept2
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), packed AS (
+        SELECT source, doc_id, len({toks}) AS n_tok,
+               CAST(floor((sum(len({toks})) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - len({toks})) / 512.0) AS BIGINT) AS pack_id
+        FROM clean
+    )
+    SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1, 2
+    """
+
+
+@q("pipe2_scale_prep", _pipe2_oracle())
+def pipe2_scale_prep(spark, sf_dir):
+    """Second end-to-end prep chain, built ENTIRELY from the round-3
+    operators: Gopher rule filter -> exact-substring dup gate (drop docs
+    with >50% duplicated windows; computed within the filtered train set)
+    -> benchmark decontamination (eval = doc_id%10==3, dropped and used
+    as the contamination reference) -> 512-token sequence packing.
+    Everything is one lazy DataFrame graph; the dup gate and decon joins
+    are left-semi so doc payloads never widen through the pipeline. The
+    Gopher-filtered stage is persisted (caching registry, caller
+    releases): three branches reuse it (dup stats, dup-gate semi join,
+    decon window scan) and re-running the filter scan per branch is the
+    100-TB waste a real pipeline's stage checkpoint exists to avoid."""
+    from pyspark import StorageLevel
+
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    kept = train.where(TX.gopher_flags(F.col("text"), **_T13_BOUNDS)["keep"])
+    kept = caching.register(kept.persist(StorageLevel.MEMORY_AND_DISK))
+    dup_ok = (
+        TX.substring_dup_stats(kept, w=_DD8_W)
+        .where(F.col("dup_ratio") <= 0.5)
+        .select("doc_id")
+    )
+    kept2 = kept.join(dup_ok, "doc_id", "left_semi")
+    clean_ids = (
+        DD.decontaminate(kept2, eval_docs, w=_DD8_W)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = kept2.join(clean_ids, "doc_id", "left_semi")
+    packed = TX.sequence_pack(clean, budget=512)
+    return packed.select(
+        "source",
+        "pack_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )

@@ -199,3 +199,52 @@ def run_stream_to_memory(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_decontaminate(
+    doc_stream: DataFrame,
+    eval_docs: DataFrame,
+    w: int = 8,
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.decontaminate``: flag incoming
+    docs whose w-token windows overlap a STATIC eval/benchmark set — the
+    side-input filter a streaming ingest pipeline runs before admitting
+    crawled docs into a training corpus.
+
+    The eval window-hash set is small by nature (benchmarks vs a crawl),
+    so it is collected once and closed over by a STATELESS Arrow kernel:
+    window hashes are computed JVM-side (same ``window_hashes`` expression
+    as batch), the kernel only intersects each doc's hash array with the
+    frozen set. No streaming state, no shuffle, append output mode — the
+    decision is per-row, so the stream never buffers. Contrast the
+    stateful twins above (dedup/session) where cross-row state is the
+    point."""
+    import pandas as pd
+
+    from martech_pipelines_spark.operators.text import window_hashes
+
+    eval_hashes = frozenset(
+        r["h"]
+        for r in eval_docs.select(
+            F.explode(window_hashes(F.col("text"), w)).alias("h")
+        )
+        .distinct()
+        .collect()
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            hits = pdf["__wh"].apply(
+                lambda arr: sum(1 for h in set(arr) if h in eval_hashes)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_eval_hits": hits.astype("int64"),
+                    "contaminated": hits > 0,
+                }
+            )
+
+    return doc_stream.select(
+        "doc_id", window_hashes(F.col("text"), w).alias("__wh")
+    ).mapInPandas(kernel, "doc_id long, n_eval_hits long, contaminated boolean")

@@ -283,3 +283,45 @@ def test_stream_tumbling_counts_match_batch(spark, events_stream_dir, tmp_path):
     )
     want = {(r["user_id"], r["ws"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-side decontamination (stateless side-input filter) must
+    agree doc-for-doc with the batch operator on the same split."""
+    import shutil as _sh
+
+    from martech_pipelines_spark.operators import dedup as DD
+    from martech_pipelines_spark.sources.schemas import SCHEMAS
+    from martech_pipelines_spark.streaming.stream import streaming_decontaminate
+
+    docs = load_table(spark, SF, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    train.write.mode("overwrite").parquet(str(d))
+
+    doc_stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(d))
+    )
+    flagged = streaming_decontaminate(doc_stream, eval_docs, w=8)
+    assert flagged.isStreaming
+    q = run_stream_to_memory(
+        flagged, "decon_mem", "append", str(tmp_path / "ckpt_decon")
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_eval_hits"], r["contaminated"])
+            for r in spark.sql("SELECT * FROM decon_mem").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: (r["n_eval_hits"], r["contaminated"])
+        for r in DD.decontaminate(train, eval_docs, w=8).collect()
+    }
+    assert got == want

@@ -30,7 +30,15 @@ sys.path.insert(0, REPO)
 SRC = "/root/testdata/sf0.1"
 SF1_DIR = os.path.join(REPO, ".sf1")
 COPIES = 10
-HEAVY = ["flagship_cdc_dedup", "dd3_minhash_near_dup", "s1b_bruteforce_arrow"]
+HEAVY = [
+    "flagship_cdc_dedup",
+    "dd3_minhash_near_dup",
+    "s1b_bruteforce_arrow",
+    # round-3 heavy additions: substring-window dedup (corpus-sized hash
+    # shuffle) and SQ8 ADC search (stats pass + Arrow scoring)
+    "dd8_substring_window",
+    "s7_sq8_topk",
+]
 N_RUNS = 2
 
 
