@@ -479,3 +479,50 @@ def substring_dup_stats(
         "n_dup_windows",
         F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_ratio"),
     )
+
+
+def substring_dup_stats_skew(
+    docs: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skew-hardened twin of ``substring_dup_stats`` — SAME output rows
+    (the corpus queries share one oracle).
+
+    The window form puts every occurrence of one hash into one task; a
+    boilerplate window shared by millions of docs (site headers, license
+    blurbs — CommonCrawl reality) makes that task the straggler, and a
+    count-over-window has no partial aggregation to soften it. This form
+    persists the collapsed (doc, hash) table once, derives per-hash doc
+    counts with a map-side-combined groupBy (hot keys partial-aggregate
+    in every mapper BEFORE the shuffle), and joins the counts back — the
+    join redistributes by hash too, but AQE's skew-join splitting
+    (``spark.sql.adaptive.skewJoin``) handles an oversized partition
+    where a window operator cannot. Pick this form when window-hash
+    frequencies are heavy-tailed; the window form when they are flat."""
+    from pyspark import StorageLevel
+
+    from martech_pipelines_spark import caching
+
+    win = docs.select(
+        F.col(id_col), F.explode(window_hashes(F.col(text_col), w)).alias("h")
+    )
+    per_doc_hash = win.groupBy(id_col, "h").agg(F.count("*").alias("cnt"))
+    per_doc_hash = caching.register(
+        per_doc_hash.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hcount = per_doc_hash.groupBy("h").agg(F.count("*").alias("n_docs"))
+    flagged = per_doc_hash.join(hcount, "h")
+    agg = flagged.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_windows",
+        "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_ratio"),
+    )

@@ -527,3 +527,15 @@ def pipe2_scale_prep(spark, sf_dir):
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("total_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@q("dd8b_substring_window_skew", _DD8_ORACLE)  # SHARES dd8's oracle
+def dd8b_substring_window_skew(spark, sf_dir):
+    """dd8 through the skew-hardened formulation (persisted (doc,hash)
+    table + map-side-combined per-hash counts + AQE-skew-join join-back
+    instead of a count-over-window). Same rows by construction — shares
+    dd8's full oracle; the flip criterion (heavy-tailed window-hash
+    frequencies, i.e. boilerplate-dominated corpora) is documented on the
+    operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.substring_dup_stats_skew(docs, w=_DD8_W)

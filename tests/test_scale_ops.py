@@ -198,3 +198,16 @@ def test_pq_topk_recall_vs_exact(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"PQ recall {recall} too low"
+
+
+def test_substring_skew_twin_equals_window_form(spark):
+    docs = load_table(spark, SF0001, "documents")
+    a = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in TX.substring_dup_stats(docs, w=8).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in TX.substring_dup_stats_skew(docs, w=8).collect()
+    }
+    assert a == b
