@@ -526,3 +526,27 @@ def substring_dup_stats_skew(
         "n_dup_windows",
         F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_ratio"),
     )
+
+
+# --- URL / domain analysis ---------------------------------------------------
+
+URL_RE = r"https?://[^\s]+"
+URL_DOMAIN_RE = r"https?://([^/\s]+)"
+
+
+def url_features(col: Column, blocklist: tuple[str, ...] = ()) -> dict[str, Column]:
+    """URL extraction + domain blocklist verdict (the C4/RefinedWeb
+    source-level filter): count of URLs, sorted-distinct domain list
+    (comma-joined — scalar, oracle-hashable), and whether any domain is
+    blocklisted. Pure regexp + array expressions, codegen, no shuffle."""
+    domains = F.regexp_extract_all(col, F.lit(URL_DOMAIN_RE), 1)
+    uniq = F.array_sort(F.array_distinct(domains))
+    out = {
+        "n_urls": F.size(F.regexp_extract_all(col, F.lit(URL_RE), 0)).cast("long"),
+        "domains": F.array_join(uniq, ","),
+    }
+    if blocklist:
+        out["blocked"] = F.arrays_overlap(
+            uniq, F.array(*[F.lit(d) for d in blocklist])
+        )
+    return out

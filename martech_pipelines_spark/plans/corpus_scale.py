@@ -539,3 +539,109 @@ def dd8b_substring_window_skew(spark, sf_dir):
     operator."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.substring_dup_stats_skew(docs, w=_DD8_W)
+
+
+# =============================================================================
+# t15: URL / domain blocklist filter
+# =============================================================================
+
+_T15_BLOCKLIST = ("spam-site0.example", "spam-site1.example", "spam-site2.example")
+_T15_BLOCK_SQL = ", ".join(f"'{d}'" for d in _T15_BLOCKLIST)
+
+_T15_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 13 = 0
+                          THEN ' see https://spam-site' || CAST(doc_id % 3 AS VARCHAR)
+                               || '.example/path'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 17 = 0
+                          THEN ' via https://good.org/page' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+           coalesce(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(t, 'https?://([^/\\s]+)', 1))), ','), '')
+               AS domains,
+           len(list_intersect(
+               list_distinct(regexp_extract_all(t, 'https?://([^/\\s]+)', 1)),
+               [{_T15_BLOCK_SQL}])) > 0 AS blocked
+    FROM aug
+    """
+
+
+@q("t15_url_filter", _T15_ORACLE)
+def t15_url_filter(spark, sf_dir):
+    """URL extraction + domain blocklist (C4/RefinedWeb source filter).
+    The synthetic corpus carries no URLs, so the query plants them
+    deterministically (every 13th doc a blocklisted spam domain, every
+    17th a clean one — the t8 PII planting idiom) and pins URL counts,
+    the sorted domain list, and the blocklist verdict. Pure regexp
+    codegen, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" see https://spam-site"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".example/path"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" via https://good.org/page"))
+        .otherwise(F.lit("")),
+    )
+    feats = TX.url_features(txt, blocklist=_T15_BLOCKLIST)
+    return docs.select(
+        "doc_id",
+        feats["n_urls"].alias("n_urls"),
+        feats["domains"].alias("domains"),
+        feats["blocked"].alias("blocked"),
+    )
+
+
+# =============================================================================
+# t16: data-mixture weights per source
+# =============================================================================
+
+_T16_ORACLE = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_DUCK_TOKENS.format(col='text')})) AS BIGINT)
+                   AS total_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(total_tokens) AS all_tokens FROM per_source
+    )
+    SELECT source, n_docs, total_tokens,
+           round(total_tokens / all_tokens, 4) AS token_share,
+           round(sqrt(round(total_tokens / all_tokens, 4)), 4) AS weight_sqrt
+    FROM per_source CROSS JOIN tot
+    """
+
+
+@q("t16_mixture_weights", _T16_ORACLE)
+def t16_mixture_weights(spark, sf_dir):
+    """Per-source token accounting for training-mixture design: doc/token
+    totals, each source's token share, and the alpha=0.5 temperature
+    weight (sqrt of the ROUNDED share, so the oracle contract is fp-exact;
+    the final normalization is a trivial post-step on S rows). One keyed
+    agg + a broadcast of the 1-row total — the query a mixture tuner runs
+    before setting sampling rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+    tot = per_source.agg(F.sum("total_tokens").alias("all_tokens"))
+    share = F.round(F.col("total_tokens") / F.col("all_tokens"), 4)
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        share.alias("token_share"),
+        F.round(F.sqrt(share), 4).alias("weight_sqrt"),
+    )
