@@ -28,7 +28,6 @@ from martech_pipelines_spark.operators.text import (
     normalized_text,
     shingles,
     tokens,
-    window_hashes,
 )
 
 
@@ -612,13 +611,10 @@ def decontaminate(
     No shuffle touches the full train window table; this is the one
     dedup-family operator where a broadcast IS the 100-TB design (contrast
     ``substring_dup_stats``, where both sides are the corpus)."""
-    twin = train.select(
-        F.col(id_col), F.explode(window_hashes(F.col(text_col), w)).alias("h")
-    )
-    ewin = (
-        eval_docs.select(F.explode(window_hashes(F.col(text_col), w)).alias("h"))
-        .distinct()
-    )
+    from martech_pipelines_spark.operators.text import _window_table
+
+    twin = _window_table(train, w, text_col, id_col)
+    ewin = _window_table(eval_docs, w, text_col, id_col).select("h").distinct()
     hits = (
         twin.join(F.broadcast(ewin), "h")
         .groupBy(id_col)

@@ -35,6 +35,7 @@ from collections.abc import Callable, Generator, Iterable, Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 PostFn = Callable[[str, bytes, dict], int]  # (url, body, headers) -> status
 
@@ -400,3 +401,66 @@ def rest_csv_batch_sink(
 
     df.foreachPartition(send_partition)
     return {"sent": acc_sent.value, "batches": acc_batches.value}
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shards: int = 64,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    fmt: str = "parquet",
+    salt: str = "shard",
+) -> dict:
+    """Training-corpus shard writer: deterministic shard assignment +
+    loader manifest — the materialization step after a prep pipeline
+    (pipe1/pipe2) that a distributed training job reads.
+
+    Shard = md5(salt:id) % shards, the same engine/partitioning-invariant
+    hash as the deterministic sampler (operators/text.py:md5_bucket32):
+    re-running on re-ordered or re-partitioned input assigns every row to
+    the SAME shard, so shard->dataloader-worker maps are reproducible and
+    incremental re-writes don't reshuffle history. Physical layout is one
+    directory per shard (``partitionBy``) with the data pre-clustered by
+    a shard-keyed ``repartition`` so each shard directory gets a bounded
+    file count, not one file per upstream task.
+
+    Writes ``_manifest.json`` next to the shards with per-shard row (and
+    optional token) totals, computed from the frame in one aggregation —
+    loaders size work without scanning parquet footers. Local-FS manifest
+    write; an object-store deployment routes it through the same hook as
+    the gzip sink (sources/objectstore.py). Returns the manifest."""
+    import json
+    import os
+
+    from martech_pipelines_spark.operators.text import md5_bucket32
+
+    shard_col = (md5_bucket32(F.col(id_col).cast("string"), salt) % shards).cast(
+        "int"
+    )
+    out = df.withColumn("__shard", shard_col)
+    (
+        out.repartition(shards, F.col("__shard"))
+        .write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("__shard")
+        .save(path)
+    )
+    aggs = [F.count("*").alias("rows")]
+    if token_col:
+        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
+    stats = out.groupBy("__shard").agg(*aggs).collect()
+    manifest = {
+        "shards": shards,
+        "salt": salt,
+        "per_shard": {
+            str(r["__shard"]): {
+                k: r[k] for k in (["rows", "tokens"] if token_col else ["rows"])
+            }
+            for r in stats
+        },
+        "total_rows": sum(r["rows"] for r in stats),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest

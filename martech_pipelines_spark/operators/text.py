@@ -428,13 +428,38 @@ def window_hashes(col: Column, w: int = 8) -> Column:
     idiom) — NOT ``slice(toks, i, w)`` inside a per-index lambda, which
     re-evaluates the whole normalize+tokenize subtree once PER WINDOW
     (Catalyst does no CSE inside lambda bodies; that form benched 10x
-    slower at sf0.1). This form tokenizes a constant ~w+1 times per row
-    and needs no sequence() (which descends for empty docs)."""
-    toks = tokens(normalized_text(col))
-    k = F.greatest(F.size(toks) - (w - 1), F.lit(0))  # window count
-    zipped = F.arrays_zip(*[F.slice(toks, j + 1, k) for j in range(w)])
+    slower at sf0.1). Even the zipped form inlines the tokenize subtree
+    ~w+1 times; DataFrame operators should tokenize ONCE in a projection
+    and call ``window_hashes_from_tokens`` on the attribute (measured 5x
+    on dd8: Catalyst keeps the projection boundary because the reference
+    is non-cheap and multiply used). This Column form is for one-shot
+    expression contexts."""
+    return window_hashes_from_tokens(tokens(normalized_text(col)), w)
+
+
+def window_hashes_from_tokens(tok: Column, w: int = 8) -> Column:
+    """``window_hashes`` over an ALREADY-TOKENIZED array column (ideally a
+    plain attribute from a projection, so the w slice references are
+    cheap). Needs no sequence() — which descends for empty docs."""
+    k = F.greatest(F.size(tok) - (w - 1), F.lit(0))  # window count
+    zipped = F.arrays_zip(*[F.slice(tok, j + 1, k) for j in range(w)])
     return F.transform(
         zipped, lambda s: F.md5(F.concat_ws(" ", *[s[str(j)] for j in range(w)]))
+    )
+
+
+def _window_table(
+    docs: DataFrame, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, window-hash) rows via a two-step select: tokenize ONCE into a
+    projection attribute, then hash windows from it — the 5x-measured
+    form (see ``window_hashes``)."""
+    toks_df = docs.select(
+        F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("__tk")
+    )
+    return toks_df.select(
+        F.col(id_col),
+        F.explode(window_hashes_from_tokens(F.col("__tk"), w)).alias("h"),
     )
 
 
@@ -458,9 +483,7 @@ def substring_dup_stats(
     hash-partitioned cross-doc counting."""
     from pyspark.sql import Window
 
-    win = docs.select(
-        F.col(id_col), F.explode(window_hashes(F.col(text_col), w)).alias("h")
-    )
+    win = _window_table(docs, w, text_col, id_col)
     # windows per (doc, hash) — collapses within-doc repeats before the
     # cross-doc count so a doc repeating its own phrase is not a "dup"
     per_doc_hash = win.groupBy(id_col, "h").agg(F.count("*").alias("cnt"))
@@ -505,9 +528,7 @@ def substring_dup_stats_skew(
 
     from martech_pipelines_spark import caching
 
-    win = docs.select(
-        F.col(id_col), F.explode(window_hashes(F.col(text_col), w)).alias("h")
-    )
+    win = _window_table(docs, w, text_col, id_col)
     per_doc_hash = win.groupBy(id_col, "h").agg(F.count("*").alias("cnt"))
     per_doc_hash = caching.register(
         per_doc_hash.persist(StorageLevel.MEMORY_AND_DISK)

@@ -221,15 +221,15 @@ def streaming_decontaminate(
     point."""
     import pandas as pd
 
-    from martech_pipelines_spark.operators.text import window_hashes
+    from martech_pipelines_spark.operators.text import (
+        _window_table,
+        normalized_text,
+        tokens,
+        window_hashes_from_tokens,
+    )
 
     eval_hashes = frozenset(
-        r["h"]
-        for r in eval_docs.select(
-            F.explode(window_hashes(F.col("text"), w)).alias("h")
-        )
-        .distinct()
-        .collect()
+        r["h"] for r in _window_table(eval_docs, w, "text", "doc_id").collect()
     )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -245,6 +245,11 @@ def streaming_decontaminate(
                 }
             )
 
-    return doc_stream.select(
-        "doc_id", window_hashes(F.col("text"), w).alias("__wh")
+    # two-step select: tokenize once into an attribute, hash windows from
+    # it (the 5x-measured projection-boundary form — see window_hashes)
+    toks_df = doc_stream.select(
+        "doc_id", tokens(normalized_text(F.col("text"))).alias("__tk")
+    )
+    return toks_df.select(
+        "doc_id", window_hashes_from_tokens(F.col("__tk"), w).alias("__wh")
     ).mapInPandas(kernel, "doc_id long, n_eval_hits long, contaminated boolean")

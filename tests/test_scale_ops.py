@@ -211,3 +211,32 @@ def test_substring_skew_twin_equals_window_form(spark):
         for r in TX.substring_dup_stats_skew(docs, w=8).collect()
     }
     assert a == b
+
+
+def test_training_shard_writer_deterministic_and_complete(spark, tmp_path):
+    import json
+
+    from martech_pipelines_spark.operators.sinks import write_training_shards
+
+    docs = load_table(spark, SF0001, "documents").withColumn(
+        "n_tok", TX.token_count(F.col("text")).cast("long")
+    )
+    m1 = write_training_shards(
+        docs, str(tmp_path / "shards1"), shards=8, token_col="n_tok"
+    )
+    # reorder + repartition the input: shard membership must not move
+    shuffled = docs.orderBy(F.rand(7)).repartition(13)
+    m2 = write_training_shards(
+        shuffled, str(tmp_path / "shards2"), shards=8, token_col="n_tok"
+    )
+    assert m1 == m2
+    assert m1["total_rows"] == docs.count()
+    assert set(m1["per_shard"]) <= {str(i) for i in range(8)}
+    # manifest on disk matches the returned one
+    with open(tmp_path / "shards1" / "_manifest.json") as f:
+        assert json.load(f) == m1
+    # read-back: every row lands in the shard md5 says it should
+    back = spark.read.parquet(str(tmp_path / "shards1"))
+    expect = (TX.md5_bucket32(F.col("doc_id").cast("string"), "shard") % 8).cast("int")
+    assert back.where(F.col("__shard") != expect).count() == 0
+    assert back.count() == m1["total_rows"]
