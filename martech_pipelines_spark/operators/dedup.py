@@ -629,3 +629,97 @@ def decontaminate(
             (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# --- connected components, large-star/small-star form ------------------------
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every LARGER neighbor to min(N(u) + {u})."""
+    sym = _symmetric(e)
+    m = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("src", "mn").alias("mn")
+    )
+    return (
+        sym.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge large->small; for each node u: connect its smaller
+    neighbors (and u itself) to min(N-(u) + {u})."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    m = oriented.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("src", "mn").alias("mn")
+    )
+    joined = oriented.join(m, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("mn").alias("dst")).union(
+        m.select(F.col("src"), F.col("mn").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def dup_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """``dup_clusters`` via alternating large-star/small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    — the documented swap for graphs whose component DIAMETER exceeds a
+    sane iteration budget: min-label propagation needs O(diameter) rounds
+    (a 10k-link near-dup chain = 10k rounds), the star algorithm
+    converges in O(log n) because each round rewires whole neighborhoods
+    onto their minima, not just adjacent nodes. Near-dup graphs are
+    usually shallow (use ``dup_clusters``); crawl-scale boilerplate
+    chains are not (use this). SAME output contract: (id, cluster) with
+    cluster = min member id; dd7b shares dd7's recursive-CTE oracle.
+
+    Each round is two join+agg phases over the current edge set; edges
+    are ``localCheckpoint``ed per round to truncate lineage, convergence
+    = edge-set fixpoint (count equality + empty symmetric difference)."""
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        if new_edges.count() == edges.count() and (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            converged = True
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters_star did not reach an edge fixpoint within "
+            f"max_iter={max_iter} rounds"
+        )
+    # fixpoint edges are stars rooted at each component's min id
+    roots = edges.groupBy("src").agg(F.min("dst").alias("root"))
+    return nodes.join(roots, nodes.id == roots.src, "left").select(
+        F.col("id"),
+        F.least(F.col("id"), F.coalesce("root", F.col("id"))).alias("cluster"),
+    )

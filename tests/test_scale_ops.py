@@ -240,3 +240,89 @@ def test_training_shard_writer_deterministic_and_complete(spark, tmp_path):
     expect = (TX.md5_bucket32(F.col("doc_id").cast("string"), "shard") % 8).cast("int")
     assert back.where(F.col("__shard") != expect).count() == 0
     assert back.count() == m1["total_rows"]
+
+
+def test_window_ops_null_and_empty_text_safe(spark):
+    """NULL/empty text must not crash any window-hash consumer and must
+    produce the documented degenerate outputs."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in TX.substring_dup_stats(df, w=8).collect()}
+    # null/empty docs have no windows -> absent; the real doc has 2
+    assert set(out) == {3}
+    assert out[3]["n_windows"] == 2 and out[3]["n_dup_windows"] == 0
+
+    from martech_pipelines_spark.operators import dedup as DD
+
+    eval_docs = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    decon = {r["doc_id"]: r.asDict() for r in DD.decontaminate(df, eval_docs).collect()}
+    assert set(decon) == {1, 2, 3}
+    assert all(not v["contaminated"] for v in decon.values())
+
+    flags = TX.gopher_flags(F.col("text"))
+    row = df.where(F.col("doc_id") == 1).select(
+        *[flags[k].alias(k) for k in sorted(flags)]
+    ).collect()[0]
+    # NULL text: no rule may evaluate to True (NULL keep is falsy on filter)
+    assert not any(v is True for v in row.asDict().values())
+
+
+def _cc_bruteforce(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def test_star_cc_matches_union_find_on_random_graph(spark):
+    import random
+
+    from martech_pipelines_spark.operators import dedup as DD
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _cc_bruteforce(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster"] for r in DD.dup_clusters_star(pairs).collect()}
+    assert got == want
+
+
+def test_star_cc_converges_on_chain_beyond_propagation_budget(spark):
+    """A 150-link path has diameter 150: min-label propagation's default
+    20-round budget cannot finish it, the star algorithm must in O(log n)."""
+    import pytest as _pytest
+
+    from martech_pipelines_spark.operators import dedup as DD
+
+    chain = [(i, i + 1) for i in range(150)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["id"]: r["cluster"] for r in DD.dup_clusters_star(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 151
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.dup_clusters(pairs).collect()
+
+
+def test_star_cc_equals_propagation_on_shallow_graph(spark):
+    from martech_pipelines_spark.operators import dedup as DD
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["id"]: r["cluster"] for r in DD.dup_clusters(pairs).collect()}
+    b = {r["id"]: r["cluster"] for r in DD.dup_clusters_star(pairs).collect()}
+    assert a == b
