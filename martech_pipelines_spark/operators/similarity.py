@@ -777,7 +777,6 @@ def pq_train_codebooks(
     table. Sample = first ``sample`` vectors by id (deterministic);
     init = seeded permutation of the sample."""
     assert dim % m == 0, "dim must divide into m subspaces"
-    dsub = dim // m
     rows = (
         corpus.select(corpus_id, corpus_vec)
         .orderBy(corpus_id)
@@ -785,24 +784,7 @@ def pq_train_codebooks(
         .collect()
     )
     x = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    rng = np.random.RandomState(seed)
-    books = np.empty((m, ksub, dsub))
-    for j in range(m):
-        sub = x[:, j * dsub : (j + 1) * dsub]
-        cent = sub[rng.permutation(len(sub))[:ksub]].copy()
-        for _ in range(iters):
-            d2 = (
-                (sub * sub).sum(1, keepdims=True)
-                - 2 * (sub @ cent.T)
-                + (cent * cent).sum(1)
-            )
-            assign = d2.argmin(axis=1)
-            for c in range(ksub):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
-        books[j] = cent
-    return books
+    return _pq_lloyds(x, m, ksub, iters=iters, seed=seed)
 
 
 def pq_encode_udf(codebooks: np.ndarray):
@@ -949,6 +931,237 @@ def pq_topk(
             query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
         )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+# --- IVF-PQ: cell-partitioned index over residual PQ codes -------------------
+
+
+def _pq_lloyds(x: np.ndarray, m: int, ksub: int, iters: int, seed: int) -> np.ndarray:
+    """Local Lloyd's per subspace over a sample matrix — shared by flat PQ
+    and IVF-PQ (which trains on cell residuals)."""
+    dsub = x.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.permutation(len(sub))[:ksub]].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2 * (sub @ cent.T)
+                + (cent * cent).sum(1)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    dim: int,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    sample: int = 4096,
+    seed: int = 42,
+) -> None:
+    """The FAISS IVFADC layout on Spark: coarse cells as physical
+    partitions, RESIDUAL PQ codes as the payload.
+
+    Build: train the coarse quantizer; PQ-train on a bounded sample of
+    cell residuals (x - centroid[cell]) — residual encoding is what makes
+    IVFPQ beat flat PQ (residuals are smaller and better clustered than
+    raw vectors); encode every vector to m codes; write
+    ``{index_path}/codes`` parquet PARTITIONED BY cell (m ints per vector
+    — the only thing a probe scans) plus the tiny centroid and codebook
+    tables. One Arrow-kernel pass over the corpus, no shuffle beyond the
+    partitioned write."""
+    spark = corpus.sparkSession
+    centroids = _train_centroids(corpus, corpus_vec, nlist, seed)
+    _, assign_cell = _centroid_kernels(centroids, nprobe=1)
+
+    srows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(sample)
+        .collect()
+    )
+    sx = np.array([np.asarray(r[1], dtype=np.float64) for r in srows])
+    d2 = (
+        (sx * sx).sum(1, keepdims=True)
+        - 2 * (sx @ centroids.T)
+        + (centroids * centroids).sum(1)
+    )
+    resid = sx - centroids[d2.argmin(axis=1)]
+    codebooks = _pq_lloyds(resid, m, ksub, iters=10, seed=seed)
+    dsub = dim // m
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode_resid(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        r = mat - centroids[cells.to_numpy()]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = r[:, j * dsub : (j + 1) * dsub]
+            cb = codebooks[j]
+            dd = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2 * (sub @ cb.T)
+                + (cb * cb).sum(1)
+            )
+            codes[:, j] = dd.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    (
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).alias("__v"),
+            assign_cell(F.col(corpus_vec)).alias("cell"),
+        )
+        .select("vec_id", "cell", encode_resid(F.col("__v"), F.col("cell")).alias("codes"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/codes")
+    )
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, codebooks[j, c].tolist())
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "subspace int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+
+
+def ivfpq_probe_topk(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    refine_corpus: DataFrame | None = None,
+    refine_mult: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVFADC probe: partition-pruned read of the PQ code table (literal
+    ``cell IN (...)`` like ``ivf_probe_topk``), reconstruct
+    centroid[cell] + decode(codes) per Arrow batch, one matmul against
+    the collected query matrix, map-side shortlist of refine_mult*k per
+    (query, batch). With ``refine_corpus`` the shortlist is exactly
+    re-scored against true vectors fetched by id (the FAISS refine
+    stage, which stores full vectors beside the index for this purpose);
+    without it the ADC estimates rank directly. The probe never reads a
+    float vector outside the refine point-lookup — the scan cost is m
+    bytes/vector over nprobe/nlist of the corpus."""
+    spark = queries.sparkSession
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])]
+    )
+    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    ksub = 1 + max(r["code"] for r in cb_rows)
+    dsub = len(cb_rows[0]["vec"])
+    codebooks = np.empty((m, ksub, dsub))
+    for r in cb_rows:
+        codebooks[r["subspace"], r["code"]] = r["vec"]
+
+    probe_cells, _ = _centroid_kernels(centroids, nprobe)
+    q_rows = queries.select(query_id, query_vec).collect()
+    id_type = dict(queries.dtypes)[query_id]
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    qcells = queries.select(
+        F.explode(probe_cells(F.col(query_vec))).alias("cell")
+    )
+    probed = sorted({r["cell"] for r in qcells.distinct().collect()})
+    codes_df = spark.read.parquet(f"{index_path}/codes").where(
+        F.col("cell").isin([int(x) for x in probed])
+    )
+
+    out_schema = f"{query_id} {id_type}, {corpus_id} long, cos_sim double"
+    kk_short = max(k, refine_mult * k if refine_corpus is not None else k)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # reconstruct: centroid + per-subspace codebook gathers
+            recon = centroids[cells].copy()
+            for j in range(m):
+                recon[:, j * dsub : (j + 1) * dsub] += codebooks[j][codes[:, j]]
+            r_norm = np.sqrt((recon * recon).sum(axis=1))
+            denom = np.outer(q_norm, r_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, (q_mat @ recon.T) / denom, np.nan)
+            sims_r = np.round(np.nan_to_num(sims, nan=-2.0), round_dp)
+            kk = min(kk_short, len(c_ids))
+            id_rank = np.argsort(np.argsort(c_ids))
+            id_keys = np.broadcast_to(id_rank, (len(q_ids), len(c_ids)))
+            order = np.lexsort((id_keys, -sims_r), axis=1)
+            rows = []
+            for qi in range(len(q_ids)):
+                for ci in order[qi, :kk]:
+                    s = sims[qi, ci]
+                    if not np.isnan(s):
+                        rows.append((q_ids[qi], int(c_ids[ci]), float(s)))
+            yield pd.DataFrame(rows, columns=[query_id, "vec_id", "cos_sim"])
+
+    cand = codes_df.select("vec_id", "cell", "codes").mapInPandas(kernel, out_schema)
+    if refine_corpus is not None:
+        qv = queries.select(
+            F.col(query_id), _as_double(F.col(query_vec)).alias("__qv")
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+        cv = refine_corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            _as_double(F.col(corpus_vec)).alias("__cv"),
+        ).withColumn("__cn", l2_norm(F.col("__cv")))
+        denom = F.col("__qn") * F.col("__cn")
+        scored = (
+            cv.join(F.broadcast(cand.select(query_id, "vec_id")), "vec_id")
+            .join(F.broadcast(qv), query_id)
+            .select(
+                query_id,
+                "vec_id",
+                F.round(
+                    F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+                    round_dp,
+                ).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim").isNotNull())
+        )
+    else:
+        scored = cand.select(
+            query_id, "vec_id", F.round("cos_sim", round_dp).alias("cos_sim")
+        )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("vec_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)

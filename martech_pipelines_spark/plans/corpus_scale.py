@@ -679,3 +679,36 @@ def dd7b_dup_clusters_star(spark, sf_dir):
         corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
     )
     return DD.dup_clusters_star(pairs).select("id", F.col("cluster").cast("long"))
+
+
+# =============================================================================
+# s2d: materialized IVF-PQ (IVFADC) probe
+# =============================================================================
+
+
+@q("s2d_ivfpq_materialized")  # rows-only: trained quantizers; gates in pytest
+def s2d_ivfpq_materialized(spark, sf_dir):
+    """The FAISS IVFADC layout end-to-end: stage 1 writes residual PQ
+    codes partitioned by coarse cell (m bytes/vector — 32x smaller than
+    float32 at dim=64, m=8) plus centroid/codebook control tables; stage
+    2 probes with a literal cell IN-list (static partition pruning, same
+    proof as s2c), reconstructs centroid+decode per Arrow batch, and
+    exact-refines the ADC shortlist against true vectors by id. Trained
+    quantizers => rows-only; pytest gates recall vs exact search and the
+    pruned probe scan."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".ivfpq_cache",
+        sf_name,
+    )
+    SIM.ivfpq_build_index(emb, index_path, dim=64, nlist=16, m=8, ksub=16)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_probe_topk(
+        queries, index_path, k=5, nprobe=4, refine_corpus=emb
+    ).select("query_id", "vec_id", "cos_sim", "rnk")

@@ -326,3 +326,35 @@ def test_star_cc_equals_propagation_on_shallow_graph(spark):
     a = {r["id"]: r["cluster"] for r in DD.dup_clusters(pairs).collect()}
     b = {r["id"]: r["cluster"] for r in DD.dup_clusters_star(pairs).collect()}
     assert a == b
+
+
+def test_ivfpq_recall_and_pruned_probe(spark, tmp_path):
+    emb = load_table(spark, SF0001, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    SIM.ivfpq_build_index(emb, idx, dim=64, nlist=8, m=8, ksub=16)
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.ivfpq_probe_topk(
+        queries, idx, k=5, nprobe=4, refine_corpus=emb
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # nprobe=4 of nlist=8 scans ~half the corpus; refined shortlist should
+    # recover most true neighbors
+    assert recall >= 0.5, f"IVFPQ recall {recall} too low"
+    # code table is the only per-vector payload: m ints per row
+    codes = spark.read.parquet(f"{idx}/codes")
+    row = codes.limit(1).collect()[0]
+    assert len(row["codes"]) == 8
+    # deterministic rebuild: same codes for same input
+    idx2 = str(tmp_path / "ivfpq2")
+    SIM.ivfpq_build_index(emb, idx2, dim=64, nlist=8, m=8, ksub=16)
+    c1 = {r["vec_id"]: (r["cell"], tuple(r["codes"])) for r in codes.collect()}
+    c2 = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{idx2}/codes").collect()
+    }
+    assert c1 == c2
