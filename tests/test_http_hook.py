@@ -1,38 +1,35 @@
-"""Generic HTTP hook (operators/http.py): Connection-driven URL/auth/
-headers, arbitrary methods, response checking, and the shared
-retry classification — against a real local stub server, no Spark.
-
-Mirrors the reference surface at martech_pipelines/hooks/http.py:24-217.
-"""
+"""Generic HTTP hook parity (reference hooks/http.py): URL/auth/header
+resolution from Connections, arbitrary methods against a real local
+server, response checking, and retry classification."""
 
 from __future__ import annotations
 
-import base64
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
 
-from martech_pipelines_spark.operators.connections import ConnectionRegistry
-from martech_pipelines_spark.operators.http import HttpHook, RetryArgs
+from martech_pipelines_spark.operators.connections import Connection, ConnectionRegistry
+from martech_pipelines_spark.operators.http_hook import HttpHook, HttpResponse
 from martech_pipelines_spark.operators.sinks import HttpClientError
 
 
-class _Echo(BaseHTTPRequestHandler):
-    requests: list[dict] = []
+class _AnyMethod(BaseHTTPRequestHandler):
+    calls: list[dict] = []
     fail_first_n = 0
     fail_status = 503
 
     def _handle(self):
         cls = type(self)
         length = int(self.headers.get("Content-Length") or 0)
-        cls.requests.append(
+        cls.calls.append(
             {
                 "method": self.command,
                 "path": self.path,
-                "headers": dict(self.headers),
                 "body": self.rfile.read(length) if length else b"",
+                "auth": self.headers.get("Authorization"),
+                "passcode": self.headers.get("X-Passcode"),
             }
         )
         if cls.fail_first_n > 0:
@@ -44,7 +41,7 @@ class _Echo(BaseHTTPRequestHandler):
         self.send_header("Content-Type", "application/json")
         self.end_headers()
         if self.command != "HEAD":
-            self.wfile.write(json.dumps({"ok": True}).encode())
+            self.wfile.write(json.dumps({"ok": True, "path": self.path}).encode())
 
     do_GET = do_POST = do_PUT = do_DELETE = do_HEAD = do_PATCH = _handle
 
@@ -54,151 +51,127 @@ class _Echo(BaseHTTPRequestHandler):
 
 @pytest.fixture()
 def server():
-    _Echo.requests = []
-    _Echo.fail_first_n = 0
-    _Echo.fail_status = 503
-    srv = HTTPServer(("127.0.0.1", 0), _Echo)
+    _AnyMethod.calls = []
+    _AnyMethod.fail_first_n = 0
+    _AnyMethod.fail_status = 503
+    srv = HTTPServer(("127.0.0.1", 0), _AnyMethod)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    yield srv.server_port, _Echo
+    yield srv.server_port, _AnyMethod
     srv.shutdown()
 
 
-def registry_for(srv_port: int, **overrides) -> ConnectionRegistry:
-    conn = {
-        "host": "127.0.0.1",
-        "schema": "http",
-        "port": srv_port,
-        "login": "svc",
-        "password": "pw",
-        "extra": json.dumps({"X-Tenant": "acme"}),
-    }
-    conn.update(overrides)
-    return ConnectionRegistry({"api": conn})
+def _conn(port, **kw):
+    return Connection("api", host="127.0.0.1", schema="http", port=port, **kw)
 
 
-def test_get_sends_params_auth_and_extra_headers(server):
-    port, rec = server
-    hook = HttpHook(registry_for(port), method="GET", http_conn_id="api")
-    resp = hook.run("v1/items", data={"q": "a b", "n": 2})
-    assert resp.ok and resp.json() == {"ok": True}
-    req = rec.requests[0]
-    assert req["method"] == "GET"
-    assert req["path"] == "/v1/items?q=a+b&n=2"
-    assert req["body"] == b""  # GET: params, never a body
-    expected = "Basic " + base64.b64encode(b"svc:pw").decode()
-    assert req["headers"]["Authorization"] == expected
-    assert req["headers"]["X-Tenant"] == "acme"  # Connection extras
+def test_base_url_resolution_rules():
+    # host with scheme taken verbatim; else schema defaults to http; port appended
+    assert HttpHook._base_url(Connection("a", host="https://x.io")) == "https://x.io"
+    assert HttpHook._base_url(Connection("a", host="x.io")) == "http://x.io"
+    assert (
+        HttpHook._base_url(Connection("a", host="x.io", schema="https", port=8443))
+        == "https://x.io:8443"
+    )
 
 
-def test_head_sends_no_params_and_post_formencodes_dict(server):
-    port, rec = server
-    head = HttpHook(registry_for(port), method="HEAD", http_conn_id="api")
-    head.run("ping", data={"ignored": "1"})
-    assert rec.requests[0]["path"] == "/ping" and rec.requests[0]["body"] == b""
-
-    post = HttpHook(registry_for(port), method="POST", http_conn_id="api")
-    post.run("submit", data={"a": "1", "b": "2"})
-    req = rec.requests[1]
-    assert req["body"] == b"a=1&b=2"
-    assert req["headers"]["Content-Type"] == "application/x-www-form-urlencoded"
-
-
-def test_url_building_rules(server):
+def test_url_join_rules(server):
     port, _ = server
-    hook = HttpHook(registry_for(port), method="GET", http_conn_id="api")
-    assert hook.base_url == f"http://127.0.0.1:{port}"
-    assert hook.url_for("v1/x") == f"http://127.0.0.1:{port}/v1/x"
-    assert hook.url_for("/v1/x") == f"http://127.0.0.1:{port}/v1/x"
+    hook = HttpHook("GET", _conn(port))
+    assert hook.url_for("v1/probe") == f"http://127.0.0.1:{port}/v1/probe"
+    assert hook.url_for("/v1/probe") == f"http://127.0.0.1:{port}/v1/probe"
     assert hook.url_for("http://other/abs") == "http://other/abs"
-    # host already carrying a scheme wins verbatim (hooks/http.py:51-53)
-    absolute = HttpHook(
-        registry_for(
-            port, host=f"http://127.0.0.1:{port}/base", schema=None, port=None
-        ),
-        method="GET",
-        http_conn_id="api",
+    assert HttpHook("GET").url_for("http://other/abs") == "http://other/abs"
+
+
+def test_get_sends_query_params_and_auth_headers(server):
+    port, rec = server
+    conn = _conn(port, login="acct", password="pw", extra='{"X-Passcode": "p"}')
+    resp = HttpHook("GET", conn).run("v1/status", data={"q": "a b", "n": 2})
+    assert resp.status_code == 200 and resp.json()["ok"] is True
+    call = rec.calls[-1]
+    assert call["method"] == "GET"
+    assert call["path"] == "/v1/status?q=a+b&n=2"
+    assert call["body"] == b""  # GET carries no body
+    assert call["auth"].startswith("Basic ")
+    assert call["passcode"] == "p"  # extras become default headers
+
+
+def test_registry_resolves_conn_id_with_secret(server, monkeypatch):
+    port, rec = server
+    monkeypatch.setenv("MARTECH_API_KEY", "sekret")
+    reg = ConnectionRegistry(
+        {
+            "api": {
+                "host": "127.0.0.1",
+                "port": port,
+                "login": "acct",
+                "password_secret": "martech/api-key",
+            }
+        }
     )
-    assert absolute.base_url == f"http://127.0.0.1:{port}/base"
+    HttpHook("GET", "api", registry=reg).run("ping")
+    import base64
+
+    assert rec.calls[-1]["auth"] == "Basic " + base64.b64encode(
+        b"acct:sekret"
+    ).decode()
 
 
-def test_invalid_extra_is_ignored(server):
+def test_head_sends_no_body_delete_and_put_send_body(server):
     port, rec = server
-    hook = HttpHook(
-        registry_for(port, extra="not json"), method="GET", http_conn_id="api"
-    )
-    hook.run("ok")
-    assert "X-Tenant" not in rec.requests[0]["headers"]
+    assert HttpHook("HEAD", _conn(port)).run("obj", data={"x": 1}).status_code == 200
+    assert rec.calls[-1]["method"] == "HEAD" and rec.calls[-1]["body"] == b""
+    HttpHook("PUT", _conn(port)).run("obj", data='{"a":1}')
+    assert rec.calls[-1]["method"] == "PUT" and rec.calls[-1]["body"] == b'{"a":1}'
+    HttpHook("DELETE", _conn(port)).run("obj")
+    assert rec.calls[-1]["method"] == "DELETE"
 
 
-def test_non_2xx_raises_status_reason_and_check_response_off(server):
+def test_post_form_encodes_dict_body(server):
     port, rec = server
-    rec.fail_first_n, rec.fail_status = 2, 404
-    hook = HttpHook(registry_for(port), method="GET", http_conn_id="api")
-    with pytest.raises(HttpClientError, match="404:"):
-        hook.run("missing")
-    resp = hook.run("missing", extra_options={"check_response": False})
-    assert resp.status == 404  # unchecked: response returned, not raised
+    HttpHook("POST", _conn(port)).run("form", data={"a": 1, "b": "x y"})
+    assert rec.calls[-1]["body"] == b"a=1&b=x+y"
 
 
-def test_retry_5xx_then_success(server):
-    port, rec = server
-    rec.fail_first_n, rec.fail_status = 2, 503
-    hook = HttpHook(registry_for(port), method="GET", http_conn_id="api")
-    resp = hook.run_with_advanced_retry(
-        RetryArgs(max_attempts=3, backoff_base_s=0.01), "flaky"
-    )
-    assert resp.ok and len(rec.requests) == 3
-
-
-def test_retry_429_then_success(server):
-    port, rec = server
-    rec.fail_first_n, rec.fail_status = 1, 429
-    hook = HttpHook(registry_for(port), method="POST", http_conn_id="api")
-    resp = hook.run_with_advanced_retry(
-        RetryArgs(max_attempts=3, backoff_base_s=0.01), "rate-limited", data="x"
-    )
-    assert resp.ok and len(rec.requests) == 2
-
-
-def test_4xx_fails_fast_without_retry(server):
-    port, rec = server
-    rec.fail_first_n, rec.fail_status = 5, 400
-    hook = HttpHook(registry_for(port), method="GET", http_conn_id="api")
-    with pytest.raises(HttpClientError):
-        hook.run_with_advanced_retry(
-            RetryArgs(max_attempts=4, backoff_base_s=0.01), "bad"
-        )
-    assert len(rec.requests) == 1  # exactly one attempt: fail-fast class
-
-
-def test_4xx_opt_in_retry_statuses(server):
+def test_check_response_raises_and_can_be_disabled(server):
     port, rec = server
     rec.fail_first_n, rec.fail_status = 1, 404
-    hook = HttpHook(registry_for(port), method="GET", http_conn_id="api")
-    resp = hook.run_with_advanced_retry(
-        RetryArgs(max_attempts=3, backoff_base_s=0.01, retry_statuses=frozenset({404})),
-        "eventually-there",
+    with pytest.raises(HttpClientError):
+        HttpHook("GET", _conn(port)).run("missing")
+    rec.fail_first_n, rec.fail_status = 1, 404
+    resp = HttpHook("GET", _conn(port)).run(
+        "missing", extra_options={"check_response": False}
     )
-    assert resp.ok and len(rec.requests) == 2
+    assert resp.status_code == 404
 
 
-def test_exhausted_retries_raise(server):
+def test_advanced_retry_recovers_from_5xx_and_429(server):
     port, rec = server
-    rec.fail_first_n, rec.fail_status = 9, 500
-    hook = HttpHook(registry_for(port), method="GET", http_conn_id="api")
-    with pytest.raises(IOError, match="500:"):
-        hook.run_with_advanced_retry(
-            {"max_attempts": 2, "backoff_base_s": 0.01}, "down"
+    for status in (503, 429):
+        rec.fail_first_n, rec.fail_status = 2, status
+        resp = HttpHook("GET", _conn(port)).run_with_advanced_retry(
+            {"max_attempts": 3, "backoff_base_s": 0.01}, "flaky"
         )
-    assert len(rec.requests) == 2
+        assert resp.status_code == 200
 
 
-def test_connection_error_retries(server):
+def test_advanced_retry_fails_fast_on_permanent_4xx(server):
     port, rec = server
-    # point at a closed port: pure connection errors, no HTTP status
-    registry = registry_for(1)  # port 1: nothing listens
-    hook = HttpHook(registry, method="GET", http_conn_id="api")
-    with pytest.raises(OSError):
-        hook.run_with_advanced_retry(
-            RetryArgs(max_attempts=2, backoff_base_s=0.01), "unreachable"
+    rec.fail_first_n, rec.fail_status = 5, 400
+    with pytest.raises(HttpClientError):
+        HttpHook("GET", _conn(port)).run_with_advanced_retry(
+            {"max_attempts": 5, "backoff_base_s": 0.01}, "bad"
         )
+    # exactly one attempt: permanent client errors never burn the budget
+    assert rec.fail_first_n == 4
+
+
+def test_advanced_retry_exhausts_on_connection_error():
+    hook = HttpHook("GET", Connection("a", host="127.0.0.1", port=1))
+    with pytest.raises(Exception):
+        hook.run_with_advanced_retry({"max_attempts": 2, "backoff_base_s": 0.01}, "x")
+
+
+def test_response_text_and_json_surface():
+    r = HttpResponse(200, b'{"a": 1}')
+    assert r.json() == {"a": 1} and r.text == '{"a": 1}'
