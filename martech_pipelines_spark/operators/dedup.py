@@ -321,6 +321,74 @@ def minhash_index_near_duplicates(
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def minhash_incremental_dedup(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs touching the NEW batch
+    only — new-vs-index and new-vs-new — against a corpus whose
+    signatures were materialized once by ``minhash_build_index``.
+
+    This is THE steady-state 100-TB dedup shape: the index side is never
+    re-shingled and its raw documents are never re-read (only the skinny
+    signature table is scanned — structural, since the raw index corpus
+    is not even an input here), and index-vs-index pairs are never
+    generated because the band join is anchored on the batch side. Cost
+    scales with |batch| x collision rate, not |corpus|^2 or even
+    |corpus|.
+
+    Output contract matches the other minhash forms — (id_a, id_b,
+    jaccard) normalized to id_a < id_b, distinct across bands, exact
+    Jaccard >= threshold — restricted to pairs with at least one batch
+    member, so the full-corpus oracle filtered to batch ids is the exact
+    oracle (dd10). Batch signatures are persisted (registered with
+    ``caching``) because bands and verify both read them."""
+    from pyspark.storagelevel import StorageLevel
+
+    from martech_pipelines_spark import caching
+
+    idx = spark.read.parquet(f"{index_path}/signatures")
+    expl = exploded_shingles(new_docs, text_col, id_col, shingle_n)
+    sig_aggs = [
+        F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
+    ]
+    new_sig = expl.groupBy("id").agg(*sig_aggs, F.collect_set("s").alias("sh"))
+    new_sig = caching.register(new_sig.persist(StorageLevel.MEMORY_AND_DISK))
+
+    def band_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "id",
+            F.posexplode(F.array(*_band_key_exprs(num_perm, bands))).alias(
+                "band", "band_key"
+            ),
+        )
+
+    batch_bands = band_rows(new_sig)
+    all_bands = band_rows(idx).unionByName(batch_bands)
+    cand = (
+        batch_bands.select("band", "band_key", F.col("id").alias("id_n"))
+        .join(
+            all_bands.select("band", "band_key", F.col("id").alias("id_o")),
+            ["band", "band_key"],
+        )
+        .where(F.col("id_o") != F.col("id_n"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = idx.select("id", "sh").unionByName(new_sig.select("id", "sh"))
+    return _jaccard_scored(cand, sets).where(F.col("jaccard") >= threshold)
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -571,3 +571,151 @@ def url_features(col: Column, blocklist: tuple[str, ...] = ()) -> dict[str, Colu
             uniq, F.array(*[F.lit(d) for d in blocklist])
         )
     return out
+
+
+# --- n-gram LM quality scoring (CCNet-style) ---------------------------------
+
+
+def ngram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Corpus-self bigram-LM scoring — the CCNet quality signal (Wenzek et
+    al. 2020 rank documents by LM perplexity; docs far from the corpus
+    distribution are noise/boilerplate/other-language). No external model:
+    the LM is add-k-smoothed bigram/unigram counts over the corpus itself,
+    so the whole thing is joins + aggregations and stays oracle-checkable.
+
+    score(doc) = avg over doc bigrams (w1,w2), weighted by multiplicity,
+    of -ln( (c(w1,w2)+k) / (c(w1)+k*V) ), V = unigram vocabulary size.
+    Lower = more typical. Docs with <2 tokens get (0, null).
+
+    Plan shape (all shuffles are key-bounded, all aggs map-side combined):
+    unigram counts (vocab-sized), bigram counts (bigram-vocab-sized),
+    per-doc bigram counts (one shuffle on (doc,bigram) — this collapses
+    repeated bigrams BEFORE the LM join so join volume is distinct pairs,
+    not token positions), LM join on the bigram key, final agg by doc.
+    V rides along as a broadcast 1-row cross join (the q15 scalar
+    pattern). At 100 TB the LM aggs are the classic word-count shape and
+    the bigram join is a plain shuffle join on a well-distributed key."""
+    toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    grams = toks.select("id", F.explode(bigrams_from_tokens(F.col("t"))).alias("bg"))
+    doc_bg = grams.groupBy("id", "bg").agg(F.count("*").alias("n"))
+    big = grams.groupBy("bg").agg(F.count("*").alias("c12"))
+    lm = big.withColumn("w1", F.split("bg", " ")[0]).join(uni, "w1")
+    k = F.lit(float(add_k))
+    scored = (
+        doc_bg.join(lm.select("bg", "c12", "c1"), "bg")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * -F.log((F.col("c12") + k) / (F.col("c1") + k * F.col("v")))
+                )
+                / F.sum("n"),
+                4,
+            ).alias("avg_nll"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_nll",
+        )
+    )
+
+
+def bigrams_from_tokens(toks: Column) -> Column:
+    """`bigrams` over an already-tokenized array column (tokenize-once
+    callers: ngram_lm_scores shares one tokens() projection across the
+    unigram and bigram branches)."""
+    k = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(toks, 1, k), F.slice(toks, 2, k))
+    return F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+
+
+# --- DSIR-style hashed-n-gram importance weights -----------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 256,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) on
+    hashed unigram features: estimate target vs raw feature distributions
+    over md5-hash buckets, then weight every RAW doc by its average
+    log-likelihood ratio  avg_f[ ln p_target(f) - ln p_raw(f) ].
+
+    Docs scoring high look like the target domain — the standard
+    cheap-classifier alternative for domain upsampling. Hash-bucketing
+    (n_buckets) is what makes this 100-TB-shaped: both feature
+    distributions are fixed-width (n_buckets rows), broadcastable, and
+    engine-portable via the shared md5 bucket arithmetic; no vocabulary
+    blow-up. Raw docs = every source except the target. Token-less raw
+    docs get (0, null).
+
+    Plan: one explode -> bucket projection; ONE conditional aggregation
+    produces both bucket distributions (a bucket unseen in the target
+    still smooths against the target total — add-k is consistent because
+    the two counts share rows); score = explode(raw docs) -> broadcast
+    join on bucket -> per-doc agg."""
+    is_target = F.col(source_col) == F.lit(target_source)
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_t"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).withColumn("f", md5_bucket32(F.col("w"), "dsir") % n_buckets)
+    k = F.lit(float(add_k))
+    nb = F.lit(int(n_buckets))
+    t_flag = F.col("is_t").cast("long")
+    counts = feats.groupBy("f").agg(
+        F.sum(t_flag).alias("ct"), F.sum(1 - t_flag).alias("cr")
+    )
+    totals = feats.agg(
+        F.sum(t_flag).alias("tot_t"), F.sum(1 - t_flag).alias("tot_r")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "f",
+        (
+            F.log((F.col("ct") + k) / (F.col("tot_t") + k * nb))
+            - F.log((F.col("cr") + k) / (F.col("tot_r") + k * nb))
+        ).alias("llr"),
+    )
+    scored = (
+        feats.where(~F.col("is_t"))
+        .join(F.broadcast(ratio), "f")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.avg("llr"), 4).alias("importance"),
+        )
+    )
+    return (
+        docs.where(~is_target)
+        .select(F.col(id_col))
+        .join(scored.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            "importance",
+        )
+    )

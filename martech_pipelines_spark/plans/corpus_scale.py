@@ -712,3 +712,162 @@ def s2d_ivfpq_materialized(spark, sf_dir):
     return SIM.ivfpq_probe_topk(
         queries, index_path, k=5, nprobe=4, refine_corpus=emb
     ).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+# =============================================================================
+# dd10: incremental dedup of a new batch against a materialized index
+# =============================================================================
+
+from martech_pipelines_spark.operators import dedup as DD10_DD  # noqa: E402
+from martech_pipelines_spark.plans.corpus_extended import _minhash_oracle  # noqa: E402
+
+# Index = the %5==0 docs; new batch = perturbed near-dups of %10==0 (hit
+# the index), exact copies of those perturbed texts for %20==0 (hit each
+# other WITHIN the batch), and fresh %5==1 docs (mostly no match).
+_DD10_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz yy xx' FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' zz yy xx' FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 5 = 1
+"""
+
+
+@q(
+    "dd10_incremental_dedup",
+    f"SELECT id_a, id_b, jaccard FROM ({_minhash_oracle(_DD10_CORPUS_SQL)}) WHERE id_b >= 2000000",
+)
+def dd10_incremental_dedup(spark, sf_dir):
+    """Steady-state ingest dedup: the index corpus is signed ONCE
+    (minhash_build_index), then the new batch dedups against the index
+    AND itself reading only the skinny signature table — the index's raw
+    documents are not an input to the probe at all. Oracle = the
+    full-corpus MinHash oracle restricted to pairs touching the batch
+    (batch ids all >= 2000000 by construction), which is exactly the
+    incremental contract: identical pairs, computed without regenerating
+    index-vs-index candidates."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_corpus = docs.where(F.col("doc_id") % 5 == 0)
+    perturbed = F.concat("text", F.lit(" zz yy xx")).alias("text")
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), perturbed)
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), perturbed
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    index_path = tempfile.mkdtemp(prefix="minhash_incr_")
+    DD10_DD.minhash_build_index(index_corpus, index_path, num_perm=16, shingle_n=3)
+    return DD10_DD.minhash_incremental_dedup(
+        spark, index_path, batch, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+
+
+# =============================================================================
+# t17: corpus-self bigram-LM scoring (CCNet-style quality signal)
+# =============================================================================
+
+_T17_TOKS = _DUCK_TOKENS.format(col="text")
+
+
+@q(
+    "t17_ngram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_T17_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] AS bg
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    uni AS (
+      SELECT w1, count(*) AS c1
+      FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1
+    ),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    big AS (SELECT bg, count(*) AS c12 FROM grams GROUP BY 1),
+    docbg AS (SELECT doc_id, bg, count(*) AS n FROM grams GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_bigrams,
+             round(sum(n * -ln((c12 + 0.5) / (c1 + 0.5 * v))) / sum(n), 4) AS avg_nll
+      FROM docbg
+      JOIN big USING (bg)
+      JOIN uni ON uni.w1 = split_part(bg, ' ', 1)
+      CROSS JOIN vocab
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_nll
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def t17_ngram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal (Wenzek et al. 2020) with the LM
+    being add-k bigram/unigram counts over the corpus itself — docs with
+    high avg negative log-likelihood are out-of-distribution noise. All
+    joins + map-side-combined aggs; the oracle replicates the smoothing
+    arithmetic exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.ngram_lm_scores(docs, add_k=0.5)
+
+
+# =============================================================================
+# t18: DSIR hashed-n-gram importance weights
+# =============================================================================
+
+
+@q(
+    "t18_dsir_importance",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             ('0x' || substr(md5('dsir:' || w), 1, 8))::BIGINT % 256 AS f
+      FROM (
+        SELECT doc_id, source, unnest({_T17_TOKS}) AS w FROM documents
+      )
+    ),
+    counts AS (
+      SELECT f, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      FROM feats GROUP BY 1
+    ),
+    totals AS (
+      SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tot_t,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS tot_r
+      FROM feats
+    ),
+    ratio AS (
+      SELECT f, ln((ct + 0.5) / (tot_t + 0.5 * 256))
+                - ln((cr + 0.5) / (tot_r + 0.5 * 256)) AS llr
+      FROM counts CROSS JOIN totals
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             round(avg(llr), 4) AS importance
+      FROM feats JOIN ratio USING (f)
+      WHERE NOT is_t
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.importance
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+)
+def t18_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): rank every non-target
+    doc by how target-like (source='src0') its hashed-unigram feature
+    distribution is. Fixed-width (256-bucket) feature space keeps both
+    distributions broadcastable at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.dsir_importance(docs, target_source="src0", n_buckets=256)

@@ -358,3 +358,117 @@ def test_ivfpq_recall_and_pruned_probe(spark, tmp_path):
         for r in spark.read.parquet(f"{idx2}/codes").collect()
     }
     assert c1 == c2
+
+
+# --- dd10 incremental dedup --------------------------------------------------
+
+
+def test_incremental_dedup_equals_full_run_filtered(spark, tmp_path):
+    """Pairs from (index signed once) + (batch probe) must equal the
+    full-corpus pipeline's pairs restricted to batch membership."""
+    from martech_pipelines_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    index_corpus = docs.where(F.col("doc_id") % 5 == 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    idx = str(tmp_path / "sig_index")
+    DD.minhash_build_index(index_corpus, idx, num_perm=16, shingle_n=3)
+    incr = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in DD.minhash_incremental_dedup(
+            spark, idx, batch, threshold=0.5, num_perm=16, bands=4
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in DD.minhash_near_duplicates(
+            index_corpus.unionByName(batch),
+            threshold=0.5,
+            num_perm=16,
+            bands=4,
+            shingle_n=3,
+        ).collect()
+        if r["id_b"] >= 2000000
+    }
+    assert incr == full and len(incr) > 0
+
+
+def test_incremental_dedup_finds_batch_internal_pairs(spark, tmp_path):
+    from martech_pipelines_spark.operators import dedup as DD
+
+    index_corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "one two three four five six seven"),
+            (101, "one two three four five six seven"),  # dup WITHIN batch
+            (102, "alpha beta gamma delta epsilon zeta"),  # dup of index
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "sig_tiny")
+    DD.minhash_build_index(index_corpus, idx, num_perm=16, shingle_n=3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_incremental_dedup(
+            spark, idx, batch, threshold=0.9, num_perm=16, bands=4
+        ).collect()
+    }
+    assert (100, 101) in pairs  # batch-internal
+    assert (1, 102) in pairs  # batch-vs-index
+
+
+# --- t17 n-gram LM scoring ---------------------------------------------------
+
+
+def test_ngram_lm_smoothing_arithmetic_on_micro_corpus(spark):
+    """Hand-check the add-k arithmetic: corpus = {'a b', 'a b', 'a c'};
+    V=3, c(a)=3, c(a b)=2, c(a c)=1."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TX.ngram_lm_scores(docs, add_k=0.5).collect()}
+    k, v = 0.5, 3
+    nll_ab = -math.log((2 + k) / (3 + k * v))
+    nll_ac = -math.log((1 + k) / (3 + k * v))
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["avg_nll"] - round(nll_ab, 4)) < 1e-9
+    assert abs(out[3]["avg_nll"] - round(nll_ac, 4)) < 1e-9
+    # rarer continuation => higher nll
+    assert out[3]["avg_nll"] > out[1]["avg_nll"]
+
+
+def test_ngram_lm_short_docs_get_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words here")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TX.ngram_lm_scores(docs).collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_nll"] is None
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_nll"] is None
+    assert out[3]["n_bigrams"] == 2 and out[3]["avg_nll"] is not None
+
+
+# --- t18 DSIR importance -----------------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    rows = (
+        [(i, "wiki", "science history article reference citation") for i in range(20)]
+        + [(100, "web", "science history article reference citation")]
+        + [(101, "web", "click buy cheap deal offer")]
+        + [(102, "web", "")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in TX.dsir_importance(docs, target_source="wiki").collect()
+    }
+    assert set(out) == {100, 101, 102}  # target docs excluded from output
+    assert out[100]["importance"] > out[101]["importance"]
+    assert out[102]["n_feats"] == 0 and out[102]["importance"] is None
