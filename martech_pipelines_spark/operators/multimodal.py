@@ -232,3 +232,113 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("meta.size_bytes").alias("total_bytes"),
     )
+
+
+# --- perceptual-hash near-dup (image dedup shape) ----------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash16_table(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """pHash-shaped perceptual fingerprint over binary payloads: split the
+    payload into 16 positional segments, bit i = (mean byte of segment i)
+    > (mean byte of the whole payload). The real thing thresholds DCT
+    coefficients of a decoded image against their median — same
+    structure (positional energy vs global energy), deterministic fake
+    because no codec ships in this container; the Arrow batching, binary
+    column handling, and downstream banding are the production shape.
+
+    Arithmetic is exact-integer sums followed by one double division, so
+    an engine recomputing it from the same bytes (the mm6 oracle does,
+    from the text the payload encodes) gets bit-identical hashes."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = arr.size
+                if n == 0:
+                    out.append((int(doc_id), 0))
+                    continue
+                seg = (np.arange(n) * 16) // n
+                sums = np.bincount(seg, weights=arr, minlength=16)
+                cnts = np.bincount(seg, minlength=16)
+                total_mean = arr.sum() / n
+                with np.errstate(invalid="ignore"):
+                    means = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+                bits = (means > total_mean) & (cnts > 0)
+                out.append((int(doc_id), int((bits.astype(np.int64) << np.arange(16)).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_near_duplicates(
+    media: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual near-dup pairs via banded Hamming search — the image
+    analog of SimHash dedup. 16 hash bits split into ``bands`` bands;
+    candidates share at least one full band; verify = exact popcount on
+    the XOR. Pigeonhole guarantee: hamming <= max_hamming flips at most
+    max_hamming bands, so with bands > max_hamming every true pair
+    collides somewhere — recall 1.0, no all-pairs join. Hashes are
+    persisted (registered with ``caching``) because the band self-join
+    reads them twice."""
+    from pyspark.storagelevel import StorageLevel
+
+    from martech_pipelines_spark import caching
+
+    assert 16 % bands == 0 and bands > max_hamming
+    width = 16 // bands
+    mask = (1 << width) - 1
+    ph = caching.register(
+        phash16_table(media, id_col, payload_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    band_rows = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (F.shiftright("phash", b * width) % (mask + 1)).alias("bv"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.band", "bb.bv")
+    left = band_rows.select(
+        "band", "bv", F.col("doc_id").alias("id_a"), F.col("phash").alias("pa")
+    )
+    right = band_rows.select(
+        "band", "bv", F.col("doc_id").alias("id_b"), F.col("phash").alias("pb")
+    )
+    cand = (
+        left.join(right, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -871,3 +871,78 @@ def t18_dsir_importance(spark, sf_dir):
     distributions broadcastable at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.dsir_importance(docs, target_source="src0", n_buckets=256)
+
+
+# =============================================================================
+# mm6: perceptual-hash near-dup over binary payloads — FULL oracle
+# =============================================================================
+
+# The payload is the utf-8 encoding of `text` (documents_as_media), so the
+# oracle can recompute the byte-level hash from the string side: ascii() of
+# each char == the payload byte for this ASCII corpus. This makes mm6 the
+# one binary-kernel query with a full value oracle (mm2/mm4/mm5 stay
+# rows-only because their outputs have no SQL-expressible form).
+_MM6_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 'q' || substr(text, 2) FROM documents WHERE doc_id % 20 = 10
+"""
+
+
+@q(
+    "mm6_phash_near_dup",
+    f"""
+    WITH corpus AS (
+{_MM6_CORPUS_SQL}
+    ),
+    chars AS (
+      SELECT doc_id, ((i - 1) * 16) // length(text) AS seg,
+             ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
+      FROM corpus, unnest(range(1, length(text) + 1)) AS u(i)
+    ),
+    seg AS (
+      SELECT doc_id, seg, sum(b)::DOUBLE / count(*) AS m FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, sum(b)::DOUBLE / count(*) AS mt FROM chars GROUP BY 1
+    ),
+    ph AS (
+      SELECT s.doc_id,
+             CAST(sum(CASE WHEN m > mt THEN (1::BIGINT << CAST(seg AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
+      FROM seg s JOIN tot t USING (doc_id) GROUP BY 1
+    ),
+    bands AS (
+      SELECT doc_id, phash, b AS band, (phash >> (4 * b)) & 15 AS bv
+      FROM ph, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 1
+    """,
+)
+def mm6_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup over binary media payloads: 16-segment
+    positional hash (Arrow kernel over the binary column), 4-band Hamming
+    blocking, popcount verify at hamming <= 1 — the image-dedup shape
+    (pigeonhole recall guarantee, never all-pairs). Corpus plants exact
+    payload copies (+1e6) and single-byte-substituted near-copies (+2e6).
+    Full oracle: the payload is the utf-8 bytes of `text`, so DuckDB
+    recomputes the identical hash from ascii()."""
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    exact = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("q"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    media = MM.documents_as_media(base.unionByName(exact).unionByName(near))
+    return MM.phash_near_duplicates(media, max_hamming=1, bands=4)

@@ -472,3 +472,44 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     assert set(out) == {100, 101, 102}  # target docs excluded from output
     assert out[100]["importance"] > out[101]["importance"]
     assert out[102]["n_feats"] == 0 and out[102]["importance"] is None
+
+
+# --- mm6 perceptual-hash near-dup --------------------------------------------
+
+
+def test_phash_finds_exact_and_near_payload_dups(spark):
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "Xhe quick brown fox jumps over the lazy dog again and again"),
+            (4, "completely different content with other words 0123456789 !!!"),
+        ],
+        "doc_id long, text string",
+    )
+    media = MM.documents_as_media(docs)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.phash_near_duplicates(media, max_hamming=2, bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical payloads
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 2  # one substituted byte
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_phash_segments_capture_position_not_just_histogram(spark):
+    """Same byte multiset, different order => different hash (the reason
+    the segment form replaced a pure histogram, which was corpus-degenerate)."""
+    from martech_pipelines_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "zzzzzzzzaaaaaaaa"), (2, "aaaaaaaazzzzzzzz")],
+        "doc_id long, text string",
+    )
+    ph = {
+        r["doc_id"]: r["phash"]
+        for r in MM.phash16_table(MM.documents_as_media(docs)).collect()
+    }
+    assert ph[1] != ph[2]
