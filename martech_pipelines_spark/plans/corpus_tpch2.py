@@ -265,3 +265,168 @@ def q22_dormant_customers(spark, sf_dir):
             F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
+
+
+@q(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(volume) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+               {_REV_DUCK} AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of PROMO revenue sold
+    into ASIA customers, per year. Every dimension (part, customer,
+    supplier, nation x2, region) broadcasts; lineitem->orders is the one
+    shuffle join; the share is a conditional-aggregate pair — DECIMAL
+    sums cast to DOUBLE before the 4dp-rounded division so both engines
+    perform the same single IEEE divide."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1.n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("n2.n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n1.n_regionkey"))
+    )
+    vol = _REV_SPARK()
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum("volume").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(round(sum({_REV_DUCK}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 10 AND l_quantity BETWEEN 1  AND 15)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (adapted: no p_container column): revenue under an
+    OR-of-ANDs mixing both join sides. Catalyst extracts the common
+    p_brand IN-list as a pushable conjunct for the broadcast part scan
+    while the full disjunction evaluates post-join — the classic CNF
+    partial-pushdown pattern this query exists to exercise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    qty = F.col("l_quantity")
+    pred = (
+        ((b == "Brand#1") & sz.between(1, 10) & qty.between(1, 15))
+        | ((b == "Brand#7") & sz.between(11, 25) & qty.between(10, 30))
+        | ((b == "Brand#13") & sz.between(26, 50) & qty.between(20, 50))
+    )
+    return joined.where(pred).agg(
+        F.round(F.sum(_REV_SPARK()), 2).cast("double").alias("revenue")
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    WITH li_o AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        FROM li_o GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM li_o
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE late AND n_supp >= 2 AND n_late_supp = 1
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: late = shipped >60 days after order
+    date, standing in for the absent commit/receipt dates): suppliers who
+    were the SOLE late supplier on a multi-supplier finished order. The
+    EXISTS / NOT-EXISTS pair is re-expressed as one per-order aggregate
+    (n_supp, n_late_supp) joined back — two scans of the same filtered
+    join instead of three correlated subqueries, the decorrelated plan
+    Catalyst wants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    li_o = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),
+    )
+    per_order = li_o.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        li_o.where("late")
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
