@@ -263,6 +263,23 @@ def _jaccard_scored(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signature_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc (id, m0..m{P-1}, sh) signature rows — the one construction
+    shared by index build, incremental probe, and the streaming ingest
+    sink, so a signature written by any of them is readable by all."""
+    expl = exploded_shingles(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
+    ]
+    return expl.groupBy("id").agg(*aggs, F.collect_set("s").alias("sh"))
+
+
 def minhash_build_index(
     docs: DataFrame,
     index_path: str,
@@ -282,11 +299,7 @@ def minhash_build_index(
     the 100-TB raw corpus again. Banding is NOT materialized: band keys
     are a cheap projection over m0..m{P-1} at probe time, so one index
     serves every ``bands`` choice that divides ``num_perm``."""
-    expl = exploded_shingles(docs, text_col, id_col, shingle_n)
-    aggs = [
-        F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
-    ]
-    per_doc = expl.groupBy("id").agg(*aggs, F.collect_set("s").alias("sh"))
+    per_doc = minhash_signature_table(docs, text_col, id_col, num_perm, shingle_n)
     per_doc.write.mode("overwrite").parquet(f"{index_path}/signatures")
 
 
@@ -355,11 +368,7 @@ def minhash_incremental_dedup(
     from martech_pipelines_spark import caching
 
     idx = spark.read.parquet(f"{index_path}/signatures")
-    expl = exploded_shingles(new_docs, text_col, id_col, shingle_n)
-    sig_aggs = [
-        F.min(_md5_bucket32(F.col("s"), i)).alias(f"m{i}") for i in range(num_perm)
-    ]
-    new_sig = expl.groupBy("id").agg(*sig_aggs, F.collect_set("s").alias("sh"))
+    new_sig = minhash_signature_table(new_docs, text_col, id_col, num_perm, shingle_n)
     new_sig = caching.register(new_sig.persist(StorageLevel.MEMORY_AND_DISK))
 
     def band_rows(df: DataFrame) -> DataFrame:

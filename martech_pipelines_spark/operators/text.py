@@ -593,13 +593,19 @@ def ngram_lm_scores(
     Lower = more typical. Docs with <2 tokens get (0, null).
 
     Plan shape (all shuffles are key-bounded, all aggs map-side combined):
-    unigram counts (vocab-sized), bigram counts (bigram-vocab-sized),
-    per-doc bigram counts (one shuffle on (doc,bigram) — this collapses
-    repeated bigrams BEFORE the LM join so join volume is distinct pairs,
-    not token positions), LM join on the bigram key, final agg by doc.
+    ONE bigram explode feeds a per-(doc,bigram) count — this both
+    collapses repeated bigrams before the LM join (join volume = distinct
+    pairs, not token positions) AND supplies the corpus bigram counts as
+    a second-level rollup of the same table (no second explode, and the
+    rollup shuffles pre-aggregated rows). The per-doc table is persisted
+    (registered with ``caching``) because score and rollup both read it.
     V rides along as a broadcast 1-row cross join (the q15 scalar
     pattern). At 100 TB the LM aggs are the classic word-count shape and
     the bigram join is a plain shuffle join on a well-distributed key."""
+    from pyspark.storagelevel import StorageLevel
+
+    from martech_pipelines_spark import caching
+
     toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     uni = (
         toks.select(F.explode("t").alias("w1"))
@@ -608,8 +614,12 @@ def ngram_lm_scores(
     )
     vocab = uni.agg(F.count("*").alias("v"))
     grams = toks.select("id", F.explode(bigrams_from_tokens(F.col("t"))).alias("bg"))
-    doc_bg = grams.groupBy("id", "bg").agg(F.count("*").alias("n"))
-    big = grams.groupBy("bg").agg(F.count("*").alias("c12"))
+    doc_bg = caching.register(
+        grams.groupBy("id", "bg")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big = doc_bg.groupBy("bg").agg(F.sum("n").alias("c12"))
     lm = big.withColumn("w1", F.split("bg", " ")[0]).join(uni, "w1")
     k = F.lit(float(add_k))
     scored = (

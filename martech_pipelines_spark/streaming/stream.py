@@ -253,3 +253,56 @@ def streaming_decontaminate(
     return toks_df.select(
         "doc_id", window_hashes_from_tokens(F.col("__tk"), w).alias("__wh")
     ).mapInPandas(kernel, "doc_id long, n_eval_hits long, contaminated boolean")
+
+
+def streaming_minhash_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    grow_index: bool = True,
+) -> "object":
+    """Streaming twin of ``dedup.minhash_incremental_dedup``: the
+    probe-then-admit ingest loop a crawling pipeline runs continuously.
+    Each micro-batch of new documents (1) dedups against the materialized
+    signature index AND itself, appending found pairs to ``pairs_path``;
+    (2) with ``grow_index``, appends its own signatures to the index so
+    LATER batches dedup against it — after which the union of pair
+    outputs over any batching of the same docs equals the batch
+    operator's answer on the whole corpus, independent of batch order or
+    size (pinned in test_streaming).
+
+    foreachBatch is the right streaming form because the probe needs a
+    multi-stage batch plan (agg + self-join) per trigger, not row-level
+    state; the caching scope releases the per-batch signature persist
+    before the next trigger."""
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.operators import dedup as DD
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        with caching.scope():
+            pairs = DD.minhash_incremental_dedup(
+                batch_df.sparkSession,
+                index_path,
+                batch_df,
+                threshold=threshold,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_n=shingle_n,
+            )
+            pairs.write.mode("append").parquet(pairs_path)
+            if grow_index:
+                DD.minhash_signature_table(
+                    batch_df, num_perm=num_perm, shingle_n=shingle_n
+                ).write.mode("append").parquet(f"{index_path}/signatures")
+
+    return (
+        doc_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -325,3 +325,61 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         for r in DD.decontaminate(train, eval_docs, w=8).collect()
     }
     assert got == want
+
+
+def test_streaming_minhash_ingest_matches_batch(spark, tmp_path):
+    """Probe-then-admit ingest: union of per-batch pair outputs must equal
+    the batch pipeline on the full corpus (restricted to streamed ids),
+    for ANY batching — here one file per trigger."""
+    from martech_pipelines_spark.operators import dedup as DD
+    from martech_pipelines_spark.sources.schemas import SCHEMAS
+    from martech_pipelines_spark.streaming.stream import streaming_minhash_ingest
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    index_corpus = docs.where(F.col("doc_id") % 5 == 0)
+    streamed = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" zz yy xx")).alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" zz yy xx")).alias("text"),
+            )
+        )
+    )
+    idx = str(tmp_path / "ingest_index")
+    DD.minhash_build_index(index_corpus, idx, num_perm=16, shingle_n=3)
+
+    stream_dir = tmp_path / "doc_batches"
+    stream_dir.mkdir()
+    # several files => several micro-batches
+    streamed.repartition(4).write.mode("overwrite").parquet(str(stream_dir))
+
+    doc_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    pairs_path = str(tmp_path / "found_pairs")
+    q = streaming_minhash_ingest(
+        doc_stream, idx, pairs_path, str(tmp_path / "ckpt_ingest"), threshold=0.5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in DD.minhash_near_duplicates(
+            index_corpus.unionByName(streamed),
+            threshold=0.5, num_perm=16, bands=4, shingle_n=3,
+        ).collect()
+        if r["id_b"] >= 2000000
+    }
+    assert got == want and len(got) > 0
