@@ -729,3 +729,99 @@ def dsir_importance(
             "importance",
         )
     )
+
+
+# --- BPE merge learning (tokenizer induction) --------------------------------
+
+
+def _bpe_merge_expr(sym: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right replacement of adjacent (left, right) symbol
+    pairs with their concatenation — reference BPE merge application
+    (Sennrich et al. 2016), as a pure fold expression (no UDF). The
+    accumulator carries the last unmerged symbol; overlapping runs merge
+    leftmost-first (aaa + merge(a,a) -> [aa, a])."""
+    merged = left + right
+
+    def step(acc: Column, s: Column) -> Column:
+        return F.when(
+            (acc["pend"] == F.lit(left)) & (s == F.lit(right)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit("").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["pend"] == "", acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                .alias("out"),
+                s.alias("pend"),
+            )
+        )
+
+    return F.aggregate(
+        sym,
+        F.struct(
+            F.array().cast("array<string>").alias("out"), F.lit("").alias("pend")
+        ),
+        step,
+        lambda acc: F.when(acc["pend"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016) —
+    the tokenizer-induction loop t14 computes one round of, run to
+    ``n_merges`` rounds. Returns (rank, left, right, pair_count), rank in
+    merge order; ties broken (count desc, left asc, right asc) so the
+    table is deterministic.
+
+    Scale shape: BPE trains on the WORD FREQUENCY table, not the corpus —
+    one corpus-sized shuffle builds (word, cnt), and every round after
+    that is a vocab-sized job: adjacent-pair explode weighted by cnt,
+    one keyed agg, a 1-row collect of the argmax (legitimate control-
+    plane collect), and a fold-expression merge apply. ``localCheckpoint``
+    per round truncates the growing lineage (same driver-loop pattern as
+    ``dedup.dup_clusters``). R rounds = R vocab-sized jobs regardless of
+    corpus size."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.split("w", "").alias("sym"), "cnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        k = F.greatest(F.size("sym") - 1, F.lit(0))
+        zipped = F.arrays_zip(F.slice("sym", 1, k), F.slice("sym", 2, k))
+        pairs = (
+            words.select(F.explode(zipped).alias("p"), "cnt")
+            .select(F.col("p.0").alias("left"), F.col("p.1").alias("right"), "cnt")
+            .groupBy("left", "right")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < 2:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((rank, left, right, cnt))
+        words = words.withColumn(
+            "sym", _bpe_merge_expr(F.col("sym"), left, right)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

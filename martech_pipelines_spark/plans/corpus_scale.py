@@ -946,3 +946,82 @@ def mm6_phash_near_dup(spark, sf_dir):
     )
     media = MM.documents_as_media(base.unionByName(exact).unionByName(near))
     return MM.phash_near_duplicates(media, max_hamming=1, bands=4)
+
+
+# =============================================================================
+# pipe3: mixture-resample executor (t16 weights -> deterministic sampling)
+# =============================================================================
+
+_PIPE3_ORACLE = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len({_DUCK_TOKENS.format(col='text')})) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(total_tokens) AS all_tokens FROM per_source),
+    rates AS (
+        SELECT source,
+               CASE WHEN round(total_tokens / all_tokens, 4) = 0 THEN 1.0
+                    ELSE least(1.0, round(0.5 * round(sqrt(round(total_tokens / all_tokens, 4)), 4)
+                                          / round(total_tokens / all_tokens, 4), 4))
+               END AS rate
+        FROM per_source CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CAST(round(r.rate * 10000) AS BIGINT)
+"""
+
+
+@q("pipe3_mixture_resample", _PIPE3_ORACLE)
+def pipe3_mixture_resample(spark, sf_dir):
+    """The mixture EXECUTOR: turn t16's alpha=0.5 temperature weights
+    into per-source admission rates (upsample factor weight/share, scaled
+    0.5, capped at 1) and apply them with the t12 deterministic-sampling
+    primitive — membership = md5(source:doc_id) bucket, so the sampled
+    corpus is identical across engines, partitionings, and cluster sizes.
+    Rates are S rows (broadcast); the data path is one scan + one
+    codegen filter. The all-4dp-rounded rate arithmetic is what makes the
+    oracle contract fp-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("total_tokens")
+    )
+    tot = per_source.agg(F.sum("total_tokens").alias("all_tokens"))
+    share = F.round(F.col("total_tokens") / F.col("all_tokens"), 4)
+    rates = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.when(share == 0, F.lit(1.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.round(F.lit(0.5) * F.round(F.sqrt(share), 4) / share, 4),
+            )
+        )
+        .alias("rate"),
+    )
+    bucket = TX.md5_bucket32(F.col("doc_id").cast("string"), F.col("source")) % 10000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(bucket < F.round(F.col("rate") * 10000).cast("long"))
+        .select("doc_id", "source", "rate")
+    )
+
+
+# =============================================================================
+# t14b: BPE merge learning (iterative tokenizer induction)
+# =============================================================================
+
+
+@q("t14b_bpe_learn")  # rows-only: iterative driver loop, no closed SQL form
+def t14b_bpe_learn(spark, sf_dir):
+    """Full BPE merge-table induction (Sennrich et al. 2016) — t14's
+    one-round pair count run to 8 ranked merges. Iterative driver loop
+    over the VOCAB-sized word-frequency table (corpus-sized work happens
+    exactly once, in the initial word count); merge application is a pure
+    fold expression, no UDF. Deterministic tie-breaks make the merge
+    table stable; the exact sequence is pinned on the paper's own example
+    in tests/test_scale_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_learn_merges(docs, n_merges=8)

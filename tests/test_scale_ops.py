@@ -513,3 +513,34 @@ def test_phash_segments_capture_position_not_just_histogram(spark):
         for r in MM.phash16_table(MM.documents_as_media(docs)).collect()
     }
     assert ph[1] != ph[2]
+
+
+# --- BPE merge learning ------------------------------------------------------
+
+
+def test_bpe_learns_sennrich_example_merges(spark):
+    """Hand-computed merge sequence on the classic (Sennrich et al. 2016)
+    word-frequency example: low x5, lower x2, newest x6, widest x3."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in TX.bpe_learn_merges(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    # es(9) ties st(9) -> lexicographic; then est(9); lo(7) ties ow(7); low(7)
+    assert merges == [
+        (0, "e", "s", 9),
+        (1, "es", "t", 9),
+        (2, "l", "o", 7),
+        (3, "lo", "w", 7),
+    ]
+
+
+def test_bpe_merge_apply_is_greedy_leftmost(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],)], "sym array<string>")
+    from martech_pipelines_spark.operators.text import _bpe_merge_expr
+
+    out = df.select(_bpe_merge_expr(F.col("sym"), "a", "a").alias("m")).collect()
+    assert out[0]["m"] == ["aa", "a"]
