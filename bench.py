@@ -41,6 +41,8 @@ HEADLINE = [
     # not comparable across rounds; per-query floors are, see BENCH_NOTES)
     "dd8_substring_window",
     "s7_sq8_topk",
+    "dd10_incremental_dedup",
+    "t17_ngram_lm_score",
 ]
 
 
