@@ -1025,3 +1025,60 @@ def t14b_bpe_learn(spark, sf_dir):
     in tests/test_scale_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.bpe_learn_merges(docs, n_merges=8)
+
+
+# =============================================================================
+# r17: blocked fuzzy (edit-distance) join
+# =============================================================================
+
+
+@q(
+    "r17_fuzzy_join",
+    f"""
+    WITH vocab AS (
+        SELECT DISTINCT w FROM (
+            SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS w FROM documents
+        ) WHERE length(w) >= 5
+    ),
+    probes AS (
+        SELECT DISTINCT 'q' || substr(w, 2) AS p
+        FROM vocab WHERE w NOT LIKE 'q%'
+    )
+    SELECT p AS probe, w AS match, CAST(levenshtein(p, w) AS INTEGER) AS dist
+    FROM probes JOIN vocab
+      ON right(p, 4) = right(w, 4) AND length(p) = length(w)
+    WHERE levenshtein(p, w) <= 2
+    """,
+)
+def r17_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy join — the entity-resolution / spell-correction
+    primitive: probes (vocabulary words with a planted leading-char typo)
+    matched to the dictionary under edit distance <= 2, with candidates
+    restricted by a (suffix-4, length) blocking key so the expensive
+    levenshtein only runs inside blocks — never all-pairs. The planted
+    single-substitution edits are guaranteed recalled by this key
+    (suffix and length are untouched); production recall for arbitrary
+    edits layers more keys (q-gram or split-prefix blocks), same plan
+    shape. Both engines implement plain Levenshtein, so the verify is
+    oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .where(F.length("w") >= 5)
+        .distinct()
+    )
+    probes = (
+        vocab.where(~F.col("w").startswith("q"))
+        .select(F.concat(F.lit("q"), F.expr("substring(w, 2)")).alias("p"))
+        .distinct()
+    )
+    cand = probes.join(
+        vocab,
+        (F.expr("right(p, 4)") == F.expr("right(w, 4)"))
+        & (F.length("p") == F.length("w")),
+    )
+    dist = F.levenshtein("p", "w")
+    return (
+        cand.where(dist <= 2)
+        .select(F.col("p").alias("probe"), F.col("w").alias("match"), dist.cast("int").alias("dist"))
+    )

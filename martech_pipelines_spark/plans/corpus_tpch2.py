@@ -430,3 +430,68 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+@q(
+    "mart3_last_touch",
+    """
+    WITH ann AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END IGNORE NULLS)
+                   OVER w AS touch_id,
+               last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click') THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+           CAST(epoch_us(ts) - touch_us AS BIGINT) AS gap_us
+    FROM ann
+    WHERE event_type = 'purchase'
+      AND touch_us IS NOT NULL
+      AND epoch_us(ts) - touch_us <= 604800000000::BIGINT
+    """,
+)
+def mart3_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase credited to the user's most
+    recent view/click within a 7-day lookback. ONE window pass over the
+    event stream (shuffle on user_id only) instead of the naive
+    purchases-x-touches range join — `last(..., ignorenulls)` carries the
+    latest touch forward, so cost is a sort within user partitions
+    regardless of touch fan-in. Deterministic order (ts, event_id);
+    the gap compares exact integer microseconds in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ann = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w).alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("touch_type"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True).over(w).alias("touch_us"),
+    )
+    return (
+        ann.where(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_us").isNotNull()
+            & (F.col("us") - F.col("touch_us") <= 7 * 86400 * 1000000)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "touch_id",
+            "touch_type",
+            (F.col("us") - F.col("touch_us")).cast("long").alias("gap_us"),
+        )
+    )
