@@ -825,3 +825,170 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+# --- paragraph segmentation (CCNet-style unit for paragraph dedup) -----------
+
+
+def paragraph_chunks(tok: Column, k: int = 10) -> Column:
+    """Array of "paragraph" strings — consecutive ``k``-token chunks of an
+    ALREADY-TOKENIZED array attribute (the corpus is single-line, so the
+    dedup unit is a fixed token window rather than a newline split; on a
+    real multi-line corpus swap this for ``split(text, '\\n')``).
+
+    ``tok`` must be a plain projection attribute (the dd8 lesson:
+    Catalyst inlines non-trivial expression trees into every lambda
+    reference, re-running the tokenizer per chunk otherwise). The
+    ``when`` guard keeps ``sequence()`` from descending on empty docs."""
+    n_par = F.floor((F.size(tok) + (k - 1)) / k).cast("int")
+    idx = F.when(n_par > 0, F.sequence(F.lit(0), n_par - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tok, i * k + 1, k), " "))
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query-term set: classic
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` (Robertson/
+    Sparck Jones), summed over query terms, top-``k`` docs.
+
+    Scale shape: the postings explode is filtered to the query terms
+    BEFORE any shuffle (term IN-list pushed into the explode filter), so
+    the keyed agg sees |terms|-sized postings, not the full corpus
+    vocabulary. df and the corpus stats are tiny aggregates broadcast
+    back; ranking is rounded-then-tiebroken so it is deterministic.
+    avgdl is computed as exact-int sum / count, divided once — the same
+    double in any engine and summation order."""
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).select(id_col, "__tk", F.size("__tk").alias("dl"))
+    stats = toks_df.agg(
+        F.sum("dl").alias("sum_dl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = (
+        toks_df.select(F.col(id_col), "dl", F.explode("__tk").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (F.col("sum_dl").cast("double") / F.col("n_docs"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.round(F.sum("term_score"), 4).alias("bm25"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+    top = agg.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# --- deterministic weighted sampling (A-Res) ---------------------------------
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 50,
+    salt: str = "wsample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: A-Res
+    (Efraimidis-Spirakis) with the uniform drawn from the engine's md5
+    primitive instead of an RNG — key = -ln(u)/w, keep the k smallest.
+    Reproducible across runs, partitionings, and engines, which is what
+    makes it usable for training-data subset selection (membership must
+    not drift between pipeline runs).
+
+    Scale shape: the key is a codegen projection; top-k is
+    ``orderBy().limit(k)`` = TakeOrdered (per-partition partial top-k,
+    driver merge of k·P candidates) — no global sort, no single-partition
+    window over the corpus. The rank window runs on k rows only."""
+    u = (md5_bucket32(F.col(id_col).cast("string"), salt) + 1.0) / (2.0**32 + 1.0)
+    key = -F.log(u) / F.col(weight_col)
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(weight_col).alias("weight"),
+        key.alias("__key"),
+    )
+    top = keyed.orderBy(F.asc("__key"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("__key"), F.asc(id_col))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(id_col, "weight", "rnk")
+    )
+
+
+# --- length-bucketed batching (training batch assembly) ----------------------
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assembly: docs bucketed by floor(log2(token
+    count)) so each training batch pads to at most 2x its shortest member,
+    then deterministic batch ids within each bucket. The power-of-two
+    bucket comes from ``length(bin(n))-1`` — pure integer arithmetic, no
+    float log2 boundary risk in either engine.
+
+    Scale shape: one window per bucket (shuffle keyed on ~10 buckets —
+    salt into (bucket, shard) with a second shard-offset pass if a single
+    bucket outgrows an executor at the full 100-TB corpus)."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    bucket = (F.length(F.bin(F.col("n_tokens"))) - 1).cast("int")
+    w = Window.partitionBy("bucket").orderBy(F.asc(id_col))
+    return (
+        base.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_idx",
+            F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+    )

@@ -35,12 +35,46 @@ from pyspark.sql import functions as F
 
 from martech_pipelines_spark.sources.schemas import SCHEMAS, TABLES
 
-# Columns physically stored as parquet TIMESTAMP(NANOS) (pandas-written).
+# Columns that MAY be stored as parquet TIMESTAMP(NANOS) (pandas-written).
 # Spark has no nanosecond timestamp type; with
 # ``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as raw
 # nanosecond longs and are converted to microsecond timestamps here
 # (integer ``div`` — double math would lose precision above 2^53 ns).
-_NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Whether a column is actually nanos is sniffed from the parquet footer
+# per path (writers vary by pandas/arrow version); footer probes cache.
+_MAYBE_NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+_NANOS_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _is_nanos(path: str, col: str) -> bool:
+    """True iff ``col`` in the parquet at ``path`` is TIMESTAMP(NANOS).
+
+    Driver-side footer read (a few KB) — never touches row data. Handles
+    both a single file and a directory of part files (first part decides;
+    mixed-unit directories are not a case any sane writer produces).
+    """
+    key = (path, col)
+    if key in _NANOS_CACHE:
+        return _NANOS_CACHE[key]
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        if not parts:
+            _NANOS_CACHE[key] = False
+            return False
+        probe = os.path.join(path, parts[0])
+    try:
+        typ = pq.read_schema(probe).field(col).type
+        result = getattr(typ, "unit", None) == "ns"
+    except (OSError, KeyError):
+        result = False
+    _NANOS_CACHE[key] = result
+    return result
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -50,7 +84,9 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     pruned ``ReadSchema`` as soon as the caller selects columns.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
-    nanos = _NANOS_COLS.get(table, ())
+    nanos = tuple(
+        c for c in _MAYBE_NANOS_COLS.get(table, ()) if _is_nanos(path, c)
+    )
     if not nanos:
         return spark.read.schema(SCHEMAS[table]).parquet(path)
     physical = T.StructType(

@@ -38,8 +38,18 @@ def stream_events_source(
 ) -> DataFrame:
     """A2 as a stream: file-source over an append-only parquet event log.
 
-    The schema is the registered ``events`` schema with the nanosecond
-    workaround applied (ts arrives as long ns, converted here)."""
+    The physical unit of ``ts`` is sniffed from the first file's footer
+    (same as the batch reader — the driver's testdata flipped from
+    TIMESTAMP(NANOS) to MICROS between rounds); nanos arrive as longs
+    and convert here, micros read natively."""
+    from martech_pipelines_spark.sources.readers import _is_nanos
+
+    if not _is_nanos(dir_path, "ts"):
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(dir_path)
+        )
     physical = T.StructType(
         [
             T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
