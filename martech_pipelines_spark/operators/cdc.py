@@ -310,3 +310,39 @@ def update_watermark(
         [(query_name, new_watermark)], schema=job_runs.schema
     )
     return others.unionByName(new_row)
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: every
+    change row becomes a version with ``valid_from`` = its own timestamp
+    and ``valid_to`` = the NEXT change's timestamp for the same key
+    (``end_of_time`` sentinel + ``is_current`` flag on the newest).
+
+    The warehouse-side complement of ``cdc_compact``: compact keeps only
+    the newest row per key; SCD2 keeps the full history queryable with
+    point-in-time joins (``BETWEEN valid_from AND valid_to``).
+
+    Scale shape: ONE shuffle on the key (the same exchange compact
+    needs), a per-key sort, one ``lead()`` — no self-join against the
+    history table, which is the naive formulation's killer at 100 TB.
+    Deterministic total order via the tiebreak columns."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.asc(ts_col)] + [F.asc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        changes.withColumn("__next_ts", nxt)
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn(
+            "valid_to",
+            F.coalesce(F.col("__next_ts"), F.lit(end_of_time).cast("timestamp")),
+        )
+        .withColumn("is_current", F.col("__next_ts").isNull())
+        .drop("__next_ts")
+    )

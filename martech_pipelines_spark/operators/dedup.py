@@ -800,3 +800,121 @@ def dup_clusters_star(
         F.col("id"),
         F.least(F.col("id"), F.coalesce("root", F.col("id"))).alias("cluster"),
     )
+
+
+# --- paragraph-level dedup (CCNet-style) -------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style paragraph dedup (Wenzek et al. 2020 §3.2): split every
+    doc into paragraph units, hash each, keep only the corpus-wide FIRST
+    occurrence of every distinct paragraph (ordered by doc id then
+    position), and rebuild doc text from the surviving paragraphs. Output:
+    (id, n_paras, n_kept, text_kept) — docs whose every paragraph appeared
+    earlier elsewhere come back with ``text_kept = ''``.
+
+    The paragraph unit here is a k-token chunk (single-line corpus; a real
+    multi-line corpus swaps ``paragraph_chunks`` for ``split(text,'\\n')``
+    — every other part of the plan is unit-agnostic).
+
+    Scale shape: tokenization happens ONCE into a projection attribute;
+    the only corpus-sized shuffle keys on the 32-byte paragraph hash
+    (first-occurrence window), then a per-doc agg rebuilds text. Nothing
+    is all-pairs and nothing round-trips the driver. At 100 TB the hash
+    shuffle dominates — identical in shape to exact_dedup, just at
+    paragraph granularity (~10x the rows of doc-level, 1/k the rows of
+    window-level dd8)."""
+    from martech_pipelines_spark.operators.text import paragraph_chunks
+
+    toks_df = docs.select(
+        F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("__tk")
+    )
+    paras = toks_df.select(
+        F.col(id_col),
+        F.posexplode(paragraph_chunks(F.col("__tk"), k)).alias("para_idx", "para"),
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy(F.asc(id_col), F.asc("para_idx"))
+    kept = (
+        paras.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+    totals = toks_df.select(
+        F.col(id_col),
+        F.size(paragraph_chunks(F.col("__tk"), k)).cast("long").alias("n_paras"),
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )
+
+
+# --- contamination overlap fraction ------------------------------------------
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``decontaminate``'s scoring twin: instead of a boolean flag, report
+    WHAT FRACTION of each training doc's w-token windows appear in the
+    eval set — the number a filtering threshold actually tunes against
+    (PaLM/Llama reports threshold on overlap fraction, not membership).
+    Output: (id, n_windows, n_hit_windows, overlap_frac) for all train
+    docs with >= 1 window.
+
+    Same 100-TB shape as ``decontaminate``: the eval window-hash set is
+    broadcast (benchmarks are tiny by nature), the train corpus is
+    scanned once, and both counters come out of ONE per-doc aggregation —
+    the hit counter is a conditional sum against the broadcast membership
+    via a left semi-ish join trick: windows LEFT JOIN eval hashes, count
+    matches."""
+    from martech_pipelines_spark.operators.text import _window_table
+
+    twin = _window_table(train, w, text_col, id_col)
+    ewin = (
+        _window_table(eval_docs, w, text_col, id_col)
+        .select(F.col("h").alias("eh"))
+        .distinct()
+    )
+    joined = twin.join(F.broadcast(ewin), twin["h"] == ewin["eh"], "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("eh").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "n_hit_windows",
+            F.round(F.col("n_hit_windows") / F.col("n_windows"), 4).alias(
+                "overlap_frac"
+            ),
+        )
+    )

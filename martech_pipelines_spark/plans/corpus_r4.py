@@ -1,0 +1,355 @@
+"""Round-4 corpus: paragraph-level dedup (CCNet), contamination-overlap
+scoring, BM25 retrieval, SCD2 dimension build, linear multi-touch
+attribution, deterministic weighted sampling, and length-bucketed batch
+assembly — each with a full DuckDB oracle.
+
+Same oracle-portability ground rules as corpus.py: md5 hashing, exact
+integer arithmetic wherever determinism matters (paise credits use
+integer floor-division so double summation order can't drift), rounded
+ratios, formatted timestamps, rank-on-rounded-score with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import cdc
+from martech_pipelines_spark.operators import dedup as DD
+from martech_pipelines_spark.operators import text as TX
+from martech_pipelines_spark.plans.corpus import q
+from martech_pipelines_spark.plans.corpus_extended import _DUCK_NORM, _DUCK_TOKENS
+from martech_pipelines_spark.sources import load_table
+
+_DUCK_NORM_TOKS = (
+    f"list_filter(string_split_regex({_DUCK_NORM.format(col='text')},"
+    " '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+# =============================================================================
+# dd11: CCNet-style paragraph dedup
+# =============================================================================
+
+_DD11_K = 10
+
+_DD11_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_NORM_TOKS} AS t FROM documents
+    ), par AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS para_idx,
+               array_to_string(
+                   t[CAST(u.i * {_DD11_K} + 1 AS INTEGER)
+                     :CAST(u.i * {_DD11_K} + {_DD11_K} AS INTEGER)], ' '
+               ) AS para
+        FROM toks, unnest(range(0, (len(t) + {_DD11_K - 1}) // {_DD11_K})) u(i)
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(para) ORDER BY doc_id, para_idx
+        ) AS rnk
+        FROM par
+    ), kept AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(para, ' ' ORDER BY para_idx) AS text_kept
+        FROM ranked WHERE rnk = 1 GROUP BY doc_id
+    ), totals AS (
+        SELECT doc_id,
+               CAST((len(t) + {_DD11_K - 1}) // {_DD11_K} AS BIGINT) AS n_paras
+        FROM toks
+    )
+    SELECT t.doc_id, t.n_paras,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.text_kept, '') AS text_kept
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """
+
+
+@q("dd11_paragraph_dedup", _DD11_ORACLE)
+def dd11_paragraph_dedup(spark, sf_dir):
+    """CCNet paragraph dedup (Wenzek et al. 2020): corpus-wide
+    first-occurrence keep per distinct paragraph, doc text rebuilt from
+    survivors. The generator's near-dup docs share most paragraphs, so
+    the pass removes real volume (not just planted noise). One shuffle
+    keyed on the paragraph hash + one per-doc agg — exact_dedup's shape
+    at paragraph granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.paragraph_dedup(docs, k=_DD11_K)
+
+
+# =============================================================================
+# dd9b: contamination overlap fraction
+# =============================================================================
+
+_DD9B_W = 8
+
+_DD9B_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_NORM_TOKS} AS t FROM documents
+    ), win AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + {_DD9B_W - 1} AS INTEGER)], ' '
+               )) AS h
+        FROM toks, unnest(range(1, len(t) - {_DD9B_W - 2})) u(i)
+        WHERE len(t) >= {_DD9B_W}
+    ), eval_h AS (
+        SELECT DISTINCT h FROM win WHERE doc_id % 10 = 3
+    ), agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN h IN (SELECT h FROM eval_h)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_windows
+        FROM win WHERE doc_id % 10 <> 3 GROUP BY doc_id
+    )
+    SELECT doc_id, n_windows, n_hit_windows,
+           round(n_hit_windows / n_windows, 4) AS overlap_frac
+    FROM agg
+    """
+
+
+@q("dd9b_contamination_overlap", _DD9B_ORACLE)
+def dd9b_contamination_overlap(spark, sf_dir):
+    """dd9's scoring twin: per-train-doc FRACTION of 8-token windows
+    hitting the eval set (doc_id%10==3) — the tunable the published
+    decontamination thresholds act on. Broadcast eval hash set, one
+    train-corpus scan, one per-doc agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+    return DD.contamination_overlap(train, eval_docs, w=_DD9B_W)
+
+
+# =============================================================================
+# t19: BM25 ranked retrieval
+# =============================================================================
+
+_T19_TERMS = ("dup", "fast", "scan")
+_T19_K1 = 1.2
+_T19_B = 0.75
+_T19_TOPK = 20
+
+_T19_TERMS_SQL = ", ".join(f"'{t}'" for t in _T19_TERMS)
+
+_T19_ORACLE = f"""
+    WITH ld AS (
+        SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS t FROM documents
+    ), posting AS (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM ld
+    ), tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM posting WHERE term IN ({_T19_TERMS_SQL})
+        GROUP BY doc_id, dl, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl,
+               count(*) AS n_docs
+        FROM ld
+    ), scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * {_T19_K1 + 1.0})
+                 / (tf.tf + {_T19_K1} * (1.0 - {_T19_B}
+                     + {_T19_B} * tf.dl / s.avgdl)) AS term_score
+        FROM tf JOIN df USING (term) CROSS JOIN stats s
+    ), agg AS (
+        SELECT doc_id, round(sum(term_score), 4) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY bm25 DESC, doc_id ASC
+        ) AS INTEGER) AS rnk
+        FROM agg
+    ) WHERE rnk <= {_T19_TOPK}
+    """
+
+
+@q("t19_bm25", _T19_ORACLE)
+def t19_bm25(spark, sf_dir):
+    """BM25 top-20 for a fixed term set (one rare planted marker + two
+    common terms, so idf separation is real). Postings filtered to the
+    query terms BEFORE the shuffle; df/corpus stats broadcast; rank on
+    the rounded score with doc_id tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bm25_topk(
+        docs, _T19_TERMS, k1=_T19_K1, b=_T19_B, k=_T19_TOPK
+    )
+
+
+# =============================================================================
+# mart4: SCD2 dimension build
+# =============================================================================
+
+_MART4_ORACLE = """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(
+               coalesce(
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   TIMESTAMP '9999-12-31 00:00:00'),
+               '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM events
+    """
+
+
+@q("mart4_scd2", _MART4_ORACLE)
+def mart4_scd2(spark, sf_dir):
+    """Type-2 SCD build from the change log: every change becomes a
+    version row with [valid_from, valid_to) bounds and an is_current
+    flag — point-in-time joins without self-joining history. One keyed
+    shuffle + lead(); see cdc.scd2_from_changes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    scd = cdc.scd2_from_changes(
+        ev, "user_id", "ts", tiebreak_cols=["event_id"]
+    )
+    return scd.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+# =============================================================================
+# mart5: linear multi-touch attribution
+# =============================================================================
+
+_MART5_WINDOW_US = 7 * 86400 * 1_000_000
+
+_MART5_ORACLE = f"""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us,
+               CAST(trunc(value * 100) AS BIGINT) AS value_paise
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+               epoch_us(ts) AS touch_us
+        FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+        SELECT c.conv_id, c.value_paise, t.touch_type
+        FROM conv c JOIN touch t ON c.user_id = t.user_id
+        WHERE t.touch_us < c.conv_us
+          AND c.conv_us - t.touch_us <= {_MART5_WINDOW_US}
+    ), cr AS (
+        SELECT *, value_paise // count(*) OVER (PARTITION BY conv_id)
+                   AS credit_paise
+        FROM j
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(sum(credit_paise) AS BIGINT) AS credit_paise_total
+    FROM cr GROUP BY touch_type
+    """
+
+
+@q("mart5_linear_attribution", _MART5_ORACLE)
+def mart5_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value split
+    equally (integer paise floor-division — summation-order-proof)
+    across its view/click touches in a 7-day lookback.
+
+    Scale shape: the conv-x-touch pairing is a user-keyed equi-join with
+    the range as a post-join filter (both sides shuffle once on user_id;
+    per-user fan-out is bounded by session length, not corpus size),
+    then one window keyed on conv_id for the touch count and a tiny
+    final agg. Contrast mart3 (last-touch), which needs no join at all —
+    linear credit genuinely requires the pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_paise"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    j = conv.join(touch, "user_id").where(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("conv_us") - F.col("touch_us") <= _MART5_WINDOW_US)
+    )
+    cr = j.withColumn(
+        "credit_paise",
+        F.expr("value_paise div count(*) over (partition by conv_id)"),
+    )
+    return cr.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.sum("credit_paise").cast("long").alias("credit_paise_total"),
+    )
+
+
+# =============================================================================
+# t20: deterministic weighted sampling (A-Res)
+# =============================================================================
+
+_T20_K = 50
+
+_T20_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars AS weight,
+               -ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT + 1.0) / 4294967297.0)
+                 / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, weight, rnk FROM (
+        SELECT doc_id, weight,
+               CAST(row_number() OVER (ORDER BY k ASC, doc_id ASC)
+                    AS INTEGER) AS rnk
+        FROM keyed
+    ) WHERE rnk <= {_T20_K}
+    """
+
+
+@q("t20_weighted_sample", _T20_ORACLE)
+def t20_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement, made
+    deterministic by drawing the uniform from the engine's md5 primitive
+    — run/partitioning/engine-reproducible subset selection weighted by
+    doc length. TakeOrdered top-k, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.weighted_sample_topk(docs, "n_chars", k=_T20_K, salt="wsample")
+
+
+# =============================================================================
+# t21: length-bucketed batch assembly
+# =============================================================================
+
+_T21_BATCH = 8
+
+_T21_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               CAST(length(bin(n_tokens)) - 1 AS INTEGER) AS bucket
+        FROM base WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                // {_T21_BATCH} AS BIGINT) AS batch_idx
+    FROM b
+    """
+
+
+@q("t21_length_buckets", _T21_ORACLE)
+def t21_length_buckets(spark, sf_dir):
+    """Length-bucketed training-batch assembly: power-of-two token-count
+    buckets (integer bin-length, no float log2 boundaries) and
+    deterministic batch ids within each bucket — pad waste bounded at 2x
+    per batch. One window keyed on ~7 buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.length_bucket_batches(docs, batch_size=_T21_BATCH)

@@ -1,0 +1,164 @@
+"""Round-4 operators: paragraph dedup, contamination overlap, BM25,
+SCD2, attribution, weighted sampling, length-bucketed batching."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import cdc
+from martech_pipelines_spark.operators import dedup as DD
+from martech_pipelines_spark.operators import text as TX
+from martech_pipelines_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- paragraph dedup ---------------------------------------------------------
+
+
+def test_paragraph_chunks_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("",), (None,)], "t string"
+    ).select(TX.tokens(F.col("t")).alias("tk"))
+    out = df.select(TX.paragraph_chunks(F.col("tk"), 2).alias("p")).collect()
+    assert out[0]["p"] == ["a b", "c d", "e"]  # ragged tail kept
+    assert out[1]["p"] == []
+    assert out[2]["p"] == []
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),  # paras (k=2): "aa bb", "cc dd"
+            (2, "aa bb ee ff"),  # "aa bb" dupes doc 1 -> only "ee ff" kept
+            (3, "aa bb cc dd"),  # everything seen before -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.paragraph_dedup(docs, k=2).collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_kept"] == "aa bb cc dd"
+    assert out[2]["n_kept"] == 1 and out[2]["text_kept"] == "ee ff"
+    assert out[3]["n_kept"] == 0 and out[3]["text_kept"] == ""
+
+
+def test_paragraph_dedup_removes_volume_on_corpus(spark):
+    docs = load_table(spark, SF, "documents")
+    out = DD.paragraph_dedup(docs, k=10)
+    agg = out.agg(
+        F.sum("n_paras").alias("tot"), F.sum("n_kept").alias("kept")
+    ).collect()[0]
+    assert 0 < agg["kept"] < agg["tot"]  # near-dup docs lose paragraphs
+
+
+# --- contamination overlap ---------------------------------------------------
+
+
+def test_contamination_overlap_bounds_and_signal(spark):
+    docs = load_table(spark, SF, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+    out = DD.contamination_overlap(train, eval_docs, w=8)
+    rows = out.collect()
+    assert all(0.0 <= r["overlap_frac"] <= 1.0 for r in rows)
+    assert all(r["n_hit_windows"] <= r["n_windows"] for r in rows)
+    # flag-twin consistency: same docs contaminated as dd9
+    flagged = {r["doc_id"] for r in rows if r["n_hit_windows"] > 0}
+    dd9 = {
+        r["doc_id"]
+        for r in DD.decontaminate(train, eval_docs, w=8).collect()
+        if r["contaminated"]
+    }
+    assert flagged == dd9
+
+
+# --- BM25 --------------------------------------------------------------------
+
+
+def test_bm25_formula_hand_check(spark):
+    # 3 docs, query term "x": df=2, N=3, avgdl=(2+4+3)/3=3
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x x z w"), (3, "y z w")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.bm25_topk(docs, ("x",), k=10).collect()}
+    assert set(out) == {1, 2}
+    k1, b, avgdl = 1.2, 0.75, 3.0
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[1]["bm25"] - round(score(1, 2), 4)) < 1e-9
+    assert abs(out[2]["bm25"] - round(score(2, 4), 4)) < 1e-9
+    # doc 2 has tf=2 and should rank first
+    assert out[2]["rnk"] == 1 and out[1]["rnk"] == 2
+
+
+# --- SCD2 --------------------------------------------------------------------
+
+
+def test_scd2_versions_chain(spark):
+    ts = [dt.datetime(2024, 1, i + 1) for i in range(3)]
+    changes = spark.createDataFrame(
+        [(7, 1, ts[0]), (7, 2, ts[1]), (7, 3, ts[2]), (9, 4, ts[0])],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = cdc.scd2_from_changes(changes, "user_id", "ts", ["event_id"])
+    rows = sorted(out.collect(), key=lambda r: (r["user_id"], r["valid_from"]))
+    u7 = [r for r in rows if r["user_id"] == 7]
+    # versions chain: each valid_to == next valid_from; exactly one current
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[1]["valid_to"] == u7[2]["valid_from"]
+    assert [r["is_current"] for r in u7] == [False, False, True]
+    assert u7[2]["valid_to"].year == 9999
+    u9 = [r for r in rows if r["user_id"] == 9]
+    assert len(u9) == 1 and u9[0]["is_current"]
+
+
+# --- weighted sampling -------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    docs = load_table(spark, SF, "documents")
+    a = [r["doc_id"] for r in TX.weighted_sample_topk(docs, "n_chars", k=20).collect()]
+    b = [
+        r["doc_id"]
+        for r in TX.weighted_sample_topk(
+            docs.repartition(13), "n_chars", k=20
+        ).collect()
+    ]
+    assert a == b  # partitioning-invariant
+    # weight bias: sampled docs skew longer than the corpus average
+    avg_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    avg_sample = (
+        TX.weighted_sample_topk(docs, "n_chars", k=20)
+        .agg(F.avg("weight"))
+        .collect()[0][0]
+    )
+    assert avg_sample > avg_all
+
+
+# --- length buckets ----------------------------------------------------------
+
+
+def test_length_buckets_invariants(spark):
+    docs = load_table(spark, SF, "documents")
+    out = TX.length_bucket_batches(docs, batch_size=8).collect()
+    for r in out:
+        lo, hi = 2 ** r["bucket"], 2 ** (r["bucket"] + 1)
+        assert lo <= r["n_tokens"] < hi  # bucket = floor(log2(n))
+    # every (bucket, batch) holds at most batch_size docs
+    from collections import Counter
+
+    sizes = Counter((r["bucket"], r["batch_idx"]) for r in out)
+    assert max(sizes.values()) <= 8
+    # batches fill densely: only the last batch of a bucket may be partial
+    for bkt in {b for b, _ in sizes}:
+        batch_ids = sorted(i for b, i in sizes if b == bkt)
+        assert batch_ids == list(range(len(batch_ids)))
+        for i in batch_ids[:-1]:
+            assert sizes[(bkt, i)] == 8
