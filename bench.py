@@ -43,6 +43,10 @@ HEADLINE = [
     "s7_sq8_topk",
     "dd10_incremental_dedup",
     "t17_ngram_lm_score",
+    # round-4 additions
+    "dd11_paragraph_dedup",
+    "mart5_linear_attribution",
+    "t19_bm25",
 ]
 
 

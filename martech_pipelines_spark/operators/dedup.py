@@ -822,13 +822,17 @@ def paragraph_dedup(
     multi-line corpus swaps ``paragraph_chunks`` for ``split(text,'\\n')``
     — every other part of the plan is unit-agnostic).
 
-    Scale shape: tokenization happens ONCE into a projection attribute;
-    the only corpus-sized shuffle keys on the 32-byte paragraph hash
-    (first-occurrence window), then a per-doc agg rebuilds text. Nothing
-    is all-pairs and nothing round-trips the driver. At 100 TB the hash
-    shuffle dominates — identical in shape to exact_dedup, just at
-    paragraph granularity (~10x the rows of doc-level, 1/k the rows of
-    window-level dd8)."""
+    Scale shape: the corpus is tokenized ONCE (projection attribute,
+    then one posexplode); the only corpus-sized shuffles key on the
+    32-byte paragraph hash (first-occurrence window) and the doc id (the
+    rebuild agg). Totals and survivors come out of the SAME per-doc agg
+    — dropped paragraphs count toward ``n_paras`` but contribute null to
+    the ``collect_list`` rebuild, so the raw text is never re-read. The
+    final join against the id-only doc scan (for zero-paragraph docs)
+    prunes to one column. Nothing is all-pairs and nothing round-trips
+    the driver; at 100 TB the hash shuffle dominates — exact_dedup's
+    shape at paragraph granularity (~10x the rows of doc-level, 1/k the
+    rows of window-level dd8)."""
     from martech_pipelines_spark.operators.text import paragraph_chunks
 
     toks_df = docs.select(
@@ -839,30 +843,30 @@ def paragraph_dedup(
         F.posexplode(paragraph_chunks(F.col("__tk"), k)).alias("para_idx", "para"),
     )
     w = Window.partitionBy(F.md5("para")).orderBy(F.asc(id_col), F.asc("para_idx"))
-    kept = (
+    first = F.col("rnk") == 1
+    per_doc = (
         paras.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_kept"),
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(first, 1).otherwise(0)).cast("long").alias("n_kept"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    F.array_sort(
+                        F.collect_list(F.when(first, F.struct("para_idx", "para")))
+                    ),
                     lambda s: s["para"],
                 ),
                 " ",
             ).alias("text_kept"),
         )
     )
-    totals = toks_df.select(
-        F.col(id_col),
-        F.size(paragraph_chunks(F.col("__tk"), k)).cast("long").alias("n_paras"),
-    )
     return (
-        totals.join(kept, id_col, "left")
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            "n_paras",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("text_kept", F.lit("")).alias("text_kept"),
         )

@@ -870,16 +870,24 @@ def bm25_topk(
     back; ranking is rounded-then-tiebroken so it is deterministic.
     avgdl is computed as exact-int sum / count, divided once — the same
     double in any engine and summation order."""
+    term_arr = F.array(*[F.lit(t) for t in terms])
     toks_df = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
-    ).select(id_col, "__tk", F.size("__tk").alias("dl"))
+    ).select(
+        id_col,
+        F.size("__tk").alias("dl"),
+        # keep only query-term occurrences BEFORE the explode: Generate
+        # emits |hits| rows instead of |tokens| (~10x fewer here; at a
+        # real vocabulary it's the difference between postings-for-3-terms
+        # and the whole corpus token stream)
+        F.filter("__tk", lambda t: F.array_contains(term_arr, t)).alias("__ft"),
+    )
     stats = toks_df.agg(
         F.sum("dl").alias("sum_dl"),
         F.count("*").alias("n_docs"),
     )
     tf = (
-        toks_df.select(F.col(id_col), "dl", F.explode("__tk").alias("term"))
-        .where(F.col("term").isin(*terms))
+        toks_df.select(F.col(id_col), "dl", F.explode("__ft").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )

@@ -201,3 +201,50 @@ def test_whole_stage_codegen_covers_export_pipeline(spark):
     assert "codegen id" in plan  # fused whole-stage codegen spans
     assert "Exchange" not in plan  # pure narrow pipeline
     assert "Python" not in plan  # no BatchEvalPython/ArrowEvalPython
+
+
+def test_dd11_single_tokenize_pass(spark):
+    """Paragraph dedup must tokenize the corpus exactly once: one Generate
+    (the posexplode), and the only scan that reads `text` feeds it — the
+    totals side re-reads doc_id alone."""
+    import re
+
+    plan = plan_of(QUERIES["dd11_paragraph_dedup"](spark, SF))
+    # one Generate node (formatted mode lists each node in the tree AND
+    # in the detail section — match the detail headers only)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    # two scans: one (doc_id, text) for the explode, one doc_id-only
+    read_schemas = [
+        line.split("ReadSchema:")[1].strip()
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert set(read_schemas) == {
+        "struct<doc_id:bigint>",  # totals side: id only
+        "struct<doc_id:bigint,text:string>",  # explode side
+    }
+    assert "CartesianProduct" not in plan
+
+
+def test_mart5_no_cartesian_and_user_keyed_join(spark):
+    """Attribution pairs via the user_id equi-join (range is a post-join
+    filter), never a cartesian."""
+    plan = plan_of(QUERIES["mart5_linear_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "user_id" in plan
+
+
+def test_t19_postings_filtered_before_shuffle(spark):
+    """BM25's term IN-list must apply before the tf aggregation's
+    exchange — the shuffle sees |terms|-bounded postings."""
+    plan = plan_of(QUERIES["t19_bm25"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the IN-list appears as a Filter on the exploded postings
+    assert "dup" in plan and "fast" in plan and "scan" in plan
+
+
+def test_mart4_single_shuffle(spark):
+    """SCD2 is one keyed exchange + window — no self-join of history."""
+    plan = plan_of(QUERIES["mart4_scd2"](spark, SF))
+    assert plan.count("Exchange") <= 2  # hash exchange (+AQE shuffle read)
+    assert "Join" not in plan

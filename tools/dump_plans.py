@@ -111,6 +111,27 @@ SHOWCASE = [
         "m-byte PQ code table; full vectors touched only in the "
         "broadcast-shortlist refine",
     ),
+    (
+        "dd11_paragraph_dedup",
+        "paragraph dedup: ONE tokenize+explode, hash-keyed first-"
+        "occurrence window, totals and rebuilt text from the SAME "
+        "partial+final agg — raw text never re-read",
+    ),
+    (
+        "mart5_linear_attribution",
+        "multi-touch attribution: user-keyed equi-join with the 7-day "
+        "range as a post-join filter, conv-keyed window for the split, "
+        "integer-paise credits",
+    ),
+    (
+        "t19_bm25",
+        "BM25: postings filtered to query terms BEFORE the shuffle; "
+        "df + corpus stats broadcast; TakeOrdered top-k",
+    ),
+    (
+        "mart4_scd2",
+        "SCD2 build: one keyed shuffle + lead() — no history self-join",
+    ),
 ]
 
 
