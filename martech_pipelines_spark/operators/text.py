@@ -1000,3 +1000,96 @@ def length_bucket_batches(
             F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
         )
     )
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Stage 1 of the materialized inverted index: tokenize the corpus
+    ONCE and persist three tables under ``path`` —
+
+    - ``postings/``: (term, doc_id, tf, dl), written PARTITIONED BY term
+      so a query's term IN-list becomes static partition pruning (the
+      s2c/dd3c two-stage pattern applied to text retrieval);
+    - ``stats/``: 1 row (sum_dl, n_docs) for exact avgdl.
+
+    df per term is NOT materialized: it derives from the pruned postings
+    at query time (count of docs per surviving partition), so the index
+    has no term-global table to keep consistent under appends.
+
+    At 100 TB the postings table is the corpus reorganized by term —
+    the one-time cost every search engine pays; after that, queries cost
+    |query terms| partitions, not a corpus scan."""
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).select(id_col, "__tk", F.size("__tk").alias("dl"))
+    postings = (
+        toks_df.select(F.col(id_col), "dl", F.explode("__tk").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings.write.mode("overwrite").partitionBy("term").parquet(
+        f"{path}/postings"
+    )
+    toks_df.agg(
+        F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stage 2: BM25 top-k reading ONLY the materialized index — the raw
+    corpus is not an input. The literal term IN-list prunes the postings
+    scan to |terms| partitions (PartitionFilters, plan-asserted); df
+    comes from the pruned postings; scoring and ranking are identical to
+    the inline ``bm25_topk`` (bit-equal results, shared oracle)."""
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("term").isin(*terms)
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    df_ = postings.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (F.col("sum_dl").cast("double") / F.col("n_docs"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.round(F.sum("term_score"), 4).alias("bm25"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+    top = agg.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

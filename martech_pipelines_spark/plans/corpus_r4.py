@@ -353,3 +353,21 @@ def t21_length_buckets(spark, sf_dir):
     per batch. One window keyed on ~7 buckets."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.length_bucket_batches(docs, batch_size=_T21_BATCH)
+
+
+@q("t19b_bm25_materialized", _T19_ORACLE)
+def t19b_bm25_materialized(spark, sf_dir):
+    """Two-stage BM25 (the dd3c/s2c materialized-index pattern applied to
+    text retrieval): stage 1 writes the inverted index ONCE — postings
+    partitioned by term + a 1-row stats table; stage 2 answers the query
+    reading ONLY the index, with the term IN-list partition-pruning the
+    postings scan (PartitionFilters, plan-asserted in test_plans). Bit-
+    equal to the inline t19, hence the SHARED oracle."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = tempfile.mkdtemp(prefix="bm25_idx_")
+    TX.bm25_build_index(docs, index_path)
+    return TX.bm25_query_index(
+        spark, index_path, _T19_TERMS, k1=_T19_K1, b=_T19_B, k=_T19_TOPK
+    )

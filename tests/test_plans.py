@@ -248,3 +248,20 @@ def test_mart4_single_shuffle(spark):
     plan = plan_of(QUERIES["mart4_scd2"](spark, SF))
     assert plan.count("Exchange") <= 2  # hash exchange (+AQE shuffle read)
     assert "Join" not in plan
+
+
+def test_t19b_query_stage_prunes_partitions_and_skips_corpus(spark, tmp_path):
+    """Materialized BM25: the query-stage plan reads ONLY the index —
+    the postings scan carries the term IN-list as PartitionFilters and
+    the documents parquet appears nowhere."""
+    from martech_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25_idx")
+    TX.bm25_build_index(docs, idx)
+    out = TX.bm25_query_index(spark, idx, ("dup", "fast", "scan"), k=20)
+    plan = plan_of(out)
+    assert "documents.parquet" not in plan
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("term" in l and "dup" in l for l in pf_lines)

@@ -38,6 +38,11 @@ HEAVY = [
     # shuffle) and SQ8 ADC search (stats pass + Arrow scoring)
     "dd8_substring_window",
     "s7_sq8_topk",
+    # round-4: paragraph dedup (corpus-sized paragraph-hash shuffle +
+    # collect_list rebuild — the rebuild agg is the part worth watching
+    # at 10x) and BM25 (postings bounded by query-term hits)
+    "dd11_paragraph_dedup",
+    "t19_bm25",
 ]
 N_RUNS = 2
 
@@ -71,13 +76,11 @@ def build_sf1(spark) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if table == "events":
-            # Mirror the driver parquet's physical layout: ts is stored as
-            # a raw nanosecond LONG (load_table's nanos read path expects
-            # it — see sources/readers.py::_NANOS_COLS).
-            out = out.withColumn(
-                "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
-            )
+        # Mirror the CURRENT driver layout: ts as TIMESTAMP(MICROS)
+        # (readers._is_nanos sniffs the unit per path, so the synthesized
+        # tables just need a well-annotated unit — force MICROS so Spark
+        # doesn't fall back to INT96, which pyarrow reports as nanos).
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         out.write.mode("overwrite").parquet(dest)
         print(f"built {dest}", file=sys.stderr)
 
