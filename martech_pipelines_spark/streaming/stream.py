@@ -316,3 +316,64 @@ def streaming_minhash_ingest(
         .outputMode("update")
         .start()
     )
+
+
+_SCD2_STATE_SCHEMA = "ts timestamp, event_id long, event_type string"
+_SCD2_OUT_SCHEMA = (
+    "user_id long, event_id long, event_type string, "
+    "valid_from timestamp, valid_to timestamp"
+)
+
+
+def streaming_scd2(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``cdc.scd2_from_changes``: every key's CLOSED
+    dimension versions are emitted (append mode) the moment the next
+    change for that key arrives; the open/current version is exactly the
+    state-store row. Batch-equivalence: the emitted rows equal the batch
+    SCD2's ``is_current = false`` set, and state equals its current set.
+
+    Contract: per-key ts-ascending arrival across triggers (the CDC-log
+    delivery order); same-trigger rows are sorted before folding, so any
+    intra-batch disorder is absorbed. State is O(keys) — one open
+    version each, same as ``streaming_latest_per_key``."""
+    import pandas as pd
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (r.ts.to_pydatetime(), int(r.event_id), r.event_type)
+                for r in pdf.itertuples(index=False)
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        cur = state.get if state.exists else None  # (ts, event_id, type)
+        closed = []
+        for ts, eid, etype in rows:
+            if cur is not None:
+                closed.append((key[0], cur[1], cur[2], cur[0], ts))
+            cur = (ts, eid, etype)
+        if cur is not None:
+            state.update(cur)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "event_id",
+                    "event_type",
+                    "valid_from",
+                    "valid_to",
+                ],
+            )
+
+    return events.select("user_id", "ts", "event_id", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

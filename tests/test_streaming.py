@@ -383,3 +383,46 @@ def test_streaming_minhash_ingest_matches_batch(spark, tmp_path):
         if r["id_b"] >= 2000000
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_scd2_closed_versions_match_batch(spark, tmp_path):
+    """streaming_scd2 over a ts-ordered 3-file stream must emit exactly
+    the batch SCD2's closed (is_current=false) versions — cross-trigger
+    state carries each key's open version between files."""
+    import time as _time
+
+    from martech_pipelines_spark.streaming.stream import streaming_scd2
+
+    ev = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    rows = ev.count()
+    d = tmp_path / "scd2_stream"
+    d.mkdir()
+    # three sequential ts-ranges -> three micro-batches in arrival order
+    pdf = ev.toPandas()
+    cut = rows // 3
+    for i, chunk in enumerate((pdf[:cut], pdf[cut : 2 * cut], pdf[2 * cut :])):
+        chunk.to_parquet(d / f"part-{i:03d}.parquet", index=False)
+        _time.sleep(1.1)  # distinct mtimes => deterministic trigger order
+    stream = stream_events_source(spark, str(d))
+    q = run_stream_to_memory(
+        streaming_scd2(stream), "scd2_mem", "append", str(tmp_path / "ckpt_scd2")
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["event_id"], r["event_type"], r["valid_from"], r["valid_to"])
+            for r in spark.sql("SELECT * FROM scd2_mem").collect()
+        )
+    finally:
+        q.stop()
+    batch = cdc.scd2_from_changes(
+        load_table(spark, SF, "events").select("user_id", "event_id", "event_type", "ts"),
+        "user_id",
+        "ts",
+        tiebreak_cols=["event_id"],
+    ).where(~F.col("is_current"))
+    want = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], r["valid_from"], r["valid_to"])
+        for r in batch.collect()
+    )
+    assert got == want
