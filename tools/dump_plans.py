@@ -132,6 +132,16 @@ SHOWCASE = [
         "mart4_scd2",
         "SCD2 build: one keyed shuffle + lead() — no history self-join",
     ),
+    (
+        "q2_min_cost_supplier",
+        "correlated-min decorrelated into ONE window-min over costs; "
+        "supplier/nation/region dims broadcast",
+    ),
+    (
+        "q20_potential_promotion",
+        "nested semi-join chain flattened: keyed 1997-shipment agg + "
+        "broadcast dims, exact integer/DECIMAL comparison",
+    ),
 ]
 
 
