@@ -371,3 +371,56 @@ def t19b_bm25_materialized(spark, sf_dir):
     return TX.bm25_query_index(
         spark, index_path, _T19_TERMS, k1=_T19_K1, b=_T19_B, k=_T19_TOPK
     )
+
+
+# =============================================================================
+# r18: MAD-based robust outlier flags
+# =============================================================================
+
+_R18_ORACLE = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), j AS (
+        SELECT e.event_id, e.event_type, e.value,
+               abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM j GROUP BY event_type
+    )
+    SELECT j.event_id, j.event_type,
+           round(j.value, 2) AS value_r,
+           j.absdev > 3 * d.mad AS is_outlier
+    FROM j JOIN mad d USING (event_type)
+    """
+
+
+@q("r18_mad_outliers", _R18_ORACLE)
+def r18_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier flags: median absolute deviation (the
+    estimator that survives the outliers it hunts — unlike stddev-based
+    z-scores, which the r16/f12 family covers). Two exact-percentile
+    aggregations over the SAME group key + two broadcast joins back; the
+    group cardinality (event types) is tiny, so both medians are
+    broadcastable 5-row tables and the event scan stays the only big
+    input. Exact ``percentile`` interpolates identically to DuckDB's
+    ``quantile_cont`` (same (n-1)*p linear rule on identical doubles)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return j.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value_r"),
+        (F.col("absdev") > 3 * F.col("mad")).alias("is_outlier"),
+    )

@@ -162,3 +162,17 @@ def test_length_buckets_invariants(spark):
         assert batch_ids == list(range(len(batch_ids)))
         for i in batch_ids[:-1]:
             assert sizes[(bkt, i)] == 8
+
+
+def test_paragraph_dedup_idempotent(spark):
+    """After one dedup pass no cross-doc duplicate paragraphs remain, so
+    a second pass over the rebuilt corpus must keep everything — the
+    fixed-point property that makes the operator safe to re-run in a
+    multi-stage pipeline."""
+    docs = load_table(spark, SF, "documents")
+    once = DD.paragraph_dedup(docs, k=10)
+    rebuilt = once.where(F.col("n_kept") > 0).select(
+        "doc_id", F.col("text_kept").alias("text")
+    )
+    twice = DD.paragraph_dedup(rebuilt, k=10)
+    assert twice.where(F.col("n_kept") != F.col("n_paras")).count() == 0
