@@ -81,7 +81,7 @@ def _dec(c):
     f"""
     WITH {_PS_SQL},
     target AS (
-        SELECT p_partkey FROM part WHERE p_size = 15 AND p_type = 'LARGE'
+        SELECT p_partkey FROM part WHERE p_size <= 15 AND p_type = 'LARGE'
     ), eu_supp AS (
         SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
         FROM supplier s
@@ -108,18 +108,20 @@ def _dec(c):
 )
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (correlated-min subquery): for EUROPE suppliers of
-    size-15 LARGE parts, keep each part's minimum-supplycost offers.
+    small (size<=15) LARGE parts, keep each part's minimum-supplycost offers.
     Adapted: p_type equality (synthetic vocabulary has no '%BRASS'
     suffixes); no mfgr/address/comment columns in the schema.
 
     Plan: the correlated ``ps_supplycost = (SELECT min ...)`` decorrelates
     into ONE window-min over the costs relation — no join-back of a
-    per-part aggregate, no correlated re-execution. Supplier/nation/
-    region dims broadcast; min-cost equality on doubles is safe because
-    both sides are the SAME synthesized value."""
+    per-part aggregate, no correlated re-execution. Only the fixed-size
+    nation/region dims are hint-broadcast; the part-filtered target and
+    the supplier semi-join side scale with SF and are left to AQE.
+    Min-cost equality on doubles is safe because both sides are the
+    SAME synthesized value."""
     ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
-    target = part.where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE")).select(
+    target = part.where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")).select(
         "p_partkey"
     )
     supp = load_table(spark, sf_dir, "supplier")
@@ -134,8 +136,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     eu_keys = eu_supp.select(F.col("s_suppkey").alias("__eu_key"))
     costs = (
-        ps.join(F.broadcast(target), ps.ps_partkey == target.p_partkey)
-        .join(F.broadcast(eu_keys), ps.ps_suppkey == F.col("__eu_key"), "left_semi")
+        ps.join(target, ps.ps_partkey == target.p_partkey)
+        .join(eu_keys, ps.ps_suppkey == F.col("__eu_key"), "left_semi")
     )
     w = Window.partitionBy("ps_partkey")
     best = costs.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
@@ -185,9 +187,11 @@ def q9_product_profit(spark, sf_dir):
     (part, supplier) pair exists in the synthesized table — same rows in
     both engines by construction.
 
-    Plan: lineitem shuffles once on l_orderkey for the orders join and
-    once for the agg; part/supplier/nation broadcast; partsupp (4 rows
-    per part) broadcasts too."""
+    Plan: lineitem shuffles on the join keys; nation (fixed 25 rows) is
+    the only FORCED broadcast — part/supplier/partsupp all scale with SF
+    (partsupp is 4x|part|), so their strategy is left to AQE, which
+    broadcasts them at test scale and shuffle-joins at 100 TB. Forcing
+    broadcast there would be the scale-killer this corpus pins against."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
@@ -199,13 +203,13 @@ def q9_product_profit(spark, sf_dir):
         - _dec("ps_supplycost") * _dec("l_quantity")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(ps),
+            ps,
             (F.col("ps_suppkey") == li.l_suppkey)
             & (F.col("ps_partkey") == li.l_partkey),
         )
-        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(part, part.p_partkey == li.l_partkey)
         .join(od, od.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .groupBy(
@@ -253,7 +257,7 @@ def q11_important_stock(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     natps = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .select(
             "ps_partkey",
@@ -301,7 +305,8 @@ def q16_supplier_relationship(spark, sf_dir):
     (schema has no s_comment).
 
     Plan: the NOT IN lowers to a broadcast left-anti join (the excluded
-    set is ~8 keys); one distinct-agg shuffle on the group key."""
+    set is ~8 keys — a genuinely tiny, SF-independent side); the part
+    join is AQE's call; one distinct-agg shuffle on the group key."""
     ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
@@ -314,7 +319,7 @@ def q16_supplier_relationship(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        ps.join(part, ps.ps_partkey == part.p_partkey)
         .join(
             F.broadcast(bad_supp),
             ps.ps_suppkey == bad_supp.s_suppkey,
@@ -348,21 +353,22 @@ def q16_supplier_relationship(spark, sf_dir):
     JOIN part p ON p.p_partkey = ps.ps_partkey
     JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
                    AND sh.l_suppkey = ps.ps_suppkey
-    WHERE n.n_name = 'NATION_1'
+    WHERE n.n_name = 'NATION_6'
       AND p.p_type = 'SMALL'
       AND 2 * ps.ps_availqty > sh.qty
     """,
 )
 def q20_potential_promotion(spark, sf_dir):
-    """TPC-H Q20 shape (nested semi-join chain): NATION_1 suppliers whose
+    """TPC-H Q20 shape (nested semi-join chain): NATION_6 suppliers whose
     stock of SMALL parts exceeds half of what they shipped in 1997.
     Adapted: ``2*availqty > qty`` keeps the comparison in exact
     integer/DECIMAL arithmetic (``availqty > 0.5*qty`` would compare
     against an order-dependent double).
 
-    Plan: shipped is a keyed agg of the 1997 lineitem slice; all dims and
-    partsupp broadcast; the DISTINCT collapses the per-part hits into
-    supplier rows — no correlated subqueries survive."""
+    Plan: shipped is a keyed agg of the 1997 lineitem slice; nation is
+    the only forced broadcast (partsupp/part scale with SF — AQE decides
+    for them); the DISTINCT collapses the per-part hits into supplier
+    rows — no correlated subqueries survive."""
     ps = _partsupp(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").where(
         F.year("l_shipdate") == 1997
@@ -371,12 +377,12 @@ def q20_potential_promotion(spark, sf_dir):
         F.sum(_dec("l_quantity")).alias("qty")
     )
     supp = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_6")
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(ps), F.col("ps_suppkey") == supp.s_suppkey)
-        .join(F.broadcast(part), part.p_partkey == F.col("ps_partkey"))
+        .join(ps, F.col("ps_suppkey") == supp.s_suppkey)
+        .join(part, part.p_partkey == F.col("ps_partkey"))
         .join(
             shipped,
             (shipped.l_partkey == F.col("ps_partkey"))
