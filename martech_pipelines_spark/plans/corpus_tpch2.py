@@ -68,7 +68,7 @@ def q7_nation_volume(spark, sf_dir):
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cust, od.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -125,7 +125,7 @@ def q14_promo_share(spark, sf_dir):
     )
     part = load_table(spark, sf_dir, "part")
     rev = _REV_SPARK()
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         F.round(
             F.lit(100.0)
@@ -213,7 +213,7 @@ def q17_small_qty_revenue(spark, sf_dir):
     w = Window.partitionBy("l_partkey")
     with_cut = li.withColumn("qty_cut", F.lit(0.2) * F.avg("l_quantity").over(w))
     return (
-        with_cut.join(F.broadcast(part), with_cut.l_partkey == part.p_partkey)
+        with_cut.join(part, with_cut.l_partkey == part.p_partkey)
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
@@ -312,10 +312,10 @@ def q8_market_share(spark, sf_dir):
     n1 = nation.alias("n1")
     n2 = nation.alias("n2")
     joined = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("n1.n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(n2), F.col("n2.n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("n1.n_regionkey"))
@@ -359,7 +359,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     partial-pushdown pattern this query exists to exercise."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     b = F.col("p_brand")
     sz = F.col("p_size")
     qty = F.col("l_quantity")
@@ -425,7 +425,7 @@ def q21_waiting_suppliers(spark, sf_dir):
         li_o.where("late")
         .join(per_order, "l_orderkey")
         .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
