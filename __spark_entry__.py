@@ -26,11 +26,13 @@ SF0001 = "/root/testdata/sf0.001"
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """Runtime confs the corpus depends on, applied to WHATEVER session the
-    driver hands us: the TIMESTAMP(NANOS) legacy mapping (events.ts — see
-    martech_pipelines_spark.session / sources.readers), and a UTC session
-    timezone so formatted-timestamp outputs match the DuckDB oracle's
-    naive reads regardless of the host's default timezone. AQE is a
-    performance nicety only; correctness never depends on it."""
+    driver hands us: the TIMESTAMP(NANOS) legacy mapping (inert when the
+    testdata is TIMESTAMP(MICROS) — readers sniff the parquet footer per
+    path and only use the nanos-as-long path when the column really is
+    nanos; see sources.readers._is_nanos), and a UTC session timezone so
+    formatted-timestamp outputs match the DuckDB oracle's naive reads
+    regardless of the host's default timezone. AQE is a performance
+    nicety only; correctness never depends on it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
