@@ -1056,7 +1056,13 @@ def bm25_query_index(
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("term").isin(*terms)
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    # Re-aggregate on read: the batch builder writes one stats row, the
+    # streaming ingest appends one PER BATCH — summing is associative,
+    # so both layouts yield the same single row here.
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("n_docs"))
+    )
     df_ = postings.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
     scored = (
         postings.join(F.broadcast(df_), "term")

@@ -377,3 +377,50 @@ def streaming_scd2(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_postings_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+) -> "object":
+    """Streaming maintenance of the BM25 inverted index
+    (``text.bm25_build_index``'s append form): each micro-batch of new
+    documents appends its postings (term, doc_id, tf, dl) under the
+    term-partitioned layout and its (doc-count, token-sum) contribution
+    to the stats table. After ingesting ANY batching of a corpus,
+    ``bm25_query_index`` over the accumulated index returns exactly the
+    batch-built index's answer — postings are per-doc facts, df derives
+    from the pruned postings at query time, and the stats aggregate is
+    associative, so batch boundaries cannot change any of them (pinned
+    in test_streaming).
+
+    foreachBatch is the right form: the postings build is a small batch
+    plan (tokenize + explode + agg) per trigger, and the partitioned
+    append needs a writer, not row state. At scale this is the standing
+    crawler->index pipeline; compaction of small per-batch partition
+    files is the bucketed-sink compaction lever (operators/sinks.py)."""
+    from martech_pipelines_spark.operators.text import tokens
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        toks_df = batch_df.select(
+            F.col("doc_id"), tokens(F.col("text")).alias("__tk")
+        ).select("doc_id", "__tk", F.size("__tk").alias("dl"))
+        postings = (
+            toks_df.select(F.col("doc_id"), "dl", F.explode("__tk").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count("*").alias("tf"))
+        )
+        postings.write.mode("append").partitionBy("term").parquet(
+            f"{index_path}/postings"
+        )
+        toks_df.agg(
+            F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
+        ).write.mode("append").parquet(f"{index_path}/stats")
+
+    return (
+        doc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -426,3 +426,42 @@ def test_stream_scd2_closed_versions_match_batch(spark, tmp_path):
         for r in batch.collect()
     )
     assert got == want
+
+
+def test_streaming_postings_ingest_matches_batch_index(spark, tmp_path):
+    """Ingesting the documents corpus as a 3-file stream must build an
+    index whose BM25 answers equal the batch-built index's exactly —
+    postings/df/stats are batching-invariant."""
+    from martech_pipelines_spark.operators import text as TX
+    from martech_pipelines_spark.streaming.stream import streaming_postings_ingest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    pdf = docs.toPandas()
+    cut = len(pdf) // 3
+    for i, chunk in enumerate((pdf[:cut], pdf[cut : 2 * cut], pdf[2 * cut :])):
+        chunk.to_parquet(d / f"part-{i:03d}.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    stream_idx = str(tmp_path / "stream_idx")
+    q = streaming_postings_ingest(stream, stream_idx, str(tmp_path / "ckpt_pi"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_idx = str(tmp_path / "batch_idx")
+    TX.bm25_build_index(docs, batch_idx)
+    terms = ("dup", "fast", "scan")
+    got = sorted(
+        map(tuple, TX.bm25_query_index(spark, stream_idx, terms, k=20).collect())
+    )
+    want = sorted(
+        map(tuple, TX.bm25_query_index(spark, batch_idx, terms, k=20).collect())
+    )
+    assert got == want and len(got) == 20
