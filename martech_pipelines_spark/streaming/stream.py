@@ -397,26 +397,17 @@ def streaming_postings_ingest(
 
     foreachBatch is the right form: the postings build is a small batch
     plan (tokenize + explode + agg) per trigger, and the partitioned
-    append needs a writer, not row state. At scale this is the standing
-    crawler->index pipeline; compaction of small per-batch partition
-    files is the bucketed-sink compaction lever (operators/sinks.py)."""
-    from martech_pipelines_spark.operators.text import tokens
+    append needs a writer, not row state. Writes are IDEMPOTENT under
+    micro-batch replay (foreachBatch is at-least-once after a failure):
+    each batch lands in its own ``batch_id=N`` directory with overwrite,
+    so a replayed batch replaces its previous attempt instead of
+    double-appending — the standard exactly-once foreachBatch sink
+    pattern. At scale this is the standing crawler->index pipeline;
+    compaction of small per-batch partition files is the bucketed-sink
+    compaction lever (operators/sinks.py)."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        toks_df = batch_df.select(
-            F.col("doc_id"), tokens(F.col("text")).alias("__tk")
-        ).select("doc_id", "__tk", F.size("__tk").alias("dl"))
-        postings = (
-            toks_df.select(F.col("doc_id"), "dl", F.explode("__tk").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count("*").alias("tf"))
-        )
-        postings.write.mode("append").partitionBy("term").parquet(
-            f"{index_path}/postings"
-        )
-        toks_df.agg(
-            F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
-        ).write.mode("append").parquet(f"{index_path}/stats")
+        _ingest_postings_batch(batch_df, batch_id, index_path)
 
     return (
         doc_stream.writeStream.foreachBatch(ingest)
@@ -424,3 +415,26 @@ def streaming_postings_ingest(
         .outputMode("update")
         .start()
     )
+
+
+def _ingest_postings_batch(
+    batch_df: DataFrame, batch_id: int, index_path: str
+) -> None:
+    """One idempotent ingest step (module-level so replay semantics are
+    directly testable): overwrite THIS batch's directories only."""
+    from martech_pipelines_spark.operators.text import tokens
+
+    toks_df = batch_df.select(
+        F.col("doc_id"), tokens(F.col("text")).alias("__tk")
+    ).select("doc_id", "__tk", F.size("__tk").alias("dl"))
+    postings = (
+        toks_df.select(F.col("doc_id"), "dl", F.explode("__tk").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings.write.mode("overwrite").partitionBy("term").parquet(
+        f"{index_path}/postings/batch_id={batch_id}"
+    )
+    toks_df.agg(
+        F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
+    ).write.mode("overwrite").parquet(f"{index_path}/stats/batch_id={batch_id}")

@@ -465,3 +465,32 @@ def test_streaming_postings_ingest_matches_batch_index(spark, tmp_path):
         map(tuple, TX.bm25_query_index(spark, batch_idx, terms, k=20).collect())
     )
     assert got == want and len(got) == 20
+
+
+def test_postings_ingest_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (foreachBatch is at-least-once after a
+    failure) must overwrite its own batch_id directories, not
+    double-append — query answers are unchanged after the replay."""
+    from martech_pipelines_spark.operators import text as TX
+    from martech_pipelines_spark.streaming.stream import _ingest_postings_batch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "replay_idx")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    _ingest_postings_batch(half, 0, idx)
+    _ingest_postings_batch(rest, 1, idx)
+    terms = ("dup", "fast", "scan")
+    before = sorted(map(tuple, TX.bm25_query_index(spark, idx, terms, k=20).collect()))
+    _ingest_postings_batch(rest, 1, idx)  # replay batch 1
+    after = sorted(map(tuple, TX.bm25_query_index(spark, idx, terms, k=20).collect()))
+    assert before == after
+    # and the accumulated index still equals the batch-built one
+    batch_idx = str(tmp_path / "replay_batch_idx")
+    TX.bm25_build_index(docs, batch_idx)
+    want = sorted(
+        map(tuple, TX.bm25_query_index(spark, batch_idx, terms, k=20).collect())
+    )
+    assert after == want
