@@ -300,7 +300,14 @@ def minhash_build_index(
     are a cheap projection over m0..m{P-1} at probe time, so one index
     serves every ``bands`` choice that divides ``num_perm``."""
     per_doc = minhash_signature_table(docs, text_col, id_col, num_perm, shingle_n)
-    per_doc.write.mode("overwrite").parquet(f"{index_path}/signatures")
+    # batch_id=-1 marks the initial build; streaming ingest appends its
+    # batches as sibling batch_id=N directories with per-batch overwrite,
+    # which makes micro-batch REPLAY idempotent (see
+    # streaming.streaming_minhash_ingest). Readers scan the parent dir
+    # and select explicit columns, so the partition column is inert.
+    per_doc.write.mode("overwrite").parquet(
+        f"{index_path}/signatures/batch_id=-1"
+    )
 
 
 def minhash_index_near_duplicates(

@@ -304,11 +304,18 @@ def streaming_minhash_ingest(
                 bands=bands,
                 shingle_n=shingle_n,
             )
-            pairs.write.mode("append").parquet(pairs_path)
+            # per-batch directories with overwrite => replaying a
+            # micro-batch (foreachBatch is at-least-once after failures)
+            # replaces its previous attempt instead of double-appending
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch_id={batch_id}"
+            )
             if grow_index:
                 DD.minhash_signature_table(
                     batch_df, num_perm=num_perm, shingle_n=shingle_n
-                ).write.mode("append").parquet(f"{index_path}/signatures")
+                ).write.mode("overwrite").parquet(
+                    f"{index_path}/signatures/batch_id={batch_id}"
+                )
 
     return (
         doc_stream.writeStream.foreachBatch(probe)
