@@ -156,3 +156,49 @@ def invalid_count(df: DataFrame, identity_fields: list[str]) -> int:
     """E4: the invalid-record metric — rows with no usable identity
     (reference: martech_pipelines/operators/clevertap_user_profile.py:93-98)."""
     return df.where(P.identity_coalesce(df, identity_fields).isNull()).count()
+
+
+def constraint_check(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    ranges: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Declarative data-quality gate (the deequ/dbt-test shape): evaluate
+    every declared constraint in ONE aggregation pass over the table and
+    return a (check_name, n_violations, ok) row per constraint — the
+    assertion twin of the dp1 one-pass profiler.
+
+    Scale shape: not-null / accepted-values / range checks are
+    conditional sums inside a single scan-and-aggregate (no shuffle
+    beyond the 1-row final agg); each ``unique`` check adds one
+    count_distinct (a keyed partial agg). The row-per-constraint output
+    comes from ``stack`` on the 1-row aggregate — no second pass."""
+    aggs: list = []
+    names: list[str] = []
+    for c in not_null or []:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
+        names.append(f"not_null({c})")
+    for c, vals in (accepted_values or {}).items():
+        aggs.append(
+            F.sum(F.when(~F.col(c).isin(*vals) | F.col(c).isNull(), 1).otherwise(0))
+        )
+        names.append(f"accepted_values({c})")
+    for c, (lo, hi) in (ranges or {}).items():
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNull() | (F.col(c) < lo) | (F.col(c) > hi), 1
+                ).otherwise(0)
+            )
+        )
+        names.append(f"range({c})")
+    for c in unique or []:
+        aggs.append(F.count(F.col(c)) - F.count_distinct(F.col(c)))
+        names.append(f"unique({c})")
+    row = df.agg(*[a.cast("long").alias(f"__c{i}") for i, a in enumerate(aggs)])
+    stack_args = ", ".join(f"'{n}', __c{i}" for i, n in enumerate(names))
+    return row.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (check_name, n_violations)"
+    ).withColumn("ok", F.col("n_violations") == 0)

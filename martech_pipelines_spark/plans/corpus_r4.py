@@ -424,3 +424,55 @@ def r18_mad_outliers(spark, sf_dir):
         F.round("value", 2).alias("value_r"),
         (F.col("absdev") > 3 * F.col("mad")).alias("is_outlier"),
     )
+
+
+# =============================================================================
+# dq1: declarative data-quality constraint gate
+# =============================================================================
+
+_DQ1_ORACLE = """
+    WITH agg AS (
+        SELECT
+            CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS c_nn_user,
+            CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS c_nn_ts,
+            CAST(sum(CASE WHEN event_type IS NULL
+                          OR event_type NOT IN
+                             ('view','click','purchase','signup','error')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_av_type,
+            CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 1000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_rng_value,
+            CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+                AS c_uq_event
+        FROM events
+    )
+    SELECT u.check_name, u.n_violations, u.n_violations = 0 AS ok
+    FROM agg, LATERAL (VALUES
+        ('not_null(user_id)', c_nn_user),
+        ('not_null(ts)', c_nn_ts),
+        ('accepted_values(event_type)', c_av_type),
+        ('range(value)', c_rng_value),
+        ('unique(event_id)', c_uq_event)
+    ) AS u(check_name, n_violations)
+    """
+
+
+@q("dq1_constraint_check", _DQ1_ORACLE)
+def dq1_constraint_check(spark, sf_dir):
+    """Declarative DQ gate over the change log: five constraints
+    (not-null x2, accepted-values, range, uniqueness) evaluated in ONE
+    aggregation pass — the pre-load assertion step of a warehouse
+    pipeline (see transforms.constraint_check)."""
+    from martech_pipelines_spark.operators import transforms as TR
+
+    ev = load_table(spark, sf_dir, "events")
+    return TR.constraint_check(
+        ev,
+        not_null=["user_id", "ts"],
+        accepted_values={
+            "event_type": ["view", "click", "purchase", "signup", "error"]
+        },
+        ranges={"value": (0, 1000)},
+        unique=["event_id"],
+    )

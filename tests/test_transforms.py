@@ -90,3 +90,26 @@ def test_full_export_pipeline(spark):
 def test_registry_is_extensible(spark):
     assert "get_gender_implicit_data" in TRANSFORMATIONS
     assert "get_birth_date" in TRANSFORMATIONS
+
+
+def test_constraint_check_detects_violations(spark):
+    from martech_pipelines_spark.operators.transforms import constraint_check
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "zz", 50.0), (3, "b", None)],
+        "id long, cat string, v double",
+    )
+    out = {
+        r["check_name"]: (r["n_violations"], r["ok"])
+        for r in constraint_check(
+            df,
+            not_null=["cat"],
+            unique=["id"],
+            accepted_values={"cat": ["a", "b"]},
+            ranges={"v": (0, 10)},
+        ).collect()
+    }
+    assert out["not_null(cat)"] == (1, False)
+    assert out["unique(id)"] == (1, False)          # id=2 twice
+    assert out["accepted_values(cat)"] == (2, False)  # 'zz' + null
+    assert out["range(v)"] == (3, False)            # -1.0, 50.0, null
