@@ -476,3 +476,49 @@ def dq1_constraint_check(spark, sf_dir):
         ranges={"value": (0, 1000)},
         unique=["event_id"],
     )
+
+
+# =============================================================================
+# z1: Z-order (Morton) clustering key
+# =============================================================================
+
+_Z1_INTERLEAVE = " + ".join(
+    f"(((ba >> {i}) & 1) << {2 * i + 1}) + (((bb >> {i}) & 1) << {2 * i})"
+    for i in range(16)
+)
+
+_Z1_ORACLE = f"""
+    WITH stats AS (
+        SELECT CAST(min(user_id) AS DOUBLE) AS mna,
+               CAST(max(user_id) AS DOUBLE) AS mxa,
+               min(value) AS mnb, max(value) AS mxb
+        FROM events
+    ), keyed AS (
+        SELECT event_id,
+               CASE WHEN mxa > mna
+                    THEN CAST(floor((CAST(user_id AS DOUBLE) - mna) * 65535.0
+                                    / (mxa - mna)) AS BIGINT)
+                    ELSE 0 END AS ba,
+               CASE WHEN mxb > mnb
+                    THEN CAST(floor((value - mnb) * 65535.0 / (mxb - mnb))
+                              AS BIGINT)
+                    ELSE 0 END AS bb
+        FROM events, stats
+    )
+    SELECT event_id, CAST({_Z1_INTERLEAVE} AS BIGINT) AS zkey FROM keyed
+    """
+
+
+@q("z1_zorder_key", _Z1_ORACLE)
+def z1_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value): min/max
+    rank buckets bit-interleaved with unrolled shift/and arithmetic —
+    the sort key behind multi-dimensional data skipping (Delta
+    ``OPTIMIZE ZORDER BY``). Key computation is one codegen projection
+    + a broadcast 1-row stats join; the measured skipping win lives in
+    tests/test_r4_ops.py (files touched by a 2-D box query, z-ordered
+    vs natural layout)."""
+    from martech_pipelines_spark.operators import layout as LY
+
+    ev = load_table(spark, sf_dir, "events")
+    return LY.with_zorder_key(ev, "user_id", "value").select("event_id", "zkey")

@@ -176,3 +176,45 @@ def test_paragraph_dedup_idempotent(spark):
     )
     twice = DD.paragraph_dedup(rebuilt, k=10)
     assert twice.where(F.col("n_kept") != F.col("n_paras")).count() == 0
+
+
+# --- z-order layout ----------------------------------------------------------
+
+
+def test_zorder_skips_more_files_than_natural_layout(spark, tmp_path):
+    """The point of Z-ordering, measured: a 2-D box predicate over a
+    z-ordered 16-file layout must touch fewer files than over the
+    natural (unsorted) layout. File-level containment is the same
+    min/max skipping parquet row-groups give, made observable via
+    input_file_name()."""
+    from martech_pipelines_spark.operators import layout as LY
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    z_path = str(tmp_path / "z_events")
+    n_path = str(tmp_path / "n_events")
+    LY.write_zordered(ev, z_path, "user_id", "value", n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(n_path)
+
+    box = (
+        (F.col("user_id") >= 10) & (F.col("user_id") <= 20)
+        & (F.col("value") >= 100) & (F.col("value") <= 150)
+    )
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .where(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    z_files, n_files = files_touched(z_path), files_touched(n_path)
+    # same answers either way
+    z_rows = spark.read.parquet(z_path).where(box).count()
+    n_rows = spark.read.parquet(n_path).where(box).count()
+    assert z_rows == n_rows > 0
+    # the skipping win: the box lives in a contiguous z-range, so only a
+    # few of the 16 z-files contain it; round-robin spreads it everywhere
+    assert z_files < n_files
+    assert z_files <= 4, (z_files, n_files)
