@@ -346,3 +346,39 @@ def scd2_from_changes(
         .withColumn("is_current", F.col("__next_ts").isNull())
         .drop("__next_ts")
     )
+
+
+def incremental_agg_update(
+    agg_table: DataFrame,
+    new_changes: DataFrame,
+    key_cols: str | list[str],
+    count_col: str = "n_events",
+    sum_col: str = "total_value",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: fold a
+    new change batch into an existing per-key (count, sum) table without
+    touching the history — ``new = old ⊎ delta`` via union + re-agg on
+    the partial states. Counts and sums are distributive, so maintaining
+    them incrementally is EXACT (averages derive as sum/count at read
+    time; non-distributive aggs like exact percentiles need sketches or
+    recompute).
+
+    Scale shape: the delta aggregation shuffles only the NEW batch; the
+    merge is one keyed agg over (|keys| + |batch keys|) partial rows —
+    the whole point vs re-scanning the full history each run. Same
+    watermark discipline as ``incremental_scan`` decides what counts as
+    new."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    delta = new_changes.groupBy(*keys).agg(
+        F.count("*").cast("long").alias(count_col),
+        F.sum(value_col).alias(sum_col),
+    )
+    return (
+        agg_table.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).cast("long").alias(count_col),
+            F.sum(sum_col).alias(sum_col),
+        )
+    )

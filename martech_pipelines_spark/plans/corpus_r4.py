@@ -522,3 +522,45 @@ def z1_zorder_key(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return LY.with_zorder_key(ev, "user_id", "value").select("event_id", "zkey")
+
+
+# =============================================================================
+# h6: incremental aggregate maintenance (IVM)
+# =============================================================================
+
+_H6_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY user_id
+    """
+
+
+@q("h6_incremental_agg", _H6_ORACLE)
+def h6_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance, proven against the full recompute:
+    the per-user (count, sum) table is built from the pre-watermark
+    history, then the post-watermark change batch is folded in with
+    ``incremental_agg_update`` — and the oracle is the DIRECT aggregation
+    over all events, so the equality IS the IVM correctness proof.
+    DECIMAL partial sums keep the merge exact under any fold order.
+    Only the delta shuffles at update time; that asymmetry is the entire
+    value of maintaining the view."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    cutoff = "2024-01-15 00:00:00"
+    history = ev.where(F.col("ts") < cutoff)
+    batch = ev.where(F.col("ts") >= cutoff)
+    base = history.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    updated = cdc.incremental_agg_update(base, batch, "user_id")
+    return updated.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    )

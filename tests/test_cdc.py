@@ -199,3 +199,29 @@ def test_update_watermark_upsert(spark):
     new = cdc.update_watermark(spark, jr, "ct", dt.datetime(2024, 2, 1))
     got = {r["query_name"]: r["last_job_run"] for r in new.collect()}
     assert got == {"ct": dt.datetime(2024, 2, 1), "nc": dt.datetime(2024, 1, 2)}
+
+
+def test_incremental_agg_update_handles_new_and_empty_keys(spark):
+    from martech_pipelines_spark.operators.cdc import incremental_agg_update
+
+    base = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 1, 5.0)],
+        "user_id long, n_events long, total_value double",
+    )
+    batch = spark.createDataFrame(
+        [(1, 7.5), (3, 1.0), (3, 2.0)], "user_id long, value double"
+    )
+    out = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in incremental_agg_update(base, batch, "user_id").collect()
+    }
+    assert out[1] == (3, 17.5)   # existing key folded
+    assert out[2] == (1, 5.0)    # untouched key carried
+    assert out[3] == (2, 3.0)    # brand-new key appears
+    # empty delta is a no-op
+    empty = batch.where(F.col("user_id") < 0)
+    out2 = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in incremental_agg_update(base, empty, "user_id").collect()
+    }
+    assert out2 == {1: (2, 10.0), 2: (1, 5.0)}
