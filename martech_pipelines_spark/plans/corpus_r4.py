@@ -564,3 +564,87 @@ def h6_incremental_agg(spark, sf_dir):
         "n_events",
         F.round("total_value", 2).cast("double").alias("total_value"),
     )
+
+
+# =============================================================================
+# pipe4: leakage-safe train/val/test split (cluster-consistent)
+# =============================================================================
+
+from martech_pipelines_spark.plans.corpus_extended import (  # noqa: E402
+    _CLUSTER_CORPUS_SQL,
+    _minhash_oracle,
+)
+
+_PIPE4_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_CLUSTER_CORPUS_SQL)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM verts
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clus AS (
+        SELECT id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY id
+    ),
+    corpus AS ({_CLUSTER_CORPUS_SQL}),
+    allc AS (
+        SELECT c.doc_id AS id, coalesce(cl.cluster, c.doc_id) AS cluster
+        FROM corpus c LEFT JOIN clus cl ON cl.id = c.doc_id
+    )
+    SELECT id, cluster,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT id, cluster,
+               ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS b
+        FROM allc
+    )
+    """
+
+
+@q("pipe4_leakage_safe_split", _PIPE4_ORACLE)
+def pipe4_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe splitting: assign train/val/test by NEAR-DUP CLUSTER,
+    not by document — a doc-level hash split leaks because a test doc's
+    near-duplicate can land in train (exactly what decontamination then
+    has to claw back). Composes three oracle-checked stages end to end:
+    MinHash-LSH pairs -> connected-component clusters (singletons keep
+    their own id) -> deterministic md5 split of the CLUSTER id, so every
+    member of a cluster inherits the same split by construction.
+
+    Oracle = the composed SQL of all three stages (recursive CTE
+    reachability included). The no-straddling property is additionally
+    pinned as a direct pytest assertion over the pair table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    exact = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(near)
+    pairs = DD.minhash_near_duplicates(
+        corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+    clusters = DD.dup_clusters(pairs)
+    assigned = (
+        corpus.select(F.col("doc_id").alias("id"))
+        .join(clusters, "id", "left")
+        .select(
+            "id", F.coalesce("cluster", F.col("id")).cast("long").alias("cluster")
+        )
+    )
+    bucket = TX.md5_bucket32(F.col("cluster").cast("string"), "split") % 100
+    return assigned.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )

@@ -218,3 +218,41 @@ def test_zorder_skips_more_files_than_natural_layout(spark, tmp_path):
     # few of the 16 z-files contain it; round-robin spreads it everywhere
     assert z_files < n_files
     assert z_files <= 4, (z_files, n_files)
+
+
+# --- leakage-safe split ------------------------------------------------------
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """The defining property, asserted directly: no near-dup pair may
+    straddle splits, and all three splits must be non-empty."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    exact = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(near)
+    pairs = DD.minhash_near_duplicates(
+        corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+    clusters = DD.dup_clusters(pairs)
+    assigned = (
+        corpus.select(F.col("doc_id").alias("id"))
+        .join(clusters, "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
+    )
+    bucket = TX.md5_bucket32(F.col("cluster").cast("string"), "split") % 100
+    split = assigned.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    lookup = {r["id"]: r["split"] for r in split.collect()}
+    pair_rows = pairs.collect()
+    assert len(pair_rows) > 0
+    for r in pair_rows:
+        assert lookup[r["id_a"]] == lookup[r["id_b"]], (r["id_a"], r["id_b"])
+    assert set(lookup.values()) == {"train", "val", "test"}
