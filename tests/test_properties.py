@@ -152,3 +152,67 @@ def test_chunkify_by_bytes_properties(recs, cap):
     for c in chunks:
         size = sum(len(r.encode("utf-8")) + 1 for r in c)
         assert size <= cap or len(c) == 1
+
+
+# --- round-4 operator properties ---------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=40
+)
+
+
+@SLOW
+@given(words=_words, k=st.integers(min_value=1, max_value=7))
+def test_paragraph_chunks_partition_tokens_exactly(spark, words, k):
+    """Concatenating the paragraph chunks reproduces the token stream:
+    no token lost, duplicated, or reordered, for any k and any doc."""
+    from martech_pipelines_spark.operators.text import paragraph_chunks, tokens
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "t string").select(
+        tokens(F.col("t")).alias("tk")
+    )
+    row = df.select(
+        F.col("tk"), paragraph_chunks(F.col("tk"), k).alias("p")
+    ).collect()[0]
+    rejoined = [w for chunk in row["p"] for w in chunk.split(" ") if w != ""]
+    assert rejoined == list(row["tk"])
+    # every chunk except the last has exactly k tokens
+    for chunk in row["p"][:-1]:
+        assert len(chunk.split(" ")) == k
+
+
+@SLOW
+@given(
+    a=st.integers(min_value=0, max_value=65535),
+    b=st.integers(min_value=0, max_value=65535),
+)
+def test_zorder_key_matches_python_interleave(spark, a, b):
+    """The unrolled Column interleave equals the bit-twiddling reference."""
+    from martech_pipelines_spark.operators.layout import zorder_key_from_buckets
+
+    def py_morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+
+    df = spark.createDataFrame([(a, b)], "a long, b long")
+    got = df.select(
+        zorder_key_from_buckets(F.col("a"), F.col("b")).alias("z")
+    ).collect()[0]["z"]
+    assert got == py_morton(a, b)
+
+
+def test_weighted_sample_prefix_property(spark):
+    """top-k is a PREFIX of top-(k+m) under the same keys — growing the
+    sample never swaps earlier selections (what makes incremental
+    sample-size tuning reproducible)."""
+    from martech_pipelines_spark.operators.text import weighted_sample_topk
+    from martech_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    small = [r["doc_id"] for r in weighted_sample_topk(docs, "n_chars", k=10).collect()]
+    big = [r["doc_id"] for r in weighted_sample_topk(docs, "n_chars", k=30).collect()]
+    assert big[:10] == small
