@@ -43,6 +43,9 @@ HEAVY = [
     # at 10x) and BM25 (postings bounded by query-term hits)
     "dd11_paragraph_dedup",
     "t19_bm25",
+    # round-4 TPC-H completion: the heaviest new join graph (lineitem x
+    # synthesized partsupp x orders + dims)
+    "q9_product_profit",
 ]
 N_RUNS = 2
 
@@ -57,7 +60,17 @@ def build_sf1(spark) -> None:
         "events": ({"event_id": 10_000_000_000, "user_id": 10_000_000}, None),
         "documents": ({"doc_id": 100_000_000}, "text"),
         "embeddings": ({"vec_id": 10_000_000}, None),
+        # q9 scale inputs: facts get key-shifted 10x; l_partkey/l_suppkey
+        # stay in the base range so the dims below are copied verbatim and
+        # join density (and partsupp synthesis) is preserved per copy
+        "orders": ({"o_orderkey": 10_000_000_000, "o_custkey": 0}, None),
+        "lineitem": ({"l_orderkey": 10_000_000_000}, None),
     }
+    for dim in ("part", "supplier", "nation", "region", "customer"):
+        dest = os.path.join(SF1_DIR, f"{dim}.parquet")
+        if not os.path.exists(dest):
+            load_table(spark, SRC, dim).write.mode("overwrite").parquet(dest)
+            print(f"copied {dest}", file=sys.stderr)
     for table, (shifts, text_col) in specs.items():
         dest = os.path.join(SF1_DIR, f"{table}.parquet")
         if os.path.exists(dest):
