@@ -648,3 +648,32 @@ def pipe4_leakage_safe_split(spark, sf_dir):
         "split",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
     )
+
+
+# =============================================================================
+# h7: incremental distinct maintenance via mergeable HLL sketches
+# =============================================================================
+
+
+@q("h7_incremental_distinct")  # rows-only: sketch estimate (error+merge gates in pytest)
+def h7_incremental_distinct(spark, sf_dir):
+    """Incremental DISTINCT maintenance: per-event-type distinct-user
+    counts kept as mergeable HLL sketches — the pre-watermark history is
+    sketched once, the new batch's sketches are unioned in, and history
+    is never re-scanned (h6's IVM asymmetry for a NON-distributive
+    aggregate). Deterministic sketches => union-of-batches equals the
+    full-corpus sketch bit-for-bit (pinned in tests); the estimate is
+    approximate by design, hence rows-only here with a 5%% error gate
+    in pytest."""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    cutoff = "2024-01-15 00:00:00"
+    base = SK.distinct_sketch_table(
+        ev.where(F.col("ts") < cutoff), "event_type", "user_id"
+    )
+    delta = SK.distinct_sketch_table(
+        ev.where(F.col("ts") >= cutoff), "event_type", "user_id"
+    )
+    merged = SK.merge_sketch_tables(base, delta, "event_type")
+    return SK.estimate_distinct(merged).orderBy("event_type")

@@ -256,3 +256,37 @@ def test_leakage_safe_split_never_straddles_pairs(spark):
     for r in pair_rows:
         assert lookup[r["id_a"]] == lookup[r["id_b"]], (r["id_a"], r["id_b"])
     assert set(lookup.values()) == {"train", "val", "test"}
+
+
+# --- HLL sketch maintenance --------------------------------------------------
+
+
+def test_hll_merge_equals_full_and_estimates_within_5pct(spark):
+    """Mergeability (the 100-TB property): union of per-batch sketches
+    must equal the full-corpus sketch estimate exactly (deterministic
+    sketches), and estimates stay within 5% of exact distinct."""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, SF, "events").select("event_type", "ts", "user_id")
+    full = SK.estimate_distinct(
+        SK.distinct_sketch_table(ev, "event_type", "user_id")
+    )
+    cutoff = "2024-01-15 00:00:00"
+    base = SK.distinct_sketch_table(
+        ev.where(F.col("ts") < cutoff), "event_type", "user_id"
+    )
+    delta = SK.distinct_sketch_table(
+        ev.where(F.col("ts") >= cutoff), "event_type", "user_id"
+    )
+    merged = SK.estimate_distinct(SK.merge_sketch_tables(base, delta, "event_type"))
+    got = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
+    want = {r["event_type"]: r["approx_distinct"] for r in full.collect()}
+    assert got == want  # merged == full, exactly
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in got.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
