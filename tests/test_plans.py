@@ -265,3 +265,22 @@ def test_t19b_query_stage_prunes_partitions_and_skips_corpus(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("term" in l and "dup" in l for l in pf_lines)
+
+
+def test_dq1_single_pass(spark):
+    """The DQ gate is ONE scan + one aggregate: no join of the table to
+    itself per constraint (the naive formulation), no Generate."""
+    import re
+
+    plan = plan_of(QUERIES["dq1_constraint_check"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan
+
+
+def test_z1_key_is_projection_plus_broadcast_stats(spark):
+    """The z-key computation must be a codegen projection over the scan
+    with a single broadcast 1-row stats join — no shuffle of the data."""
+    plan = plan_of(QUERIES["z1_zorder_key"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only exchange allowed is the broadcast of the 1-row stats
+    assert "Exchange hashpartitioning" not in plan
