@@ -840,6 +840,8 @@ def paragraph_chunks(tok: Column, k: int = 10) -> Column:
     Catalyst inlines non-trivial expression trees into every lambda
     reference, re-running the tokenizer per chunk otherwise). The
     ``when`` guard keeps ``sequence()`` from descending on empty docs."""
+    if k <= 0:
+        raise ValueError(f"paragraph chunk size must be positive, got {k}")
     n_par = F.floor((F.size(tok) + (k - 1)) / k).cast("int")
     idx = F.when(n_par > 0, F.sequence(F.lit(0), n_par - 1)).otherwise(
         F.array().cast("array<int>")
@@ -949,7 +951,13 @@ def weighted_sample_topk(
     Scale shape: the key is a codegen projection; top-k is
     ``orderBy().limit(k)`` = TakeOrdered (per-partition partial top-k,
     driver merge of k·P candidates) — no global sort, no single-partition
-    window over the corpus. The rank window runs on k rows only."""
+    window over the corpus. The rank window runs on k rows only.
+
+    Zero/negative/null weights are EXCLUDED before keying: their A-Res
+    key is undefined (division by w), and Spark's ascending sort puts
+    the resulting nulls FIRST — an unguarded zero-weight row would win
+    every sample."""
+    docs = docs.where(F.col(weight_col) > 0)
     u = (md5_bucket32(F.col(id_col).cast("string"), salt) + 1.0) / (2.0**32 + 1.0)
     key = -F.log(u) / F.col(weight_col)
     keyed = docs.select(

@@ -197,6 +197,8 @@ def constraint_check(
     for c in unique or []:
         aggs.append(F.count(F.col(c)) - F.count_distinct(F.col(c)))
         names.append(f"unique({c})")
+    if not aggs:
+        raise ValueError("constraint_check: no constraints declared")
     row = df.agg(*[a.cast("long").alias(f"__c{i}") for i, a in enumerate(aggs)])
     stack_args = ", ".join(f"'{n}', __c{i}" for i, n in enumerate(names))
     return row.selectExpr(

@@ -290,3 +290,36 @@ def test_hll_merge_equals_full_and_estimates_within_5pct(spark):
     }
     for et, est in got.items():
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+
+# --- edge-case guards --------------------------------------------------------
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """Zero/negative/null weights must never be sampled: their A-Res key
+    is undefined, and an unguarded null key would sort FIRST ascending."""
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, -5), (4, None), (5, 50)],
+        "doc_id long, w long",
+    )
+    got = {r["doc_id"] for r in TX.weighted_sample_topk(docs, "w", k=10).collect()}
+    assert got == {1, 5}
+
+
+def test_paragraph_chunks_rejects_nonpositive_k():
+    import pytest as _pytest
+
+    from pyspark.sql import functions as _F
+
+    with _pytest.raises(ValueError):
+        TX.paragraph_chunks(_F.col("x"), 0)
+
+
+def test_constraint_check_rejects_empty_declaration(spark):
+    import pytest as _pytest
+
+    from martech_pipelines_spark.operators.transforms import constraint_check
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        constraint_check(df)
