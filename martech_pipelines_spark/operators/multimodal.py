@@ -124,7 +124,10 @@ def extract_features(
                     (
                         int(doc_id),
                         int(arr.size),
-                        round(float(arr.mean()) if arr.size else 0.0, 4),
+                        # raw mean, not rounded: byte sums are < 2^53 so
+                        # the double is EXACT and engine-side rounding
+                        # (F.round / SQL round) stays oracle-portable
+                        float(arr.mean()) if arr.size else 0.0,
                         hist.tolist(),
                     )
                 )

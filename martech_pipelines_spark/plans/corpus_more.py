@@ -155,15 +155,35 @@ def mm5_frame_sample(spark, sf_dir):
     )
 
 
-@q("mm2_media_features")  # rows-only: mapInPandas kernel, no SQL form
+@q(
+    "mm2_media_features",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS size_bytes,
+           round(CASE WHEN length(text) > 0
+                 THEN list_aggregate(
+                          list_transform(range(1, length(text) + 1),
+                                         i -> ascii(text[CAST(i AS INTEGER)])),
+                          'avg')
+                 ELSE 0.0 END, 4) AS byte_mean
+    FROM documents
+    """,
+)
 def mm2_media_features(spark, sf_dir):
     """Arrow-batched byte-histogram features over binary payloads (the
-    stub decode kernel) — correctness pinned in tests/test_extended.py."""
+    stub decode kernel). FULL oracle (upgraded from rows-only in round
+    4): the stub payload is the text's utf-8 bytes and the corpus is
+    ASCII, so DuckDB recomputes size/mean from ascii() per character —
+    the same trick mm6's perceptual-hash oracle uses. Byte sums are
+    exact in doubles, so the kernel emits the raw mean and BOTH engines
+    round the identical value."""
     from martech_pipelines_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
-    return MM.extract_features(media).select("doc_id", "size_bytes", "byte_mean")
+    return MM.extract_features(media).select(
+        "doc_id", "size_bytes", F.round("byte_mean", 4).alias("byte_mean")
+    )
 
 
 @q(
