@@ -128,30 +128,66 @@ def mm3_binary_ingest(spark, sf_dir):
     return MM.binary_ingest_summary(MM.read_binary_dir(spark, _MEDIA))
 
 
-@q("mm4_resize")  # rows-only: binary->binary Arrow kernel, no SQL form
+@q(
+    "mm4_resize",
+    """
+    SELECT doc_id, 32 AS width, 32 AS height,
+           CAST(1024 AS BIGINT) AS size_bytes,
+           md5(CASE WHEN strlen(text) > 0
+               THEN array_to_string(
+                   list_transform(range(0, 1024),
+                       j -> text[CAST((j * strlen(text) // 1024)
+                                      % strlen(text) + 1 AS INTEGER)]),
+                   '')
+               END) AS payload_md5
+    FROM documents
+    """,
+)
 def mm4_resize(spark, sf_dir):
-    """Resize kernel shape over binary payloads (deterministic fake
-    resample; real PIL kernel slots in unchanged) — byte-exact output
+    """Resize kernel over binary payloads (deterministic stride
+    resample; a real PIL kernel slots in unchanged). FULL oracle since
+    r4: the output carries md5(payload), and DuckDB re-derives the
+    resampled BYTES from the ASCII text with the same index arithmetic
+    (j*size//target % size) — so the kernel's content, not just its
+    shape, is value-checked. Byte-exactness on crafted payloads stays
     pinned in tests/test_extended.py."""
     from martech_pipelines_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     return MM.resize_images(media, 32, 32).select(
-        "doc_id", "width", "height", "size_bytes"
+        "doc_id",
+        "width",
+        "height",
+        "size_bytes",
+        F.md5("payload").alias("payload_md5"),
     )
 
 
-@q("mm5_frame_sample")  # rows-only: 1->N Arrow kernel, no SQL form
+@q(
+    "mm5_frame_sample",
+    """
+    SELECT d.doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+           CAST(64 AS BIGINT) AS frame_size,
+           md5(substr(d.text, CAST(u.i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+    FROM (SELECT doc_id, text, strlen(text) // 64 AS nf FROM documents) d,
+         unnest(range(0, d.nf, 2)) u(i)
+    """,
+)
 def mm5_frame_sample(spark, sf_dir):
-    """Frame-sampling kernel shape (row-expanding mapInPandas) — frame
-    indices/sizes pinned in tests/test_extended.py."""
+    """Frame sampling (row-expanding mapInPandas: every 2nd 64-byte
+    frame). FULL oracle since r4: output carries md5(frame bytes) and
+    DuckDB re-derives each kept frame as substr(text, i*64+1, 64) over
+    the ASCII corpus — indices, sizes, AND content value-checked."""
     from martech_pipelines_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     return MM.sample_frames(media, frame_bytes=64, every_n=2).select(
-        "doc_id", "frame_idx", "frame_size"
+        "doc_id",
+        "frame_idx",
+        "frame_size",
+        F.md5("frame_bytes").alias("frame_md5"),
     )
 
 
