@@ -677,3 +677,111 @@ def h7_incremental_distinct(spark, sf_dir):
     )
     merged = SK.merge_sketch_tables(base, delta, "event_type")
     return SK.estimate_distinct(merged).orderBy("event_type")
+
+
+# =============================================================================
+# mart4b: SCD2 point-in-time snapshot (the read side of mart4)
+# =============================================================================
+
+_MART4B_TS = "2024-01-15 00:00:00"
+
+_MART4B_ORACLE = f"""
+    WITH scd AS (
+        SELECT user_id, event_id, event_type,
+               ts AS valid_from,
+               coalesce(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+    FROM scd
+    WHERE valid_from <= TIMESTAMP '{_MART4B_TS}'
+      AND valid_to > TIMESTAMP '{_MART4B_TS}'
+    """
+
+
+@q("mart4b_scd2_snapshot", _MART4B_ORACLE)
+def mart4b_scd2_snapshot(spark, sf_dir):
+    """SCD2 read side: the dimension AS OF a timestamp — one row per key
+    whose [valid_from, valid_to) interval covers T. Exactly-one-row-per-
+    key is structural (intervals partition each key's timeline), pinned
+    in test_r4_ops. Same single keyed shuffle as the build; the snapshot
+    filter is a codegen predicate over the versioned table — at scale
+    you'd partition the materialized SCD2 table by valid_from date and
+    prune."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    scd = cdc.scd2_from_changes(ev, "user_id", "ts", tiebreak_cols=["event_id"])
+    snap = scd.where(
+        (F.col("valid_from") <= _MART4B_TS) & (F.col("valid_to") > _MART4B_TS)
+    )
+    return snap.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+    )
+
+
+# =============================================================================
+# mart6: point-in-time (temporal) join of facts to dimension versions
+# =============================================================================
+
+_MART6_ORACLE = """
+    WITH scd AS (
+        SELECT user_id, event_id AS version_id, event_type AS state_at_purchase,
+               ts AS valid_from,
+               coalesce(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        FROM events
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           s.version_id, s.state_at_purchase
+    FROM events p
+    JOIN scd s ON s.user_id = p.user_id
+              AND s.valid_from <= p.ts AND s.valid_to > p.ts
+    WHERE p.event_type = 'purchase'
+    """
+
+
+@q("mart6_pit_join", _MART6_ORACLE)
+def mart6_pit_join(spark, sf_dir):
+    """Point-in-time join — the classic warehouse temporal join: each
+    purchase picks up the dimension version valid AT its own timestamp
+    (BETWEEN valid_from AND valid_to), never a later one (no leakage of
+    future state into training features). Distinct from r6's
+    self-stream as-of: this joins FACTS against a versioned DIMENSION.
+
+    Scale shape: user-keyed equi-join with the interval as a post-join
+    filter — both sides shuffle once on user_id, per-user fan-out is
+    bounded by version count. Each purchase matches EXACTLY one version
+    (intervals partition the timeline; the purchase itself is a change,
+    so its own version covers it) — pinned in test_r4_ops."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    scd = cdc.scd2_from_changes(ev, "user_id", "ts", tiebreak_cols=["event_id"])
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    versions = scd.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("event_type").alias("state_at_purchase"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        purchases.join(versions, purchases.p_user == versions.user_id)
+        .where(
+            (F.col("valid_from") <= F.col("p_ts"))
+            & (F.col("valid_to") > F.col("p_ts"))
+        )
+        .select("purchase_id", "user_id", "version_id", "state_at_purchase")
+    )

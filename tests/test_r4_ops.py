@@ -323,3 +323,20 @@ def test_constraint_check_rejects_empty_declaration(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError):
         constraint_check(df)
+
+
+def test_scd2_snapshot_and_pit_join_exactly_one_version(spark):
+    """Structural invariants of the temporal surface: a snapshot returns
+    at most one version per key (exactly one for keys existing at T),
+    and the PIT join matches every purchase to exactly one version."""
+    from martech_pipelines_spark.plans import QUERIES
+
+    snap = QUERIES["mart4b_scd2_snapshot"](spark, "/root/testdata/sf0.001")
+    dup_keys = snap.groupBy("user_id").count().where(F.col("count") > 1).count()
+    assert dup_keys == 0
+    pit = QUERIES["mart6_pit_join"](spark, "/root/testdata/sf0.001")
+    per_purchase = pit.groupBy("purchase_id").count()
+    assert per_purchase.where(F.col("count") != 1).count() == 0
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n_purchases = ev.where(F.col("event_type") == "purchase").count()
+    assert pit.count() == n_purchases
