@@ -785,3 +785,62 @@ def mart6_pit_join(spark, sf_dir):
         )
         .select("purchase_id", "user_id", "version_id", "state_at_purchase")
     )
+
+
+@q("mart6b_pit_window", _MART6_ORACLE)
+def mart6b_pit_window(spark, sf_dir):
+    """mart6's join-free twin, SHARING its oracle: union the version
+    stream with the fact stream, sort once per user, and carry the last
+    version forward (the mart3 last-touch trick applied to SCD2) —
+    proof the two formulations are semantically identical.
+
+    Why it exists: the equi-join form fans out per-user versions x facts
+    before filtering; under a hot user that pair blow-up is the skew
+    risk. The window form is ONE sort per user partition regardless of
+    fan-in — the formulation to prefer when version counts are skewed.
+    Tie discipline at equal ts: versions sort before facts (a purchase
+    must see its OWN version), and later same-ts versions overwrite
+    earlier ones exactly like the join's empty-interval exclusion."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    versions = ev.select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(1).alias("is_version"),
+        F.col("event_id").alias("version_id"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(0).alias("is_version"),
+        F.lit(None).cast("long").alias("version_id"),
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ev_ts"), F.desc("is_version"), F.asc("version_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = versions.unionByName(facts).select(
+        "user_id",
+        "is_version",
+        "purchase_id",
+        F.last(F.when(F.col("is_version") == 1, F.col("version_id")), True)
+        .over(w)
+        .alias("version_id_c"),
+        F.last(F.when(F.col("is_version") == 1, F.col("state")), True)
+        .over(w)
+        .alias("state_c"),
+    )
+    return merged.where(F.col("is_version") == 0).select(
+        "purchase_id",
+        "user_id",
+        F.col("version_id_c").alias("version_id"),
+        F.col("state_c").alias("state_at_purchase"),
+    )
