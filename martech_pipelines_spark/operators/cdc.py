@@ -382,3 +382,63 @@ def incremental_agg_update(
             F.sum(sum_col).alias(sum_col),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC in the OUTWARD direction: derive a change feed from two table
+    snapshots — the op a pipeline needs when the upstream system has no
+    change log (the reference's watermark pattern assumes one exists;
+    this manufactures it). Full-outer join on the key, rows classified
+    ``insert`` (key only in new), ``delete`` (only in old), ``update``
+    (both, any compared column differs — null-safe); unchanged rows are
+    dropped.
+
+    Scale shape: one co-partitioned full-outer join (both sides shuffle
+    once on the key; bucketing both snapshots by the key makes it
+    exchange-free — see write_bucketed_table) and a codegen classifier.
+    Comparison is null-safe (``<=>``), so null->value and value->null
+    both classify as updates."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.when(in_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+        for c in compare_cols
+    ]
+    return (
+        j.withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(*out_keys, *out_vals, "change_type")
+    )

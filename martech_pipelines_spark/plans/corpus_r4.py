@@ -844,3 +844,68 @@ def mart6b_pit_window(spark, sf_dir):
         F.col("version_id_c").alias("version_id"),
         F.col("state_c").alias("state_at_purchase"),
     )
+
+
+# =============================================================================
+# h8: snapshot-diff change feed (CDC outward)
+# =============================================================================
+
+_H8_ORACLE = """
+    WITH old_s AS (
+        SELECT user_id, event_id, value FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rnk
+            FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rnk = 1
+    ), new_s AS (
+        SELECT user_id, event_id, value FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rnk
+            FROM events
+        ) WHERE rnk = 1
+    )
+    SELECT coalesce(n.user_id, o.user_id) AS user_id,
+           CASE WHEN n.user_id IS NOT NULL THEN n.event_id
+                ELSE o.event_id END AS event_id,
+           round(CASE WHEN n.user_id IS NOT NULL THEN n.value
+                      ELSE o.value END, 2) AS value_r,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                WHEN o.event_id IS DISTINCT FROM n.event_id
+                  OR o.value IS DISTINCT FROM n.value THEN 'update'
+           END AS change_type
+    FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+    WHERE (o.user_id IS NULL) OR (n.user_id IS NULL)
+       OR (o.event_id IS DISTINCT FROM n.event_id
+           OR o.value IS DISTINCT FROM n.value)
+    """
+
+
+@q("h8_snapshot_diff", _H8_ORACLE)
+def h8_snapshot_diff(spark, sf_dir):
+    """CDC in the OUTWARD direction: manufacture a change feed by
+    diffing two snapshots (latest-per-user state before the watermark vs
+    now) — what a pipeline does when the upstream has no change log.
+    Inserts (new users), updates (latest event moved), deletes (none
+    here, structurally: users never vanish); unchanged users dropped.
+    One co-partitioned full-outer join + codegen classifier (null-safe
+    comparison); bucketing both snapshots makes it exchange-free."""
+    ev = load_table(spark, sf_dir, "events")
+    old_snap = cdc.latest_per_key(
+        ev.where(F.col("ts") < "2024-01-15 00:00:00"),
+        "user_id",
+        "ts",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_id", "value")
+    new_snap = cdc.latest_per_key(
+        ev, "user_id", "ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_id", "value")
+    diff = cdc.snapshot_diff(old_snap, new_snap, "user_id")
+    return diff.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value_r"),
+        "change_type",
+    )

@@ -225,3 +225,25 @@ def test_incremental_agg_update_handles_new_and_empty_keys(spark):
         for r in incremental_agg_update(base, empty, "user_id").collect()
     }
     assert out2 == {1: (2, 10.0), 2: (1, 5.0)}
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from martech_pipelines_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged -> dropped
+         (2, "b", 9.0),      # update (value)
+         (3, "c", 3.0),      # update (null -> value, null-safe)
+         (5, "e", 5.0)],     # insert; key 4 deleted
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2]["change_type"] == "update" and out[2]["v"] == 9.0
+    assert out[3]["change_type"] == "update" and out[3]["v"] == 3.0
+    assert out[4]["change_type"] == "delete" and out[4]["v"] == 4.0
+    assert out[5]["change_type"] == "insert" and out[5]["s"] == "e"
