@@ -142,6 +142,18 @@ SHOWCASE = [
         "nested semi-join chain flattened: keyed 1997-shipment agg + "
         "broadcast dims, exact integer/DECIMAL comparison",
     ),
+    (
+        "mart6b_pit_window",
+        "join-free point-in-time join: union versions+facts, ONE window "
+        "carry-forward per user — 0 join nodes, 1 exchange (the "
+        "skew-proof temporal-join form; shares mart6's oracle)",
+    ),
+    (
+        "h8_snapshot_diff",
+        "snapshot-diff CDC: co-partitioned full-outer join + null-safe "
+        "codegen classifier — manufactures a change feed without an "
+        "upstream log",
+    ),
 ]
 
 
