@@ -909,3 +909,101 @@ def h8_snapshot_diff(spark, sf_dir):
         F.round("value", 2).alias("value_r"),
         "change_type",
     )
+
+
+# =============================================================================
+# t22: per-source distribution drift (Jensen-Shannon divergence)
+# =============================================================================
+
+_T22_ORACLE = f"""
+    WITH toks AS (
+        SELECT source, unnest({_DUCK_TOKENS.format(col='text')}) AS term
+        FROM documents
+    ), src_counts AS (
+        SELECT source, term, count(*) AS c FROM toks GROUP BY source, term
+    ), src_tot AS (
+        SELECT source, CAST(sum(c) AS DOUBLE) AS tot FROM src_counts GROUP BY source
+    ), corpus_counts AS (
+        SELECT term, count(*) AS c FROM toks GROUP BY term
+    ), corpus_tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS tot FROM corpus_counts
+    ), probs AS (
+        SELECT sc.source,
+               sc.c / st.tot AS p,
+               cc.c / ct.tot AS q
+        FROM src_counts sc
+        JOIN src_tot st USING (source)
+        JOIN corpus_counts cc USING (term)
+        CROSS JOIN corpus_tot ct
+    )
+    SELECT source,
+           round(sum(
+               0.5 * p * ln(p / ((p + q) / 2.0))
+             + 0.5 * q * ln(q / ((p + q) / 2.0))
+           ), 4) AS jsd
+    FROM probs GROUP BY source
+    """
+
+
+@q("t22_source_drift", _T22_ORACLE)
+def t22_source_drift(spark, sf_dir):
+    """Per-source distribution drift: Jensen-Shannon divergence between
+    each source's token distribution and the corpus-wide one — the
+    monitoring signal a mixture pipeline (t16/pipe3) alarms on when a
+    source's content shifts. One exploded-token pass feeds both the
+    per-source and corpus distributions (vocab-keyed aggregates, both
+    broadcastable); the JSD sum runs over vocabulary-sized rows.
+    NB: terms absent from a source contribute only through the corpus
+    side being a superset — the sum here covers terms PRESENT in the
+    source (q>0 always since corpus ⊇ source), matching the oracle
+    term-for-term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    src_counts = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    src_tot = src_counts.groupBy("source").agg(
+        F.sum("c").cast("double").alias("tot")
+    )
+    corpus_counts = toks.groupBy("term").agg(F.count("*").alias("cc"))
+    corpus_tot = corpus_counts.agg(F.sum("cc").cast("double").alias("ctot"))
+    probs = (
+        src_counts.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus_counts), "term")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "source",
+            (F.col("c") / F.col("tot")).alias("p"),
+            (F.col("cc") / F.col("ctot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(
+        F.col("q") / m
+    )
+    return probs.groupBy("source").agg(F.round(F.sum(term), 4).alias("jsd"))
+
+
+# =============================================================================
+# r19: grouped equi-width histogram
+# =============================================================================
+
+_R19_ORACLE = """
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)
+    """
+
+
+@q("r19_histogram", _R19_ORACLE)
+def r19_histogram(spark, sf_dir):
+    """Grouped equi-width histogram (bin = floor(value/50)): the
+    dashboard-distribution query, one keyed agg with map-side combine;
+    identical float division + floor in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("long").alias("bin"),
+    ).agg(F.count("*").cast("long").alias("n"))
