@@ -326,7 +326,11 @@ def scd2_from_changes(
 
     The warehouse-side complement of ``cdc_compact``: compact keeps only
     the newest row per key; SCD2 keeps the full history queryable with
-    point-in-time joins (``BETWEEN valid_from AND valid_to``).
+    point-in-time joins. Intervals are HALF-OPEN ``[valid_from,
+    valid_to)`` — ``valid_to`` equals the next version's ``valid_from``
+    — so the correct point-in-time predicate is ``valid_from <= t AND
+    valid_to > t``; an inclusive ``BETWEEN`` would double-match any
+    timestamp that falls exactly on a version boundary.
 
     Scale shape: ONE shuffle on the key (the same exchange compact
     needs), a per-key sort, one ``lead()`` — no self-join against the

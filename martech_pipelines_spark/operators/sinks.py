@@ -146,7 +146,25 @@ def write_bucketed_table(
     exchange_free). Bucket the standing fact tables on their join key when
     the same fact-fact join runs repeatedly; the shuffle is paid once at
     write, not on every query. ``sort_cols`` additionally sorts within
-    buckets so merge joins skip the per-task sort."""
+    buckets so merge joins skip the per-task sort.
+
+    Overwrite mode drops the catalog entry AND purges the warehouse
+    location first: a location directory orphaned by a discarded
+    metastore (e.g. a prior session's Derby db) survives ``DROP TABLE IF
+    EXISTS`` and makes ``saveAsTable`` refuse with
+    LOCATION_ALREADY_EXISTS."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        parts = table.split(".")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        rel = parts[-1].lower() if len(parts) == 1 else (
+            parts[-2].lower() + ".db/" + parts[-1].lower()
+        )
+        hpath = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
     writer = df.write.format(fmt).mode(mode).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

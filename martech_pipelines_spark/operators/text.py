@@ -770,6 +770,9 @@ def _bpe_merge_expr(sym: Column, left: str, right: str) -> Column:
     )
 
 
+_BPE_MAX_MERGES = 4096
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     n_merges: int = 8,
@@ -788,8 +791,28 @@ def bpe_learn_merges(
     one keyed agg, a 1-row collect of the argmax (legitimate control-
     plane collect), and a fold-expression merge apply. ``localCheckpoint``
     per round truncates the growing lineage (same driver-loop pattern as
-    ``dedup.dup_clusters``). R rounds = R vocab-sized jobs regardless of
-    corpus size."""
+    ``dedup.dup_clusters``).
+
+    COST MODEL — read before raising ``n_merges``: this is inherently
+    iterative, and each merge round launches ONE Spark job over the
+    vocabulary-sized word table (driver wall-clock ~= n_merges x
+    per-round job latency, independent of corpus size after the first
+    shuffle). A production 32k-vocab run is 32k sequential vocab-sized
+    jobs — fine on a warm cluster, but not something to trigger by
+    accident; requests beyond ``_BPE_MAX_MERGES`` (4096) raise up front
+    (the same explicit-failure posture as ``dedup.dup_clusters``'s
+    iteration cap). The loop also stops early when no pair occurs twice
+    (nothing left to merge), so sparse corpora converge well before the
+    budget."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if n_merges > _BPE_MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds the merge budget "
+            f"({_BPE_MAX_MERGES}): each merge is one sequential "
+            "vocab-sized Spark job — raise _BPE_MAX_MERGES deliberately "
+            "if you really want a larger vocabulary"
+        )
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -1028,6 +1051,14 @@ def bm25_build_index(
     at query time (count of docs per surviving partition), so the index
     has no term-global table to keep consistent under appends.
 
+    Layout parity with the streaming ingest: the batch build writes
+    under ``postings/batch_id=-1/term=X`` and ``stats/batch_id=-1``
+    (mirroring ``minhash_build_index``'s ``signatures/batch_id=-1``), so
+    ``streaming.streaming_postings_ingest`` — which appends
+    ``batch_id=N`` directories — can grow a batch-built index without
+    creating conflicting partition-directory depths that Spark's
+    partition discovery rejects.
+
     At 100 TB the postings table is the corpus reorganized by term —
     the one-time cost every search engine pays; after that, queries cost
     |query terms| partitions, not a corpus scan."""
@@ -1039,12 +1070,14 @@ def bm25_build_index(
         .groupBy("term", id_col, "dl")
         .agg(F.count("*").alias("tf"))
     )
+    # batch_id=-1 marks the initial build; streaming ingest appends its
+    # own batch_id=N siblings under the same root.
     postings.write.mode("overwrite").partitionBy("term").parquet(
-        f"{path}/postings"
+        f"{path}/postings/batch_id=-1"
     )
     toks_df.agg(
         F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).write.mode("overwrite").parquet(f"{path}/stats/batch_id=-1")
 
 
 def bm25_query_index(

@@ -164,26 +164,50 @@ def constraint_check(
     unique: list[str] | None = None,
     accepted_values: dict[str, list] | None = None,
     ranges: dict[str, tuple] | None = None,
+    null_violates_accepted_values: bool = True,
 ) -> DataFrame:
     """Declarative data-quality gate (the deequ/dbt-test shape): evaluate
     every declared constraint in ONE aggregation pass over the table and
     return a (check_name, n_violations, ok) row per constraint — the
     assertion twin of the dp1 one-pass profiler.
 
+    NULL semantics for ``accepted_values``: by default a NULL counts as
+    a violation (a missing value is not an accepted one). dbt's
+    ``accepted_values`` test instead IGNORES NULLs (its generated SQL's
+    ``NOT IN`` is never true for NULL); pass
+    ``null_violates_accepted_values=False`` for dbt-compatible
+    behavior. Declare ``not_null`` separately when you need both.
+
+    Constraint names are derived from raw column names and interpolated
+    into a ``stack()`` selectExpr; names containing quotes or newlines
+    are rejected up front rather than silently producing malformed SQL.
+
     Scale shape: not-null / accepted-values / range checks are
     conditional sums inside a single scan-and-aggregate (no shuffle
     beyond the 1-row final agg); each ``unique`` check adds one
     count_distinct (a keyed partial agg). The row-per-constraint output
     comes from ``stack`` on the 1-row aggregate — no second pass."""
+    for c in [
+        *(not_null or []),
+        *(unique or []),
+        *(accepted_values or {}),
+        *(ranges or {}),
+    ]:
+        if any(ch in c for ch in ("'", '"', "\\", "\n")):
+            raise ValueError(
+                f"constraint_check: column name {c!r} contains a quote/escape "
+                "character that cannot be safely embedded in a check name"
+            )
     aggs: list = []
     names: list[str] = []
     for c in not_null or []:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
         names.append(f"not_null({c})")
     for c, vals in (accepted_values or {}).items():
-        aggs.append(
-            F.sum(F.when(~F.col(c).isin(*vals) | F.col(c).isNull(), 1).otherwise(0))
-        )
+        bad = ~F.col(c).isin(*vals)
+        if null_violates_accepted_values:
+            bad = bad | F.col(c).isNull()
+        aggs.append(F.sum(F.when(bad, 1).otherwise(0)))
         names.append(f"accepted_values({c})")
     for c, (lo, hi) in (ranges or {}).items():
         aggs.append(

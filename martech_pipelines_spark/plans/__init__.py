@@ -7,5 +7,93 @@ from martech_pipelines_spark.plans import corpus_tpch2  # noqa: F401  (registers
 from martech_pipelines_spark.plans import corpus_scale  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r4  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_tpch3  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering.
+#
+# The correctness driver hashes only the FIRST 50 entries of queries() each
+# round (CORRECTNESS_r{N}.json).  Rounds 1-4 verified 65 distinct queries;
+# 90 registered queries have never been driver-checked.  We lead the registry
+# with 50 never-driver-verified, full-oracle queries (new round-5 work first,
+# then the hardest carried work: TPC-H q2/q9/q20, dd8-dd11, s6/s7, t13-t22,
+# mart1-6, h6/h8, pipe1-4) so the driver's window converts local-only
+# verification into hard driver signal.  Everything else keeps its original
+# registration order after the priority block; nothing is removed.
+# ---------------------------------------------------------------------------
+_WINDOW_PRIORITY = [
+    # --- round-5 additions (never checked, registered in corpus_r5) ---
+    # (new names are inserted here as they are built)
+    # --- TPC-H completions (round 4, never driver-checked) ---
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q20_potential_promotion",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    # --- dedup / decontamination ---
+    "dd8_substring_window",
+    "dd8b_substring_window_skew",
+    "dd9_decontaminate",
+    "dd9b_contamination_overlap",
+    "dd10_incremental_dedup",
+    "dd11_paragraph_dedup",
+    "dd7b_dup_clusters_star",
+    # --- similarity ---
+    "s6_semdedup",
+    "s7_sq8_topk",
+    # --- text / training-data prep ---
+    "t13_gopher_filter",
+    "t14_bpe_pairs",
+    "t15_url_filter",
+    "t16_mixture_weights",
+    "t17_ngram_lm_score",
+    "t18_dsir_importance",
+    "t19_bm25",
+    "t19b_bm25_materialized",
+    "t20_weighted_sample",
+    "t21_length_buckets",
+    "t22_source_drift",
+    # --- marts / SCD2 / attribution ---
+    "mart1_funnel",
+    "mart2_retention",
+    "mart3_last_touch",
+    "mart4_scd2",
+    "mart4b_scd2_snapshot",
+    "mart5_linear_attribution",
+    "mart6_pit_join",
+    "mart6b_pit_window",
+    # --- incremental view maintenance ---
+    "h6_incremental_agg",
+    "h8_snapshot_diff",
+    # --- composed pipelines ---
+    "pipe1_training_prep",
+    "pipe2_scale_prep",
+    "pipe3_mixture_resample",
+    "pipe4_leakage_safe_split",
+    # --- layout / DQ / relational fill-ins ---
+    "z1_zorder_key",
+    "dq1_constraint_check",
+    "r17_fuzzy_join",
+    "r18_mad_outliers",
+    "r19_histogram",
+    "mm6_phash_near_dup",
+    "mm1_media_meta",
+    "mm2_media_features",
+    "t6_tfidf",
+    "f12_standardize",
+    "dp1_profile_customer",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {n: QUERIES[n] for n in _WINDOW_PRIORITY if n in QUERIES}
+    for name, fn in list(QUERIES.items()):
+        if name not in ordered:
+            ordered[name] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder_registry()
 
 __all__ = ["QUERIES", "ORACLE"]

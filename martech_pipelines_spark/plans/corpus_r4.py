@@ -752,7 +752,9 @@ _MART6_ORACLE = """
 def mart6_pit_join(spark, sf_dir):
     """Point-in-time join — the classic warehouse temporal join: each
     purchase picks up the dimension version valid AT its own timestamp
-    (BETWEEN valid_from AND valid_to), never a later one (no leakage of
+    via the half-open predicate ``valid_from <= t AND valid_to > t``
+    (NOT an inclusive BETWEEN, which would double-match timestamps on a
+    version boundary), never a later one (no leakage of
     future state into training features). Distinct from r6's
     self-stream as-of: this joins FACTS against a versioned DIMENSION.
 
@@ -940,7 +942,7 @@ _T22_ORACLE = f"""
            round(sum(
                0.5 * p * ln(p / ((p + q) / 2.0))
              + 0.5 * q * ln(q / ((p + q) / 2.0))
-           ), 4) AS jsd
+           ) + 0.5 * ln(2.0) * (1.0 - sum(q)), 4) AS jsd
     FROM probs GROUP BY source
     """
 
@@ -953,10 +955,12 @@ def t22_source_drift(spark, sf_dir):
     source's content shifts. One exploded-token pass feeds both the
     per-source and corpus distributions (vocab-keyed aggregates, both
     broadcastable); the JSD sum runs over vocabulary-sized rows.
-    NB: terms absent from a source contribute only through the corpus
-    side being a superset — the sum here covers terms PRESENT in the
-    source (q>0 always since corpus ⊇ source), matching the oracle
-    term-for-term."""
+    This is the FULL JSD (nats): the explicit sum covers terms present
+    in the source; each corpus term ABSENT from the source (p=0, q>0)
+    contributes exactly 0.5*q*ln(2), which per source telescopes to the
+    closed form 0.5*ln(2)*(1 - sum_present(q)) — added without ever
+    materializing the absent (source, term) pairs, so no dense
+    source x vocabulary cross join is needed."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(TX.tokens(F.col("text"))).alias("term")
@@ -981,7 +985,10 @@ def t22_source_drift(spark, sf_dir):
     term = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(
         F.col("q") / m
     )
-    return probs.groupBy("source").agg(F.round(F.sum(term), 4).alias("jsd"))
+    absent = 0.5 * F.log(F.lit(2.0)) * (F.lit(1.0) - F.sum("q"))
+    return probs.groupBy("source").agg(
+        F.round(F.sum(term) + absent, 4).alias("jsd")
+    )
 
 
 # =============================================================================

@@ -44,7 +44,7 @@ from martech_pipelines_spark.sources.schemas import SCHEMAS, TABLES
 # per path (writers vary by pandas/arrow version); footer probes cache.
 _MAYBE_NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
-_NANOS_CACHE: dict[tuple[str, str], bool] = {}
+_NANOS_CACHE: dict[tuple, bool] = {}
 
 
 def _is_nanos(path: str, col: str) -> bool:
@@ -53,10 +53,13 @@ def _is_nanos(path: str, col: str) -> bool:
     Driver-side footer read (a few KB) — never touches row data. Handles
     both a single file and a directory of part files (first part decides;
     mixed-unit directories are not a case any sane writer produces).
+
+    The probe result is cached per (probe file, col, mtime, size) — NOT
+    per path alone — so a long-lived session notices when the file is
+    regenerated in place with a different timestamp unit (exactly the
+    between-rounds regeneration this sniffing exists for) instead of
+    serving a stale unit decision.
     """
-    key = (path, col)
-    if key in _NANOS_CACHE:
-        return _NANOS_CACHE[key]
     import pyarrow.parquet as pq
 
     probe = path
@@ -65,9 +68,15 @@ def _is_nanos(path: str, col: str) -> bool:
             f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
         )
         if not parts:
-            _NANOS_CACHE[key] = False
             return False
         probe = os.path.join(path, parts[0])
+    try:
+        st = os.stat(probe)
+        key = (probe, col, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return False
+    if key in _NANOS_CACHE:
+        return _NANOS_CACHE[key]
     try:
         typ = pq.read_schema(probe).field(col).type
         result = getattr(typ, "unit", None) == "ns"

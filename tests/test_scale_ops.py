@@ -544,3 +544,17 @@ def test_bpe_merge_apply_is_greedy_leftmost(spark):
 
     out = df.select(_bpe_merge_expr(F.col("sym"), "a", "a").alias("m")).collect()
     assert out[0]["m"] == ["aa", "a"]
+
+
+def test_bpe_merge_budget_guard(spark):
+    """The merge budget is an explicit up-front failure (each merge is a
+    sequential vocab-sized job), mirroring dup_clusters' iteration cap."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="merge budget"):
+        TX.bpe_learn_merges(docs, n_merges=TX._BPE_MAX_MERGES + 1)
+    with _pytest.raises(ValueError, match=">= 0"):
+        TX.bpe_learn_merges(docs, n_merges=-1)
+    # n_merges=0 is a legal no-op returning the empty table
+    assert TX.bpe_learn_merges(docs, n_merges=0).count() == 0

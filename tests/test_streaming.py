@@ -494,3 +494,30 @@ def test_postings_ingest_replay_is_idempotent(spark, tmp_path):
         map(tuple, TX.bm25_query_index(spark, batch_idx, terms, k=20).collect())
     )
     assert after == want
+
+
+def test_batch_built_index_grows_via_streaming_ingest(spark, tmp_path):
+    """The ADVICE-flagged layout case: bm25_build_index writes
+    postings/batch_id=-1/term=X, so the streaming ingest can APPEND
+    batch_id=N siblings to a batch-built index without conflicting
+    partition depths — and the grown index answers exactly like a
+    batch build over the union corpus."""
+    from martech_pipelines_spark.operators import text as TX
+    from martech_pipelines_spark.streaming.stream import _ingest_postings_batch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "grown_idx")
+    TX.bm25_build_index(old, idx)          # initial batch build
+    _ingest_postings_batch(new, 0, idx)    # grown by the streaming path
+    terms = ("dup", "fast", "scan")
+    got = sorted(map(tuple, TX.bm25_query_index(spark, idx, terms, k=20).collect()))
+    full_idx = str(tmp_path / "full_idx")
+    TX.bm25_build_index(docs, full_idx)
+    want = sorted(
+        map(tuple, TX.bm25_query_index(spark, full_idx, terms, k=20).collect())
+    )
+    assert got == want and len(got) == 20

@@ -113,3 +113,28 @@ def test_constraint_check_detects_violations(spark):
     assert out["unique(id)"] == (1, False)          # id=2 twice
     assert out["accepted_values(cat)"] == (2, False)  # 'zz' + null
     assert out["range(v)"] == (3, False)            # -1.0, 50.0, null
+
+
+def test_constraint_check_dbt_null_mode_and_quote_rejection(spark):
+    import pytest as _pytest
+
+    from martech_pipelines_spark.operators.transforms import constraint_check
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zz")], "id long, cat string"
+    )
+    # dbt-compatible mode: NULL is NOT an accepted_values violation
+    out = {
+        r["check_name"]: r["n_violations"]
+        for r in constraint_check(
+            df,
+            accepted_values={"cat": ["a", "b"]},
+            null_violates_accepted_values=False,
+        ).collect()
+    }
+    assert out["accepted_values(cat)"] == 1  # only 'zz'
+    # a column name carrying a quote cannot be embedded in the stack()
+    # expression — rejected up front, not malformed SQL downstream
+    bad = df.withColumnRenamed("cat", "ca't")
+    with _pytest.raises(ValueError, match="quote"):
+        constraint_check(bad, not_null=["ca't"])
