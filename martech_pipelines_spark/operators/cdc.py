@@ -126,6 +126,80 @@ def read_change_feed(
     return df
 
 
+def delta_available() -> bool:
+    """True when the ``delta-spark`` package is importable in this
+    environment. The engine never hard-imports delta: every Delta code
+    path is gated on this probe (SURVEY.md §7.4(5))."""
+    try:
+        import importlib.util
+
+        return importlib.util.find_spec("delta") is not None
+    except Exception:  # pragma: no cover - importlib failure is exotic
+        return False
+
+
+def read_delta_change_feed(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "_commit_timestamp",
+    version_col: str | None = "_commit_version",
+    **options,
+) -> DataFrame:
+    """A2/A3 path-based reader: the genuine Delta Change-Data-Feed when
+    ``delta-spark`` is installed and ``path`` is a Delta table, else the
+    parquet change-log fallback lowered through ``read_change_feed``.
+
+    Genuine branch — exactly the reference's read (reference:
+    martech_pipelines/tasks/user_profile/clevertap.py:19-27)::
+
+        spark.read.format("delta")
+             .option("readChangeFeed", "true")
+             .option("startingTimestamp", ...)   # or startingVersion
+             .load(path)
+
+    Delta emits the CDF metadata columns ``_change_type``,
+    ``_commit_version``, ``_commit_timestamp``; the parquet fallback
+    expects the same columns materialized in the log (the testdata
+    ``events`` table plays this role with its own ts/version columns —
+    override ``ts_col``/``version_col`` accordingly).
+
+    Fallback equality contract: for a change log holding one row per
+    (key, commit) with those three columns, both branches return the
+    same row multiset for the same options — pinned in
+    tests/test_cdc.py::test_delta_branch_equals_parquet_fallback
+    (skipped unless delta-spark is importable).
+    """
+    is_delta = delta_available() and _looks_like_delta_table(path)
+    if is_delta:
+        reader = spark.read.format("delta").option("readChangeFeed", "true")
+        for k in (
+            "startingTimestamp",
+            "endingTimestamp",
+            "startingVersion",
+            "endingVersion",
+        ):
+            if k in options:
+                reader = reader.option(k, options[k])
+        unknown = set(options) - {
+            "startingTimestamp",
+            "endingTimestamp",
+            "startingVersion",
+            "endingVersion",
+        }
+        if unknown:
+            raise ValueError(f"unknown change-feed options: {sorted(unknown)}")
+        return reader.load(path)
+    changes = spark.read.parquet(path)
+    return read_change_feed(changes, ts_col=ts_col, version_col=version_col, **options)
+
+
+def _looks_like_delta_table(path: str) -> bool:
+    """A Delta table directory always contains ``_delta_log/``."""
+    import os
+
+    return os.path.isdir(os.path.join(path, "_delta_log"))
+
+
 def filter_change_types(
     changes: DataFrame,
     change_type_col: str = "_change_type",

@@ -102,6 +102,64 @@ def test_read_change_feed_cold_start_and_errors(spark):
         cdc.read_change_feed(df, readChangeFeed="true")
 
 
+def test_read_delta_change_feed_parquet_fallback(spark, tmp_path):
+    """Without delta-spark, the path-based reader lowers onto the
+    parquet change log with identical option semantics."""
+    log = str(tmp_path / "changes")
+    _versioned_changes(spark).write.parquet(log)
+    out = cdc.read_delta_change_feed(
+        spark,
+        log,
+        ts_col="_commit_timestamp",
+        version_col="_commit_version",
+        startingVersion=1,
+        endingVersion=2,
+    )
+    assert out.count() == 3  # inclusive both ends, as in Delta
+    # cold start = full history
+    assert cdc.read_delta_change_feed(spark, log).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown change-feed options"):
+        cdc.read_delta_change_feed(spark, log, readChangeFeed="true")
+
+
+def test_delta_branch_equals_parquet_fallback(spark, tmp_path):
+    """With delta-spark installed, the genuine readChangeFeed branch
+    returns the same change rows as the parquet fallback for an
+    equivalent log. Skipped cleanly where delta-spark is absent
+    (this container)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("delta")
+    delta_dir = str(tmp_path / "delta_tbl")
+    src = _versioned_changes(spark).drop("_commit_version", "_commit_timestamp")
+    (
+        src.limit(0)
+        .write.format("delta")
+        .option("delta.enableChangeDataFeed", "true")
+        .save(delta_dir)
+    )
+    src.write.format("delta").mode("append").save(delta_dir)
+    genuine = cdc.read_delta_change_feed(spark, delta_dir, startingVersion=0)
+    # Delta CDF emits _change_type/_commit_version/_commit_timestamp —
+    # the same metadata columns the fallback expects in the log.
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        genuine.columns
+    )
+    inserted = genuine.where(F.col("_change_type") == "insert")
+    assert sorted(r["payload"] for r in inserted.collect()) == sorted(
+        r["payload"] for r in src.collect()
+    )
+
+    log = str(tmp_path / "log")
+    genuine.write.parquet(log)
+    fallback = cdc.read_delta_change_feed(spark, log, startingVersion=0)
+    assert sorted(map(tuple, genuine.collect())) == sorted(
+        map(tuple, fallback.collect())
+    )
+
+
 def test_change_type_filter(spark):
     out = cdc.filter_change_types(_changes(spark))
     kinds = {r["_change_type"] for r in out.collect()}
