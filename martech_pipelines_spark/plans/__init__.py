@@ -23,7 +23,7 @@ from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
     # --- round-5 additions (never checked, registered in corpus_r5) ---
-    # (new names are inserted here as they are built)
+    "pipe5_export_e2e",
     # --- TPC-H completions (round 4, never driver-checked) ---
     "q2_min_cost_supplier",
     "q9_product_profit",

@@ -235,3 +235,32 @@ def test_file_sink_roundtrip(spark, tmp_path):
     write_file(df, csv_path, fmt="csv", single_file=True, compression="gzip")
     back = spark.read.option("header", "true").csv(csv_path)
     assert back.count() == 2
+
+
+def test_pipe5_export_end_to_end(spark, http_server):
+    """pipe5: flagship CDC compaction -> profile export transform ->
+    rest_batch_sink against a live local HTTP stub, in one run. The
+    POSTed record count must equal the oracle-checked query's row count
+    (ties B4 to the relational surface; the reference's EP2 path as one
+    pipeline — reference: tasks/user_profile/clevertap.py:30-61)."""
+    from martech_pipelines_spark.plans import QUERIES
+
+    url, rec = http_server
+    df = QUERIES["pipe5_export_e2e"](spark, "/root/testdata/sf0.001")
+    expected = df.count()
+    assert expected > 0
+
+    cfg = RestSinkConfig(url=url, payload_size=100)
+    metrics = rest_batch_sink(df, cfg)
+    # every compacted profile row has a truthy identity (the query already
+    # rejected null/0 identities), so processed == sent == query rows
+    assert metrics["processed"] == expected
+    assert metrics["invalid"] == 0
+    assert metrics["sent"] == expected
+    shipped = [len(r["payload"]["d"]) for r in rec.store]
+    assert sum(shipped) == expected
+    assert max(shipped) <= 100
+    assert metrics["batches"] == len(rec.store)
+    # idempotency keys unique per batch
+    ids = [r["payload"]["batch_id"] for r in rec.store]
+    assert len(ids) == len(set(ids))

@@ -327,6 +327,52 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_decontaminate_join_matches_closure(spark, tmp_path):
+    """The stream-static-join form (no driver-side eval-hash collect)
+    must agree doc-for-doc with the closure form and the batch operator."""
+    from martech_pipelines_spark.operators import dedup as DD
+    from martech_pipelines_spark.sources.schemas import SCHEMAS
+    from martech_pipelines_spark.streaming.stream import (
+        streaming_decontaminate_join,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+
+    d = tmp_path / "docs_stream_j"
+    d.mkdir()
+    train.write.mode("overwrite").parquet(str(d))
+
+    doc_stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(d))
+    )
+    flagged = streaming_decontaminate_join(doc_stream, eval_docs, w=8)
+    assert flagged.isStreaming
+    q = run_stream_to_memory(
+        flagged, "decon_join_mem", "update", str(tmp_path / "ckpt_decon_j")
+    )
+    try:
+        q.processAllAvailable()
+        # update mode re-emits a doc's row per trigger as state refines;
+        # one source file holds each doc entirely, so the last row per
+        # doc is final — dedupe keeping the max (monotone hit count).
+        got = {}
+        for r in spark.sql("SELECT * FROM decon_join_mem").collect():
+            prev = got.get(r["doc_id"], (-1, False))
+            if r["n_eval_hits"] > prev[0]:
+                got[r["doc_id"]] = (r["n_eval_hits"], r["contaminated"])
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: (r["n_eval_hits"], r["contaminated"])
+        for r in DD.decontaminate(train, eval_docs, w=8).collect()
+    }
+    assert got == want
+
+
 def test_streaming_minhash_ingest_matches_batch(spark, tmp_path):
     """Probe-then-admit ingest: union of per-batch pair outputs must equal
     the batch pipeline on the full corpus (restricted to streamed ids),
