@@ -520,3 +520,56 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .select(*out_keys, *out_vals, "change_type")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str],
+    delete_when: str | None = None,
+) -> DataFrame:
+    """H9: SQL MERGE semantics as one full-outer join — apply a compacted
+    change batch to a base snapshot and return the next snapshot
+    (the write side of the watermark loop: ``snapshot_diff`` derives a
+    feed FROM snapshots, this applies a feed TO one).
+
+    Per key: a change row wins over the base row (WHEN MATCHED THEN
+    UPDATE + WHEN NOT MATCHED THEN INSERT); a change row satisfying
+    ``delete_when`` (a SQL boolean expression over the CHANGE row's
+    columns) removes the key (WHEN MATCHED [AND cond] THEN DELETE);
+    base keys without a change pass through unchanged. ``changes`` must
+    already be one-row-per-key (run ``latest_per_key`` first — MERGE
+    itself rejects multi-matches, same contract).
+
+    Schemas must agree on ``base.columns``; extra change-side columns
+    are ignored. Scale shape: one keyed full-outer shuffle join (both
+    sides partition by the key; with a bucketed base table the exchange
+    on that side disappears), delete filter and column coalescing are
+    codegen expressions.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    chg = changes.withColumn(
+        "__delete",
+        F.expr(delete_when) if delete_when is not None else F.lit(False),
+    )
+    b = base.alias("b")
+    c = chg.alias("c")
+    cond = None
+    for k in keys:
+        eq = F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = b.join(c, cond, "full_outer")
+    has_change = F.col(f"c.__delete").isNotNull()
+    out_cols = []
+    for name in base.columns:
+        if name in keys:
+            out_cols.append(
+                F.coalesce(F.col(f"c.{name}"), F.col(f"b.{name}")).alias(name)
+            )
+        else:
+            out_cols.append(
+                F.when(has_change, F.col(f"c.{name}"))
+                .otherwise(F.col(f"b.{name}"))
+                .alias(name)
+            )
+    return j.where(~(has_change & F.col("c.__delete"))).select(*out_cols)

@@ -929,3 +929,50 @@ def contamination_overlap(
             ),
         )
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection: given per-doc quality scores and the
+    near-dup cluster labels from ``dup_clusters``/``dup_clusters_star``,
+    keep exactly ONE doc per cluster — the highest-quality member, doc-id
+    tiebreak. Docs absent from ``clusters`` (never paired) are singleton
+    clusters labeled by their own id, so the output is the full
+    deduplicated corpus decision, not just the paired subset.
+
+    This is the keep/drop step every near-dedup pipeline runs after
+    clustering (CCNet/RefinedWeb keep one representative per cluster);
+    the reference has no analog — it is part of the extended
+    training-data surface.
+
+    Returns (cluster, keep_id, quality) — one row per cluster.
+
+    Scale shape: one broadcast-or-shuffle left join docs->labels (the
+    label table is |paired docs| rows, far smaller than the corpus) and
+    one keyed top-1 window; Spark plans the rank filter as
+    WindowGroupLimit, so only per-cluster leaders survive the exchange.
+    """
+    labeled = (
+        docs.join(
+            clusters.withColumnRenamed("id", id_col),
+            on=id_col,
+            how="left",
+        )
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col(id_col).alias("keep_id"),
+            quality_col,
+        )
+    )

@@ -13,7 +13,7 @@ murmur3/xxhash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tokenizer: runs of letters/digits/apostrophes — a BPE-ish word splitter
@@ -1140,3 +1140,78 @@ def bm25_query_index(
 
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def domain_cap(
+    docs: DataFrame,
+    domain_col: str = "source",
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain contribution cap: keep at most ``n`` docs per domain,
+    best quality first (doc-id tiebreak). The standard pretraining-mix
+    guard against a single domain dominating the corpus (C4/RefinedWeb
+    cap per-host contributions the same way).
+
+    Returns (id, domain, quality, rk) for the kept docs.
+
+    Scale shape: quality is a pure codegen expression computed in the
+    scan stage; the cap is one keyed top-n window on the domain — Spark
+    rewrites the rank filter to WindowGroupLimit, so each map task
+    forwards at most ``n`` rows per domain into the single exchange.
+    Domain skew (one giant host) is bounded by that same partial limit:
+    the reduce side sees <= n * num_map_partitions rows per domain, not
+    the domain's full row count.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(
+            id_col, domain_col, quality_score(F.col(text_col)).alias("quality")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n)
+    )
+
+
+def curriculum_bins(
+    scores: DataFrame,
+    score_col: str = "avg_nll",
+    n_bins: int = 4,
+    id_col: str = "doc_id",
+    exact: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Curriculum binning: assign each scored doc to one of ``n_bins``
+    difficulty quantiles of ``score_col`` (e.g. the t17 LM negative
+    log-likelihood — bin 1 = most in-distribution, bin ``n_bins`` =
+    hardest). Training curricula sample bins on a schedule.
+
+    Two forms:
+    - ``exact=True`` (oracle-pinned): ``ntile`` over a single global
+      ordering — exact quantiles, but the window's global sort makes it
+      the SMALL-data form (Spark executes an empty-partitionBy window on
+      one task). Used by the corpus query so DuckDB's identical ntile
+      can oracle-check it.
+    - ``exact=False`` (100-TB form): bin boundaries from
+      ``approxQuantile`` (Greenwald-Khanna sketch, one distributed pass,
+      driver receives n_bins-1 doubles), then a broadcast when-chain
+      assigns bins in the scan stage — no global sort, no shuffle.
+      Bin populations deviate from n/n_bins only by the sketch's
+      relative_error; the boundary-agreement rate vs the exact form is
+      pinned in tests/test_r5.py.
+
+    Null scores (docs with no signal) are excluded in both forms.
+    """
+    scored = scores.where(F.col(score_col).isNotNull())
+    if exact:
+        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        return scored.withColumn("bin", F.ntile(n_bins).over(w))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = scored.approxQuantile(score_col, qs, relative_error)
+    bin_expr = F.lit(1)
+    for b in bounds:
+        bin_expr = bin_expr + F.when(F.col(score_col) > F.lit(b), 1).otherwise(0)
+    return scored.withColumn("bin", bin_expr.cast("int"))

@@ -228,3 +228,57 @@ def constraint_check(
     return row.selectExpr(
         f"stack({len(names)}, {stack_args}) AS (check_name, n_violations)"
     ).withColumn("ok", F.col("n_violations") == 0)
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    round_dp: int = 2,
+) -> DataFrame:
+    """Time-series resample + gap fill: aggregate ``value_col`` per key
+    per ``unit`` period, densify each key's span to a complete period
+    grid, and forward-fill empty periods from the last observed value —
+    the standard feature-engineering step before any fixed-step model
+    (and the relational twin of a Grafana/Timescale ``time_bucket`` +
+    ``locf`` query).
+
+    Returns (key, period, value_ffill): one row per key per period
+    between the key's first and last observation, no gaps.
+
+    Scale shape: the period aggregation is one keyed shuffle with
+    map-side partial sums; the span aggregation and grid explode reuse
+    the same key partitioning (no second exchange under AQE); the
+    forward fill is a per-key ordered window (``last(ignorenulls)``
+    over unbounded-preceding), which shuffles by key only. Grid
+    inflation is bounded by span/unit per key, independent of raw event
+    count.
+    """
+    from pyspark.sql import Window
+
+    period = F.date_trunc(unit, F.col(ts_col))
+    per = df.groupBy(F.col(key_col), period.alias("period")).agg(
+        F.round(F.sum(value_col), round_dp).alias("__v")
+    )
+    spans = per.groupBy(key_col).agg(
+        F.min("period").alias("__t0"), F.max("period").alias("__t1")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("__t0", "__t1", F.expr(f"interval 1 {unit}"))
+        ).alias("period"),
+    )
+    j = grid.join(per, [key_col, "period"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        key_col,
+        "period",
+        F.last("__v", ignorenulls=True).over(w).alias("value_ffill"),
+    )

@@ -24,6 +24,11 @@ from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
 _WINDOW_PRIORITY = [
     # --- round-5 additions (never checked, registered in corpus_r5) ---
     "pipe5_export_e2e",
+    "t23_domain_cap",
+    "t24_curriculum_bins",
+    "dd12_keep_best_per_cluster",
+    "r20_gap_fill",
+    "h9_merge_upsert",
     # --- TPC-H completions (round 4, never driver-checked) ---
     "q2_min_cost_supplier",
     "q9_product_profit",

@@ -84,3 +84,250 @@ def pipe5_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         swap_key_map={"mobile": "phone"},
     )
     return profile_export_pipeline(df, cfg)
+
+
+# =============================================================================
+# Round-5 operator additions: per-domain caps, curriculum binning,
+# canonical-doc selection, time-series gap fill, MERGE upsert.
+# =============================================================================
+
+from martech_pipelines_spark.operators import dedup as DD  # noqa: E402
+from martech_pipelines_spark.operators import text as TX  # noqa: E402
+from martech_pipelines_spark.operators import transforms as TR  # noqa: E402
+from martech_pipelines_spark.plans.corpus_extended import (  # noqa: E402
+    _CLUSTER_CORPUS_SQL,
+    _DUCK_TOKENS,
+    _minhash_oracle,
+)
+
+
+def _duck_quality(corpus_sql: str) -> str:
+    """DuckDB twin of operators.text.quality_score over an arbitrary
+    (doc_id, text) corpus CTE — the same rounded-feature arithmetic as
+    t4's oracle."""
+    toks = _DUCK_TOKENS.format(col="text")
+    stop_list = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    return f"""
+        SELECT doc_id,
+               round((least(len(toks) / 20.0, 1.0)
+                      + (1.0 - least(CASE WHEN n_char > 0
+                             THEN round((n_char - n_nopunct)::DOUBLE / n_char, 4)
+                             ELSE 0.0 END * 5, 1.0))
+                      + least(CASE WHEN len(toks) > 0
+                             THEN round(len(list_filter(toks, x -> x IN ({stop_list})))::DOUBLE
+                                        / len(toks), 4)
+                             ELSE 0.0 END * 4, 1.0)) / 3, 4) AS quality
+        FROM (
+            SELECT doc_id, {toks} AS toks, length(text) AS n_char,
+                   length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
+            FROM ({corpus_sql})
+        )
+    """
+
+
+@q(
+    "t23_domain_cap",
+    f"""
+    WITH qual AS ({_duck_quality("SELECT doc_id, text FROM documents")}),
+    ranked AS (
+        SELECT d.doc_id, d.source, q.quality,
+               row_number() OVER (
+                   PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id
+               ) AS rk
+        FROM documents d JOIN qual q USING (doc_id)
+    )
+    SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def t23_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (C4/RefinedWeb-style): keep the 10
+    best-quality docs per source. Quality is a codegen scan expression;
+    the cap is one keyed top-n window rewritten to WindowGroupLimit, so
+    a skewed domain forwards <= 10 rows per map task into the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.domain_cap(docs, domain_col="source", n=10)
+
+
+@q(
+    "t24_curriculum_bins",
+    """
+    SELECT doc_id, avg_nll, bin FROM (
+        SELECT doc_id, avg_nll,
+               ntile(4) OVER (ORDER BY avg_nll, doc_id) AS bin
+        FROM ({t17}) s
+        WHERE avg_nll IS NOT NULL
+    )
+    """,
+)
+def t24_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty binning: quartiles of the t17 LM negative
+    log-likelihood. This oracle-pinned form uses exact ntile (global
+    window — the small-data form); the 100-TB twin
+    (curriculum_bins(exact=False)) assigns bins from broadcast
+    approxQuantile boundaries with no global sort — agreement pinned in
+    tests/test_r5_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TX.ngram_lm_scores(docs, add_k=0.5)
+    return TX.curriculum_bins(scores, score_col="avg_nll", n_bins=4).select(
+        "doc_id", "avg_nll", "bin"
+    )
+
+
+# splice the registered t17 oracle into t24's template (kept as a
+# placeholder above so the two stay in sync if t17's oracle changes)
+ORACLE["t24_curriculum_bins"] = ORACLE["t24_curriculum_bins"].replace(
+    "({t17})", "(" + ORACLE["t17_ngram_lm_score"] + ")"
+)
+
+
+_DD12_CORPUS = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' zz yy xx' AS text
+        FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@q(
+    "dd12_keep_best_per_cluster",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_CLUSTER_CORPUS_SQL)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM verts
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clus AS (SELECT id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY id),
+    qual AS ({_duck_quality(_DD12_CORPUS)}),
+    labeled AS (
+        SELECT q.doc_id, coalesce(c.cluster, q.doc_id) AS cluster, q.quality
+        FROM qual q LEFT JOIN clus c ON c.id = q.doc_id
+    )
+    SELECT cluster, doc_id AS keep_id, quality FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster ORDER BY quality DESC, doc_id
+        ) AS rk FROM labeled
+    ) WHERE rk = 1
+    """,
+)
+def dd12_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection after near-dup clustering: dd7's planted
+    transitive-dup corpus -> minhash pairs -> connected components ->
+    keep the best-quality member per cluster (never-paired docs are
+    singletons, so the output is the full corpus keep-list). Oracle =
+    recursive-CTE reachability + the same quality arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    exact = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(near)
+    pairs = DD.minhash_near_duplicates(
+        corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+    clusters = DD.dup_clusters(pairs)
+    docs_q = corpus.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return DD.keep_best_per_cluster(docs_q, clusters)
+
+
+@q(
+    "r20_gap_fill",
+    """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS period, round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT user_id, min(period) AS t0, max(period) AS t1 FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS period
+        FROM spans
+    ), j AS (
+        SELECT g.user_id, g.period, d.v
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.period = g.period
+    )
+    SELECT user_id, strftime(period, '%Y-%m-%d') AS day_str,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill
+    FROM j
+    """,
+)
+def r20_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: daily per-user value sums on
+    a dense day grid spanning each user's activity, gaps filled from the
+    last observed day. One keyed agg shuffle + one per-key ordered
+    window; grid inflation bounded by span/day, not event count."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TR.resample_ffill(ev, "user_id", "ts", "value", unit="day")
+    return out.select(
+        "user_id",
+        F.date_format("period", "yyyy-MM-dd").alias("day_str"),
+        "value_ffill",
+    )
+
+
+@q(
+    "h9_merge_upsert",
+    """
+    WITH base AS (
+        SELECT user_id, event_id, event_type, round(value, 2) AS value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rnk
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ) WHERE rnk = 1
+    ), chg AS (
+        SELECT user_id, event_id, event_type, round(value, 2) AS value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rnk
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ) WHERE rnk = 1
+    )
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_id ELSE b.event_id END AS event_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_type ELSE b.event_type END AS event_type,
+           CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE b.value END AS value
+    FROM base b FULL JOIN chg c ON b.user_id = c.user_id
+    WHERE NOT (c.user_id IS NOT NULL AND c.event_type = 'error')
+    """,
+)
+def h9_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 MERGE-apply: compact the pre-watermark log into a base
+    snapshot, the post-watermark log into a change batch, then apply the
+    batch with MERGE semantics (change wins; latest change of type
+    'error' deletes the key). One keyed full-outer join; both inputs are
+    one-row-per-key by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-15"
+    base = cdc.latest_per_key(
+        ev.where(F.col("ts") < F.lit(cut).cast("timestamp")),
+        "user_id",
+        "ts",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    chg = cdc.latest_per_key(
+        ev.where(F.col("ts") >= F.lit(cut).cast("timestamp")),
+        "user_id",
+        "ts",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    return cdc.merge_upsert(
+        base, chg, "user_id", delete_when="event_type = 'error'"
+    )

@@ -98,6 +98,49 @@ def build_sf1(spark) -> None:
         print(f"built {dest}", file=sys.stderr)
 
 
+# ANN recall@k at sf1 (VERDICT r04 item 6): every approximate index vs the
+# exact s1b ground truth, on the 10x corpus. Gates mirror the sf0.01 pytest
+# gates (test_extended / test_scale_ops); tests/test_scale_ops.py pins the
+# recorded artifact against these same floors.
+RECALL_QUERIES = {
+    "s2_lsh_topk": 0.5,
+    "s2b_ivf_topk": 0.5,
+    "s7_sq8_topk": 0.9,
+    "s8_pq_topk": 0.5,
+    "s2d_ivfpq_materialized": 0.5,
+}
+
+
+def measure_recall(spark) -> dict[str, float]:
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.plans import QUERIES
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["s1b_bruteforce_arrow"](spark, SF1_DIR)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    caching.release()
+    recalls: dict[str, float] = {}
+    for name in RECALL_QUERIES:
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in QUERIES[name](spark, SF1_DIR)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        caching.release()
+        # query sets differ per index (s2d probes every 100th vector,
+        # the rest every 10th) — grade only the queries the approx
+        # index actually answered, against their exact rows
+        qids = {q for q, _ in approx}
+        exact_sub = {(q, v) for q, v in exact if q in qids}
+        recalls[name] = round(len(exact_sub & approx) / len(exact_sub), 4)
+        print(f"recall@5 {name}: {recalls[name]}", file=sys.stderr)
+    return recalls
+
+
 def main() -> None:
     from martech_pipelines_spark import caching, get_spark
     from martech_pipelines_spark.plans import QUERIES
@@ -119,12 +162,16 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
 
+    recalls = measure_recall(spark)
+
     out = {
         "metric": "sf1_scale_smoke",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "rows": rows,
+        "recall_at_5_vs_exact": recalls,
+        "recall_gates": RECALL_QUERIES,
         "sf": 1.0,
         "n": N_RUNS,
         "note": (
