@@ -13,6 +13,7 @@ murmur3/xxhash.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1215,3 +1216,81 @@ def curriculum_bins(
     for b in bounds:
         bin_expr = bin_expr + F.when(F.col(score_col) > F.lit(b), 1).otherwise(0)
     return scored.withColumn("bin", bin_expr.cast("int"))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_learn_merges`` output) to
+    encode documents — the other half of the tokenizer loop: t14b
+    INDUCES the merges, this EXECUTES them (Sennrich et al. 2016's
+    apply_bpe). Per word, the lowest-rank applicable adjacent pair is
+    merged repeatedly until none remains; word tokenization matches the
+    engine's ``tokens`` expression exactly, so learn and apply see the
+    same units.
+
+    Returns (id, bpe_tokens array<string>, n_bpe_tokens). Invariants
+    pinned in tests/test_r5_ops.py: concatenating a word's pieces
+    reconstructs the word; no adjacent output pair within a word is
+    still mergeable; encoding is partitioning-invariant.
+
+    Scale shape: the merge table is vocab-sized control data — ONE
+    driver collect, broadcast to executors (exactly how fastBPE /
+    tokenizers ship vocab files); encoding is an Arrow-batched
+    pandas_udf with a per-executor word cache (Zipf reuse makes the
+    cache hit rate high), so the corpus never shuffles at all.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    word_re = re.compile(r"[a-z0-9']+")
+
+    @pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        table = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(word: str) -> list[str]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            sym = list(word)
+            while len(sym) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(sym) - 1):
+                    r = table.get((sym[i], sym[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                sym = (
+                    sym[:best_i]
+                    + [sym[best_i] + sym[best_i + 1]]
+                    + sym[best_i + 2 :]
+                )
+            cache[word] = sym
+            return sym
+
+        def enc_text(t) -> list[str]:
+            if t is None:
+                return []
+            out: list[str] = []
+            for w in word_re.findall(t.lower()):
+                out.extend(enc_word(w))
+            return out
+
+        return col.apply(enc_text)
+
+    return docs.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))

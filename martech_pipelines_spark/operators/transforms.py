@@ -282,3 +282,55 @@ def resample_ffill(
         "period",
         F.last("__v", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_periods: int = 7,
+    z_thresh: float = 2.0,
+    unit: str = "day",
+) -> DataFrame:
+    """Data-quality anomaly detection on a metric time series: per key,
+    aggregate ``value_col`` per period, then flag periods whose value
+    deviates from the trailing ``window_periods``-period mean by more
+    than ``z_thresh`` sample standard deviations (the rolling-z-score
+    monitor every pipeline-health dashboard runs on volume/latency/
+    revenue series).
+
+    z is only emitted once the trailing window is full (n ==
+    window_periods) and has nonzero variance — early periods and flat
+    series yield NULL z / anomaly=false, not spurious alerts.
+
+    Returns (key, period, v, mu, z, anomaly). Scale: one keyed agg
+    shuffle + one per-key ordered window (both partition by the key);
+    the series length per key is bounded by span/unit, so window state
+    stays tiny regardless of raw event count.
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(
+        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("period")
+    ).agg(F.round(F.sum(value_col), 2).alias("v"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("period")
+        .rowsBetween(-(window_periods - 1), 0)
+    )
+    mu = F.avg("v").over(w)
+    sd = F.stddev_samp("v").over(w)
+    n = F.count("v").over(w)
+    ready = (n == window_periods) & (sd > 0)
+    z = F.when(ready, F.round((F.col("v") - mu) / sd, 4))
+    return per.select(
+        key_col,
+        "period",
+        "v",
+        F.round(mu, 2).alias("mu"),
+        z.alias("z"),
+        F.when(ready, F.abs(F.col("v") - mu) > F.lit(z_thresh) * sd)
+        .otherwise(F.lit(False))
+        .alias("anomaly"),
+    )

@@ -29,6 +29,8 @@ _WINDOW_PRIORITY = [
     "dd12_keep_best_per_cluster",
     "r20_gap_fill",
     "h9_merge_upsert",
+    "mart7_cohort_ltv",
+    "dq2_rolling_zscore",
     # --- TPC-H completions (round 4, never driver-checked) ---
     "q2_min_cost_supplier",
     "q9_product_profit",

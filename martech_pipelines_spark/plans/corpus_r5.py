@@ -331,3 +331,125 @@ def h9_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.merge_upsert(
         base, chg, "user_id", delete_when="event_type = 'error'"
     )
+
+
+# =============================================================================
+# mart7: weekly cohort LTV matrix; dq2: rolling-z-score anomaly monitor;
+# t26: BPE encode (the apply side of t14b's induction).
+# =============================================================================
+
+
+@q(
+    "mart7_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ), rev AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS INTEGER) AS age_weeks,
+               e.value
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           age_weeks,
+           count(DISTINCT user_id) AS n_buyers,
+           round(sum(value), 2) AS revenue
+    FROM rev GROUP BY 1, 2
+    """,
+)
+def mart7_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-seen week,
+    purchase revenue accumulated per cohort x age-in-weeks cell — the
+    canonical martech retention-revenue mart. Two keyed shuffles (first-
+    seen agg, cohort-cell agg) + one broadcastable user->cohort join;
+    both engines truncate weeks to Monday, so the cells align exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("age_weeks"),
+            "value",
+        )
+    )
+    return rev.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+    ).agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+@q(
+    "dq2_rolling_zscore",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS period, round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, period, v,
+               avg(v) OVER win AS mu,
+               stddev_samp(v) OVER win AS sd,
+               count(v) OVER win AS n
+        FROM daily
+        WINDOW win AS (
+            PARTITION BY event_type ORDER BY period
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_type, strftime(period, '%Y-%m-%d') AS day_str, v,
+           round(mu, 2) AS mu,
+           CASE WHEN n = 7 AND sd > 0 THEN round((v - mu) / sd, 4) END AS z,
+           CASE WHEN n = 7 AND sd > 0 THEN abs(v - mu) > 2 * sd
+                ELSE FALSE END AS anomaly
+    FROM w
+    """,
+)
+def dq2_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health anomaly monitor: per event type, daily value sums
+    scored against the trailing 7-day mean/stddev; |z| > 2 with a full
+    window flags the day. One keyed agg + one per-key ordered window."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TR.rolling_zscore(
+        ev, "event_type", "ts", "value", window_periods=7, z_thresh=2.0
+    )
+    return out.select(
+        "event_type",
+        F.date_format("period", "yyyy-MM-dd").alias("day_str"),
+        "v",
+        "mu",
+        "z",
+        "anomaly",
+    )
+
+
+@q("t26_bpe_encode")  # rows-only: the merge table is trained (iterative t14b)
+def t26_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY side: encode every doc with the merge table t14b
+    induces from the same corpus. Merge table = one vocab-sized collect,
+    broadcast; encoding is a zero-shuffle Arrow kernel. Correctness is
+    pytest-pinned (Sennrich worked example, reconstruction + no-residual-
+    merge invariants, partitioning invariance) since the trained table
+    makes a SQL oracle inexpressible — same contract as t14b."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn_merges(docs, n_merges=8)
+    enc = TX.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_pieces"),
+    )

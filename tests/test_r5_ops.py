@@ -194,3 +194,84 @@ def test_sf1_recall_artifact_within_gates():
         assert recalls[name] >= gate, (
             f"{name} recall {recalls[name]} below gate {gate} at sf1"
         )
+
+
+# --- mart7 / dq2 -------------------------------------------------------------
+
+
+def test_rolling_zscore_flags_spike(spark):
+    rows = [("m", dt.datetime(2024, 1, d, 1), 10.0) for d in range(1, 8)]
+    rows.append(("m", dt.datetime(2024, 1, 8, 1), 100.0))  # spike day 8
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = TR.rolling_zscore(df, "k", "ts", "value", window_periods=7)
+    by_day = {r["period"].day: r for r in out.collect()}
+    # warm-up rows (window not full) carry no z and no alert
+    assert by_day[6]["z"] is None and by_day[6]["anomaly"] is False
+    # day 7: full window but zero variance -> still no alert
+    assert by_day[7]["z"] is None and by_day[7]["anomaly"] is False
+    assert by_day[8]["anomaly"] is True and by_day[8]["z"] > 2
+
+
+# --- BPE encode --------------------------------------------------------------
+
+
+def _sennrich_corpus(spark):
+    # the worked example from Sennrich et al. 2016 (learned merge order
+    # already pinned for bpe_learn_merges in test_scale_ops)
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_bpe_encode_sennrich_example(spark):
+    docs = _sennrich_corpus(spark)
+    merges = TX.bpe_learn_merges(docs, n_merges=4)
+    got = {
+        (r["left"], r["right"]) for r in merges.collect()
+    }
+    enc = TX.bpe_encode(
+        spark.createDataFrame(
+            [(9, "lowest newest low")], "doc_id long, text string"
+        ),
+        merges,
+    ).collect()[0]
+    pieces = enc["bpe_tokens"]
+    # 'newest' must collapse via the learned 'est'/'newest' merges;
+    # every piece sequence reconstructs its word
+    assert "".join(pieces) == "lowestnewestlow"
+    assert enc["n_bpe_tokens"] == len(pieces)
+    # no adjacent pair within the output is still mergeable — re-check
+    # against the learned table per encoded word
+    for word in ("lowest", "newest", "low"):
+        out = TX.bpe_encode(
+            spark.createDataFrame([(1, word)], "doc_id long, text string"),
+            merges,
+        ).collect()[0]["bpe_tokens"]
+        for a, b in zip(out, out[1:]):
+            assert (a, b) not in got, f"residual merge ({a},{b}) in {out}"
+
+
+def test_bpe_encode_partitioning_invariant(spark):
+    docs = load_table(spark, SF, "documents").limit(40)
+    merges = TX.bpe_learn_merges(docs, n_merges=4)
+    one = TX.bpe_encode(docs.coalesce(1), merges)
+    many = TX.bpe_encode(docs.repartition(7), merges)
+    a = {r["doc_id"]: r["bpe_tokens"] for r in one.collect()}
+    b = {r["doc_id"]: r["bpe_tokens"] for r in many.collect()}
+    assert a == b
+
+
+def test_bpe_encode_reconstruction_and_nulls(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = TX.bpe_learn_merges(
+        spark.createDataFrame([(1, "hello hello world")], "doc_id long, text string"),
+        n_merges=3,
+    )
+    out = {r["doc_id"]: r for r in TX.bpe_encode(docs, merges).collect()}
+    assert "".join(out[1]["bpe_tokens"]) == "helloworld"
+    assert out[2]["bpe_tokens"] == [] and out[2]["n_bpe_tokens"] == 0
+    assert out[3]["bpe_tokens"] == []
