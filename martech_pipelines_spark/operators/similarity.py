@@ -1166,3 +1166,74 @@ def ivfpq_probe_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def hard_negative_mining(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Contrastive-pair mining for embedding training: per anchor, the
+    nearest SAME-label neighbor (positive, self excluded) and the nearest
+    DIFFERENT-label neighbor (the hard negative — the mistake the model
+    is closest to making). The pair-mining step of every triplet/InfoNCE
+    data pipeline.
+
+    Output: (query_id, pos_id, pos_sim, neg_id, neg_sim), one row per
+    anchor that has at least one candidate on each side. Ranking is on
+    the ROUNDED similarity with corpus-id tie-break (cross-engine
+    deterministic, same contract as ``brute_force_topk``).
+
+    Scale shape: exactly brute_force_topk's — broadcast(anchors) NLJ
+    with per-row precomputed norms, corpus never shuffles; both top-1
+    picks come from ONE window over (query, same_label) so the scored
+    pairs shuffle once. Swap the NLJ for an IVF probe when the corpus
+    outgrows exact search (the operator only needs (query, candidate,
+    sim, same_label) rows).
+    """
+    q = anchors.select(
+        F.col(query_id).alias("__qid"),
+        F.col(label_col).alias("__qlabel"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(label_col).alias("__clabel"),
+        _as_double(F.col(corpus_vec)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    denom = F.col("__qn") * F.col("__cn")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("__cid") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            (F.col("__clabel") == F.col("__qlabel")).alias("__same"),
+            F.round(
+                F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy(query_id, "__same").orderBy(
+        F.desc("cos_sim"), F.col(corpus_id).asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    pos = best.where(F.col("__same")).select(
+        query_id,
+        F.col(corpus_id).alias("pos_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+    neg = best.where(~F.col("__same")).select(
+        query_id,
+        F.col(corpus_id).alias("neg_id"),
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return pos.join(neg, query_id)

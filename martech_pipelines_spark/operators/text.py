@@ -1294,3 +1294,67 @@ def bpe_encode(
         F.col(id_col),
         encode(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    frac: float = 0.01,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with count >= frac * total)
+    without a vocabulary-sized shuffle — the two-pass Misra-Gries
+    pattern:
+
+    1. per-partition Misra-Gries summaries with k = ceil(1/frac)
+       counters (an Arrow kernel over the exploded token stream). The MG
+       guarantee (any token with partition frequency > n_p/(k+1) survives)
+       plus an averaging argument make the union of partition summaries a
+       SUPERSET of every global heavy hitter;
+    2. exact counts of the candidates only: broadcast-semi-join the token
+       stream against the candidate set, then one keyed agg whose
+       map-side combine bounds the shuffle at partitions x candidates
+       rows — candidate cardinality is <= partitions * k, independent of
+       vocabulary size.
+
+    The superset-then-exact-count composition makes the OUTPUT exact and
+    partitioning-invariant even though the intermediate summaries are
+    not — so the operator carries a full SQL oracle (t27), unlike a
+    one-pass sketch. Compare t1_word_count: same answer restricted to
+    heavy tokens, but t1 shuffles the whole vocabulary.
+
+    Returns (w, cnt) for tokens with cnt >= max(1, ceil(frac * total)).
+    """
+    import math
+
+    if not (0 < frac <= 1):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    k = math.ceil(1.0 / frac)
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    total = toks.count()
+    threshold = max(1, math.ceil(frac * total))
+
+    def mg_kernel(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"w": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_kernel, "w string").distinct()
+    return (
+        toks.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )

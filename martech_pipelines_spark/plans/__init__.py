@@ -31,6 +31,8 @@ _WINDOW_PRIORITY = [
     "h9_merge_upsert",
     "mart7_cohort_ltv",
     "dq2_rolling_zscore",
+    "t27_heavy_hitters",
+    "s9_hard_negatives",
     # --- TPC-H completions (round 4, never driver-checked) ---
     "q2_min_cost_supplier",
     "q9_product_profit",

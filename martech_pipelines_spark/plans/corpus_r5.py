@@ -453,3 +453,77 @@ def t26_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_pieces"),
     )
+
+
+# =============================================================================
+# t27: exact heavy hitters (two-pass Misra-Gries); s9: contrastive-pair
+# mining (hard negatives) over the labeled embedding table.
+# =============================================================================
+
+from martech_pipelines_spark.operators import similarity as SIM  # noqa: E402
+
+
+@q(
+    "t27_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS w FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT w, count(*) AS cnt
+    FROM toks CROSS JOIN tot
+    GROUP BY w, tot.n
+    HAVING count(*) >= greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+    """,
+)
+def t27_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (count >= 1% of the token stream) without a
+    vocabulary shuffle: per-partition Misra-Gries summaries form a
+    guaranteed candidate superset, then exact counts of candidates only.
+    Output is exact + partitioning-invariant despite the sketch — hence
+    a full oracle, unlike one-pass sketches (h7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.heavy_hitters(docs, frac=0.01)
+
+
+@q(
+    "s9_hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, e.label = q.qlabel AS same,
+               round(
+                   list_dot_product(qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4) AS cos_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    ), best AS (
+        SELECT query_id, vec_id, same, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id, same
+                   ORDER BY cos_sim DESC, vec_id ASC
+               ) AS rn
+        FROM scored WHERE cos_sim IS NOT NULL
+    )
+    SELECT p.query_id,
+           p.vec_id AS pos_id, p.cos_sim AS pos_sim,
+           n.vec_id AS neg_id, n.cos_sim AS neg_sim
+    FROM (SELECT * FROM best WHERE same AND rn = 1) p
+    JOIN (SELECT * FROM best WHERE NOT same AND rn = 1) n USING (query_id)
+    """,
+)
+def s9_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: per anchor (every 50th vector), nearest
+    same-label neighbor (positive) and nearest different-label neighbor
+    (hard negative) by rounded cosine — broadcast NLJ with precomputed
+    row norms, one window over (query, same-label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return SIM.hard_negative_mining(anchors, emb)

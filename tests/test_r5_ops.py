@@ -275,3 +275,58 @@ def test_bpe_encode_reconstruction_and_nulls(spark):
     assert "".join(out[1]["bpe_tokens"]) == "helloworld"
     assert out[2]["bpe_tokens"] == [] and out[2]["n_bpe_tokens"] == 0
     assert out[3]["bpe_tokens"] == []
+
+
+# --- heavy hitters -----------------------------------------------------------
+
+
+def test_heavy_hitters_exact_with_eviction(spark):
+    """Vocabulary far larger than the MG counter budget: the two-pass
+    form must still return exactly the true heavy set."""
+    # 3 heavy tokens (200 each) drowned in 2000 singletons; frac=0.05
+    # -> k=20 counters, forcing constant evictions in pass 1
+    text_heavy = " ".join(f"hot{i}" for i in range(3) for _ in range(200))
+    rows = [(0, text_heavy)] + [
+        (i + 1, " ".join(f"unique{i}w{j}" for j in range(50)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.heavy_hitters(docs.repartition(8), frac=0.05)
+    got = {r["w"]: r["cnt"] for r in out.collect()}
+    # total = 600 + 2000 = 2600; threshold = ceil(130) -> only hot0..2
+    assert got == {"hot0": 200, "hot1": 200, "hot2": 200}
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {(r["w"], r["cnt"]) for r in TX.heavy_hitters(docs.coalesce(1), 0.01).collect()}
+    b = {(r["w"], r["cnt"]) for r in TX.heavy_hitters(docs.repartition(13), 0.01).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_heavy_hitters_frac_validation(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="frac"):
+        TX.heavy_hitters(docs, frac=0.0)
+
+
+# --- hard negative mining ----------------------------------------------------
+
+
+def test_hard_negative_mining_labels_and_exclusion(spark):
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = SIM.hard_negative_mining(anchors, emb)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        # self never chosen; positive shares the anchor label, negative differs
+        assert r["pos_id"] != r["query_id"] and r["neg_id"] != r["query_id"]
+        assert labels[r["pos_id"]] == labels[r["query_id"]]
+        assert labels[r["neg_id"]] != labels[r["query_id"]]
+        # hard negative is at most as similar as the positive's own rank
+        # ordering allows — both sims are valid cosines
+        assert -1.0001 <= r["neg_sim"] <= 1.0001
