@@ -1189,12 +1189,17 @@ def hard_negative_mining(
     the ROUNDED similarity with corpus-id tie-break (cross-engine
     deterministic, same contract as ``brute_force_topk``).
 
-    Scale shape: exactly brute_force_topk's — broadcast(anchors) NLJ
-    with per-row precomputed norms, corpus never shuffles; both top-1
-    picks come from ONE window over (query, same_label) so the scored
-    pairs shuffle once. Swap the NLJ for an IVF probe when the corpus
-    outgrows exact search (the operator only needs (query, candidate,
-    sim, same_label) rows).
+    Scale shape: exactly brute_force_topk's NLJ — broadcast(anchors)
+    with per-row precomputed norms, corpus never shuffles — then ONE
+    keyed aggregation: both picks are struct-max aggregates
+    max(struct(sim, -candidate_id)) (lexicographic struct ordering =
+    sim desc, id asc — the same deterministic tie-break as the window
+    form), so map-side combine collapses each partition to one row per
+    anchor and the only exchange carries |anchors| x partitions tiny
+    rows. A window + self-join formulation costs 4 exchanges; this
+    costs 1. Swap the NLJ for an IVF probe when the corpus outgrows
+    exact search (the aggregation only needs (query, candidate, sim,
+    same_label) rows).
     """
     q = anchors.select(
         F.col(query_id).alias("__qid"),
@@ -1222,18 +1227,20 @@ def hard_negative_mining(
         )
         .where(F.col("cos_sim").isNotNull())
     )
-    w = Window.partitionBy(query_id, "__same").orderBy(
-        F.desc("cos_sim"), F.col(corpus_id).asc()
+    # max over struct(sim, -id): lexicographic = sim desc then id asc
+    cand = F.struct(
+        F.col("cos_sim").alias("s"), (-F.col(corpus_id)).alias("nid")
     )
-    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    pos = best.where(F.col("__same")).select(
+    agg = scored.groupBy(query_id).agg(
+        F.max(F.when(F.col("__same"), cand)).alias("__p"),
+        F.max(F.when(~F.col("__same"), cand)).alias("__n"),
+    )
+    return agg.where(
+        F.col("__p").isNotNull() & F.col("__n").isNotNull()
+    ).select(
         query_id,
-        F.col(corpus_id).alias("pos_id"),
-        F.col("cos_sim").alias("pos_sim"),
+        (-F.col("__p.nid")).alias("pos_id"),
+        F.col("__p.s").alias("pos_sim"),
+        (-F.col("__n.nid")).alias("neg_id"),
+        F.col("__n.s").alias("neg_sim"),
     )
-    neg = best.where(~F.col("__same")).select(
-        query_id,
-        F.col(corpus_id).alias("neg_id"),
-        F.col("cos_sim").alias("neg_sim"),
-    )
-    return pos.join(neg, query_id)

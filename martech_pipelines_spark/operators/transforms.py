@@ -324,11 +324,16 @@ def rolling_zscore(
     n = F.count("v").over(w)
     ready = (n == window_periods) & (sd > 0)
     z = F.when(ready, F.round((F.col("v") - mu) / sd, 4))
+    # mu is rounded to 4dp, NOT 2dp: the mean of 2dp values over n<=7
+    # periods frequently lands exactly on a half-cent (sum/2, sum/4),
+    # where Spark HALF_UP and DuckDB half-even disagree; at 4dp the
+    # value (integer cents / 100n) can never sit exactly halfway
+    # between representable outputs, so the rounding is engine-stable.
     return per.select(
         key_col,
         "period",
         "v",
-        F.round(mu, 2).alias("mu"),
+        F.round(mu, 4).alias("mu"),
         z.alias("z"),
         F.when(ready, F.abs(F.col("v") - mu) > F.lit(z_thresh) * sd)
         .otherwise(F.lit(False))

@@ -412,7 +412,7 @@ def mart7_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT event_type, strftime(period, '%Y-%m-%d') AS day_str, v,
-           round(mu, 2) AS mu,
+           round(mu, 4) AS mu,
            CASE WHEN n = 7 AND sd > 0 THEN round((v - mu) / sd, 4) END AS z,
            CASE WHEN n = 7 AND sd > 0 THEN abs(v - mu) > 2 * sd
                 ELSE FALSE END AS anomaly

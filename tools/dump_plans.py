@@ -154,6 +154,38 @@ SHOWCASE = [
         "codegen classifier — manufactures a change feed without an "
         "upstream log",
     ),
+    (
+        "pipe5_export_e2e",
+        "CDC compaction feeding the REST-export projection: one keyed "
+        "shuffle total, export transform is a narrow codegen stage the "
+        "sink consumes partition-parallel",
+    ),
+    (
+        "t23_domain_cap",
+        "per-domain top-n cap: quality scored in the scan stage, "
+        "WindowGroupLimit bounds a skewed domain at n rows per map task",
+    ),
+    (
+        "t27_heavy_hitters",
+        "two-pass Misra-Gries: Arrow MG summaries -> candidate superset "
+        "-> exact counts of candidates only; shuffle bounded by "
+        "partitions x candidates, not vocabulary",
+    ),
+    (
+        "h9_merge_upsert",
+        "MERGE apply: one keyed full-outer join, delete/update/insert "
+        "as codegen coalesces — the write-side twin of h8",
+    ),
+    (
+        "r20_gap_fill",
+        "resample + forward fill: keyed agg, span grid explode, "
+        "last(ignorenulls) window — all partitioned by the same key",
+    ),
+    (
+        "s9_hard_negatives",
+        "contrastive mining: broadcast-anchor NLJ, one window over "
+        "(query, same-label) picks positive and hard negative together",
+    ),
 ]
 
 
