@@ -329,7 +329,12 @@ def h9_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
     ).select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
     return cdc.merge_upsert(
-        base, chg, "user_id", delete_when="event_type = 'error'"
+        base,
+        chg,
+        "user_id",
+        delete_when="event_type = 'error'",
+        null_safe_keys=False,  # compacted keys are non-null; reuse the
+        # compaction shuffles (4 exchanges -> 2, see merge_upsert docstring)
     )
 
 

@@ -567,3 +567,78 @@ def test_batch_built_index_grows_via_streaming_ingest(spark, tmp_path):
         map(tuple, TX.bm25_query_index(spark, full_idx, terms, k=20).collect())
     )
     assert got == want and len(got) == 20
+
+
+def test_streaming_upsert_sink_matches_batch_compaction(spark, tmp_path):
+    """The maintained snapshot must equal the batch latest-per-key
+    compaction of the full log even when micro-batches arrive OUT of
+    timestamp order, and tombstone filtering must match h9's MERGE
+    delete semantics."""
+    from martech_pipelines_spark.streaming.stream import (
+        read_upsert_snapshot,
+        streaming_upsert_sink,
+    )
+
+    ev = load_table(spark, SF, "events")
+    d = tmp_path / "chg_stream"
+    d.mkdir()
+    # write the SECOND half of the log first so file (= batch) order is
+    # the reverse of event-time order
+    cut = "2024-01-15"
+    ev.where(F.col("ts") >= F.lit(cut).cast("timestamp")).coalesce(1).write.parquet(
+        str(d / "b_late_half")
+    )
+    ev.where(F.col("ts") < F.lit(cut).cast("timestamp")).coalesce(1).write.parquet(
+        str(d / "a_early_half")
+    )
+    import glob
+    import shutil as _sh
+
+    files = sorted(glob.glob(str(d / "b_late_half" / "part-*"))) + sorted(
+        glob.glob(str(d / "a_early_half" / "part-*"))
+    )
+    sd = tmp_path / "stream_in"
+    sd.mkdir()
+    for i, f in enumerate(files):
+        _sh.copy(f, sd / f"part-{i:03d}.parquet")
+
+    from martech_pipelines_spark.sources.schemas import SCHEMAS
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sd))
+    )
+    snap_path = str(tmp_path / "snapshot")
+    q = streaming_upsert_sink(
+        stream,
+        snap_path,
+        str(tmp_path / "ckpt_upsert"),
+        key_cols="user_id",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["event_type"])
+        for r in spark.read.parquet(snap_path).collect()
+    }
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["event_type"])
+        for r in cdc.latest_per_key(
+            ev, "user_id", "ts", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert got == want
+
+    # tombstone-filtered read == h9 delete semantics (latest change of
+    # type 'error' removes the key)
+    live = read_upsert_snapshot(
+        spark, snap_path, delete_types=("error",), change_type_col="event_type"
+    )
+    want_live = {k for k, v in want.items() if v[2] != "error"}
+    assert {r["user_id"] for r in live.collect()} == want_live
