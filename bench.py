@@ -47,6 +47,13 @@ HEADLINE = [
     "dd11_paragraph_dedup",
     "mart5_linear_attribution",
     "t19_bm25",
+    # round-5 additions
+    "pipe5_export_e2e",
+    "dd12_keep_best_per_cluster",
+    "t27_heavy_hitters",
+    "s9_hard_negatives",
+    "r20_gap_fill",
+    "mart7_cohort_ltv",
 ]
 
 
