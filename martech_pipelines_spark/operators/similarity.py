@@ -1244,3 +1244,79 @@ def hard_negative_mining(
         (-F.col("__n.nid")).alias("neg_id"),
         F.col("__n.s").alias("neg_sim"),
     )
+
+
+def hard_negative_mining_ivf(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+    round_dp: int = 4,
+) -> DataFrame:
+    """``hard_negative_mining``'s 100-TB form: candidates come from the
+    anchor's ``nprobe`` nearest IVF cells instead of the whole corpus —
+    the scored set shrinks to ~nprobe/nlist of N, exactly the s1→s2b
+    exact→IVF swap, applied to contrastive mining.
+
+    Same output schema and the same struct-max single-aggregation fold
+    as the exact form; approximation only narrows the CANDIDATE set, so
+    (a) with nprobe == nlist it is row-for-row EQUAL to the exact
+    operator (pinned in pytest), (b) at nprobe < nlist the positive/
+    negative picks match the exact ones whenever they fall in probed
+    cells (recall gate in pytest). Mined-pair semantics (self excluded,
+    labels respected) hold regardless.
+    """
+    centroids = _train_centroids(corpus, corpus_vec, nlist, seed)
+    probe_cells, assign_cell = _centroid_kernels(centroids, nprobe)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(label_col).alias("__clabel"),
+        _as_double(F.col(corpus_vec)).alias("__cv"),
+        assign_cell(F.col(corpus_vec)).alias("cell"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    qrows = anchors.select(
+        F.col(query_id).alias("__qid"),
+        F.col(label_col).alias("__qlabel"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+        F.explode(probe_cells(F.col(query_vec))).alias("cell"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+
+    denom = F.col("__qn") * F.col("__cn")
+    scored = (
+        F.broadcast(qrows)
+        .join(c, "cell")
+        .where(F.col("__cid") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            (F.col("__clabel") == F.col("__qlabel")).alias("__same"),
+            F.round(
+                F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+    cand = F.struct(
+        F.col("cos_sim").alias("s"), (-F.col(corpus_id)).alias("nid")
+    )
+    agg = scored.groupBy(query_id).agg(
+        F.max(F.when(F.col("__same"), cand)).alias("__p"),
+        F.max(F.when(~F.col("__same"), cand)).alias("__n"),
+    )
+    return agg.where(
+        F.col("__p").isNotNull() & F.col("__n").isNotNull()
+    ).select(
+        query_id,
+        (-F.col("__p.nid")).alias("pos_id"),
+        F.col("__p.s").alias("pos_sim"),
+        (-F.col("__n.nid")).alias("neg_id"),
+        F.col("__n.s").alias("neg_sim"),
+    )

@@ -157,3 +157,38 @@ def read_text_conf(spark: SparkSession, conf_file: str) -> dict:
 def range_source(spark: SparkSession, start: int, end: int, step: int = 1) -> DataFrame:
     """A6: synthetic integer range (reference: martech_pipelines/tasks/sample/entrypoint.py:14)."""
     return spark.range(start, end, step)
+
+
+def read_evolving_parquet(
+    spark: SparkSession,
+    path: str,
+    expected: T.StructType | None = None,
+) -> DataFrame:
+    """A1 variant for SCHEMA-EVOLVED parquet directories: a log written
+    over months gains/loses columns as producers deploy. Plain
+    ``spark.read.parquet`` takes the schema from a sample file and
+    silently drops later columns; ``mergeSchema=true`` unions all file
+    footers (absent columns arrive NULL — the same semantics as DuckDB's
+    ``union_by_name=true``).
+
+    With ``expected``, the merged frame is conformed to exactly that
+    schema: missing columns materialize as typed NULLs and extra columns
+    drop — so downstream operators always see one stable shape no
+    matter which files exist (the contract `load_table` gives the fixed
+    testdata, extended to evolving logs).
+
+    Scale note: footer merging is a driver-side metadata pass over file
+    footers, not a data read; per-file column pruning still applies (a
+    file without column c contributes constant nulls, not IO).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in expected.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

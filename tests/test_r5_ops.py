@@ -330,3 +330,36 @@ def test_hard_negative_mining_labels_and_exclusion(spark):
         # hard negative is at most as similar as the positive's own rank
         # ordering allows — both sims are valid cosines
         assert -1.0001 <= r["neg_sim"] <= 1.0001
+
+
+def test_hard_negative_mining_ivf_full_probe_equals_exact(spark):
+    """nprobe == nlist probes every cell -> candidate set is the whole
+    corpus -> IVF form must equal the exact operator row for row."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    exact = SIM.hard_negative_mining(anchors, emb)
+    full = SIM.hard_negative_mining_ivf(anchors, emb, nlist=8, nprobe=8)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hard_negative_mining_ivf_partial_probe_recall(spark):
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    exact = {r["query_id"]: (r["pos_id"], r["neg_id"])
+             for r in SIM.hard_negative_mining(anchors, emb).collect()}
+    approx = {r["query_id"]: (r["pos_id"], r["neg_id"])
+              for r in SIM.hard_negative_mining_ivf(
+                  anchors, emb, nlist=8, nprobe=4).collect()}
+    hits = sum(1 for q in approx if q in exact and approx[q] == exact[q])
+    assert len(approx) > 0
+    assert hits / len(approx) >= 0.5, f"IVF pair recall {hits/len(approx)}"

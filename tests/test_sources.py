@@ -64,3 +64,37 @@ def test_real_testdata_ts_in_expected_range(spark):
     row = ev.selectExpr("min(ts) AS lo", "max(ts) AS hi").collect()[0]
     assert row["lo"].year >= 2000, f"ts too small (unit bug?): {row['lo']}"
     assert row["hi"].year <= 2100, f"ts too large (unit bug?): {row['hi']}"
+
+
+def test_read_evolving_parquet_merges_and_conforms(spark, tmp_path):
+    """Schema evolution: files written before/after a column was added
+    must read as one frame; conforming to an expected schema yields a
+    stable shape with typed nulls for missing columns."""
+    from pyspark.sql import types as T
+
+    from martech_pipelines_spark.sources.readers import read_evolving_parquet
+
+    d = str(tmp_path / "log")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.parquet(
+        d + "/epoch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v1 string, v2 double"
+    ).write.parquet(d + "/epoch=1")
+
+    merged = read_evolving_parquet(spark, d)
+    assert {"id", "v1", "v2", "epoch"} <= set(merged.columns)
+    rows = {r["id"]: r["v2"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}  # old file's missing column is null
+
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v2", T.DoubleType()),
+            T.StructField("v3", T.StringType()),  # not in any file yet
+        ]
+    )
+    conformed = read_evolving_parquet(spark, d, expected)
+    assert conformed.columns == ["id", "v2", "v3"]
+    got = {r["id"]: (r["v2"], r["v3"]) for r in conformed.collect()}
+    assert got == {1: (None, None), 2: (9.5, None)}
