@@ -46,6 +46,12 @@ HEAVY = [
     # round-4 TPC-H completion: the heaviest new join graph (lineitem x
     # synthesized partsupp x orders + dims)
     "q9_product_profit",
+    # round-5: canonical-doc selection (minhash pairs + iterative CC +
+    # quality join — the heaviest new composition), exact MG heavy
+    # hitters (candidate-bounded shuffle), contrastive pair mining
+    "dd12_keep_best_per_cluster",
+    "t27_heavy_hitters",
+    "s9_hard_negatives",
 ]
 N_RUNS = 2
 
