@@ -558,9 +558,15 @@ def merge_upsert(
     4 exchanges to 2).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # __delete doubles as the "this key has a change row" marker after the
+    # full-outer join, so it must be non-null on EVERY change row — a
+    # delete predicate that evaluates to NULL (three-valued logic over a
+    # null column) means "not deleted", not "no change".
     chg = changes.withColumn(
         "__delete",
-        F.expr(delete_when) if delete_when is not None else F.lit(False),
+        F.coalesce(F.expr(delete_when), F.lit(False))
+        if delete_when is not None
+        else F.lit(False),
     )
     b = base.alias("b")
     c = chg.alias("c")

@@ -363,3 +363,15 @@ def test_hard_negative_mining_ivf_partial_probe_recall(spark):
     hits = sum(1 for q in approx if q in exact and approx[q] == exact[q])
     assert len(approx) > 0
     assert hits / len(approx) >= 0.5, f"IVF pair recall {hits/len(approx)}"
+
+
+def test_merge_upsert_null_delete_predicate_is_not_delete(spark):
+    """A delete_when that evaluates to NULL (3VL over a null column) must
+    mean 'not deleted' — the change row still wins, with its values."""
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    chg = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+    out = cdc.merge_upsert(base, chg, "k", delete_when="s = 'DEL'")
+    got = {r["k"]: r["s"] for r in out.collect()}
+    # key 1: predicate NULL (s is null) -> update applies (s becomes null)
+    # key 2: predicate false -> insert applies
+    assert got == {1: None, 2: "x"}
