@@ -1326,10 +1326,17 @@ def heavy_hitters(
     """
     import math
 
+    from pyspark import StorageLevel
+
+    from martech_pipelines_spark import caching
+
     if not (0 < frac <= 1):
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     k = math.ceil(1.0 / frac)
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    # the token stream is read three times (total count, MG pass, exact
+    # count) — persist it once; callers release via caching.release()
+    toks = caching.register(toks.persist(StorageLevel.MEMORY_AND_DISK))
     total = toks.count()
     threshold = max(1, math.ceil(frac * total))
 
