@@ -284,3 +284,56 @@ def test_z1_key_is_projection_plus_broadcast_stats(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # the only exchange allowed is the broadcast of the 1-row stats
     assert "Exchange hashpartitioning" not in plan
+
+
+def _hash_exchanges(plan: str) -> int:
+    """Count shuffle Exchange nodes in a formatted plan, excluding
+    BroadcastExchange (whose name contains 'Exchange' too)."""
+    import re
+
+    return len(re.findall(r"(?<!Broadcast)Exchange \(", plan))
+
+
+def test_h9_merge_reuses_compaction_shuffles(spark):
+    """h9 with non-null keys: the full-outer join must reuse the two
+    latest_per_key compaction exchanges — exactly 2 exchanges total
+    (regression guard for the null-safe-key coalesce(k,0) plan)."""
+    plan = plan_of(QUERIES["h9_merge_upsert"](spark, SF))
+    assert _hash_exchanges(plan) == 2
+    # null-safe join keys would appear as isnull(user_id)/coalesce pairs
+    # in the SortMergeJoin keys; plain equality must not
+    assert "isnull(user_id" not in plan
+
+
+def test_pipe5_single_shuffle(spark):
+    """pipe5: compaction window is the ONLY exchange; the export
+    transform is a narrow codegen stage on top."""
+    plan = plan_of(QUERIES["pipe5_export_e2e"](spark, SF))
+    assert _hash_exchanges(plan) == 1
+    assert "PushedFilters" in plan  # event_type IN-list reaches the scan
+
+
+def test_t23_domain_cap_partial_topn(spark):
+    """t23: the per-domain cap must run as WindowGroupLimit (partial
+    top-n before the exchange bounds skewed domains map-side)."""
+    plan = plan_of(QUERIES["t23_domain_cap"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert _hash_exchanges(plan) == 1
+
+
+def test_r20_gap_fill_no_extra_exchange(spark):
+    """r20: daily agg + span grid + ffill window all partition by
+    user_id; the grid join must not add exchanges beyond the keyed agg
+    and window (2 total)."""
+    plan = plan_of(QUERIES["r20_gap_fill"](spark, SF))
+    assert _hash_exchanges(plan) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_s9_single_aggregation_no_join_back(spark):
+    """s9: positive and negative picks come from ONE keyed aggregation
+    (struct-max) — no window, no self-join, 1 exchange."""
+    plan = plan_of(QUERIES["s9_hard_negatives"](spark, SF))
+    assert _hash_exchanges(plan) == 1
+    assert "WindowGroupLimit" not in plan  # no window/top-n formulation
+    assert "SortMergeJoin" not in plan  # no pos/neg join-back
