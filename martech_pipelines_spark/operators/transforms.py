@@ -230,6 +230,12 @@ def constraint_check(
     ).withColumn("ok", F.col("n_violations") == 0)
 
 
+# units valid for BOTH date_trunc and the grid interval expression —
+# names are interpolated into SQL fragments, so the allowlist is also
+# the injection guard
+_RESAMPLE_UNITS = {"hour", "day", "week", "month"}
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,
@@ -258,6 +264,10 @@ def resample_ffill(
     """
     from pyspark.sql import Window
 
+    if unit not in _RESAMPLE_UNITS:
+        raise ValueError(
+            f"unit must be one of {sorted(_RESAMPLE_UNITS)}, got {unit!r}"
+        )
     period = F.date_trunc(unit, F.col(ts_col))
     per = df.groupBy(F.col(key_col), period.alias("period")).agg(
         F.round(F.sum(value_col), round_dp).alias("__v")
@@ -311,6 +321,10 @@ def rolling_zscore(
     """
     from pyspark.sql import Window
 
+    if unit not in _RESAMPLE_UNITS:
+        raise ValueError(
+            f"unit must be one of {sorted(_RESAMPLE_UNITS)}, got {unit!r}"
+        )
     per = df.groupBy(
         F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("period")
     ).agg(F.round(F.sum(value_col), 2).alias("v"))
