@@ -188,7 +188,26 @@ def read_delta_change_feed(
         }
         if unknown:
             raise ValueError(f"unknown change-feed options: {sorted(unknown)}")
-        return reader.load(path)
+        try:
+            return reader.load(path)
+        except Exception as exc:  # noqa: BLE001
+            # pip-importable delta does NOT imply the SESSION can read
+            # it (jars + SQL extensions must be configured at session
+            # build). Do NOT fall back to parquet here: the path IS a
+            # Delta table (_delta_log present) and a raw parquet scan
+            # would include files the Delta log has removed — wrong
+            # answers, silently. Fail with instructions instead.
+            if "delta" in str(exc).lower():
+                raise RuntimeError(
+                    "delta-spark is importable but this SparkSession "
+                    "cannot load the 'delta' data source; build the "
+                    "session with spark.jars.packages=io.delta:delta-"
+                    "spark_*:* and the Delta SQL extensions "
+                    "(delta.pip_utils.configure_spark_with_delta_pip), "
+                    "or point read_delta_change_feed at a parquet "
+                    "change log instead"
+                ) from exc
+            raise
     changes = spark.read.parquet(path)
     return read_change_feed(changes, ts_col=ts_col, version_col=version_col, **options)
 

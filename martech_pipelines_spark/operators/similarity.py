@@ -1168,6 +1168,33 @@ def ivfpq_probe_topk(
     )
 
 
+def _mine_best_pairs(scored: DataFrame, query_id: str, corpus_id: str) -> DataFrame:
+    """Shared fold of hard_negative_mining and its IVF twin: from scored
+    (query, candidate, __same, cos_sim) rows, pick the best positive and
+    best negative per query in ONE keyed aggregation. Both picks are
+    max(struct(sim, -id)) — lexicographic struct ordering = sim desc
+    then id asc, the exact tie-break contract of the window form — so
+    map-side combine collapses each partition to one row per anchor.
+    One definition guarantees the exact and IVF forms cannot drift
+    (their equality at nprobe == nlist is pinned in pytest)."""
+    cand = F.struct(
+        F.col("cos_sim").alias("s"), (-F.col(corpus_id)).alias("nid")
+    )
+    agg = scored.groupBy(query_id).agg(
+        F.max(F.when(F.col("__same"), cand)).alias("__p"),
+        F.max(F.when(~F.col("__same"), cand)).alias("__n"),
+    )
+    return agg.where(
+        F.col("__p").isNotNull() & F.col("__n").isNotNull()
+    ).select(
+        query_id,
+        (-F.col("__p.nid")).alias("pos_id"),
+        F.col("__p.s").alias("pos_sim"),
+        (-F.col("__n.nid")).alias("neg_id"),
+        F.col("__n.s").alias("neg_sim"),
+    )
+
+
 def hard_negative_mining(
     anchors: DataFrame,
     corpus: DataFrame,
@@ -1227,23 +1254,7 @@ def hard_negative_mining(
         )
         .where(F.col("cos_sim").isNotNull())
     )
-    # max over struct(sim, -id): lexicographic = sim desc then id asc
-    cand = F.struct(
-        F.col("cos_sim").alias("s"), (-F.col(corpus_id)).alias("nid")
-    )
-    agg = scored.groupBy(query_id).agg(
-        F.max(F.when(F.col("__same"), cand)).alias("__p"),
-        F.max(F.when(~F.col("__same"), cand)).alias("__n"),
-    )
-    return agg.where(
-        F.col("__p").isNotNull() & F.col("__n").isNotNull()
-    ).select(
-        query_id,
-        (-F.col("__p.nid")).alias("pos_id"),
-        F.col("__p.s").alias("pos_sim"),
-        (-F.col("__n.nid")).alias("neg_id"),
-        F.col("__n.s").alias("neg_sim"),
-    )
+    return _mine_best_pairs(scored, query_id, corpus_id)
 
 
 def hard_negative_mining_ivf(
@@ -1304,19 +1315,4 @@ def hard_negative_mining_ivf(
         )
         .where(F.col("cos_sim").isNotNull())
     )
-    cand = F.struct(
-        F.col("cos_sim").alias("s"), (-F.col(corpus_id)).alias("nid")
-    )
-    agg = scored.groupBy(query_id).agg(
-        F.max(F.when(F.col("__same"), cand)).alias("__p"),
-        F.max(F.when(~F.col("__same"), cand)).alias("__n"),
-    )
-    return agg.where(
-        F.col("__p").isNotNull() & F.col("__n").isNotNull()
-    ).select(
-        query_id,
-        (-F.col("__p.nid")).alias("pos_id"),
-        F.col("__p.s").alias("pos_sim"),
-        (-F.col("__n.nid")).alias("neg_id"),
-        F.col("__n.s").alias("neg_sim"),
-    )
+    return _mine_best_pairs(scored, query_id, corpus_id)

@@ -159,9 +159,19 @@ def write_bucketed_table(
         parts = table.split(".")
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         jvm = spark._jvm
-        rel = parts[-1].lower() if len(parts) == 1 else (
-            parts[-2].lower() + ".db/" + parts[-1].lower()
+        # resolve the DATABASE explicitly: an unqualified name lands in
+        # the CURRENT database, whose managed location is
+        # <warehouse>/<db>.db/<table> for any non-default db — assuming
+        # default here would purge the default db's same-named table
+        # directory (destroying unrelated data) and leave the real
+        # orphan in place
+        db = (
+            parts[-2].lower()
+            if len(parts) > 1
+            else spark.catalog.currentDatabase().lower()
         )
+        tbl = parts[-1].lower()
+        rel = tbl if db == "default" else f"{db}.db/{tbl}"
         hpath = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)

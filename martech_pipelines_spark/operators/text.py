@@ -1071,6 +1071,15 @@ def bm25_build_index(
     At 100 TB the postings table is the corpus reorganized by term —
     the one-time cost every search engine pays; after that, queries cost
     |query terms| partitions, not a corpus scan."""
+    # A BUILD is full-overwrite semantics for the whole index: purge any
+    # stream-appended batch_id=N siblings first — overwriting only the
+    # batch_id=-1 directory would leave stale stream batches whose
+    # postings/stats double-count re-ingested docs in every later query.
+    import shutil as _sh
+
+    for sub in ("postings", "stats"):
+        _sh.rmtree(f"{path}/{sub}", ignore_errors=True)
+
     toks_df = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     ).select(id_col, "__tk", F.size("__tk").alias("dl"))
@@ -1220,8 +1229,16 @@ def curriculum_bins(
         return scored.withColumn("bin", F.ntile(n_bins).over(w))
     qs = [i / n_bins for i in range(1, n_bins)]
     bounds = scored.approxQuantile(score_col, qs, relative_error)
-    bin_expr = F.lit(1)
+    # a mass point holding >1/n_bins of the data makes quantile
+    # boundaries COINCIDE; dedupe them so bin labels stay contiguous
+    # 1..k (k <= n_bins) instead of skipping numbers — a curriculum
+    # sampling "bin 2" must never draw from a label that cannot occur
+    uniq: list[float] = []
     for b in bounds:
+        if not uniq or b != uniq[-1]:
+            uniq.append(b)
+    bin_expr = F.lit(1)
+    for b in uniq:
         bin_expr = bin_expr + F.when(F.col(score_col) > F.lit(b), 1).otherwise(0)
     return scored.withColumn("bin", bin_expr.cast("int"))
 

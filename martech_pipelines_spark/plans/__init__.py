@@ -82,6 +82,10 @@ _WINDOW_PRIORITY = [
     "pipe3_mixture_resample",
     "pipe4_leakage_safe_split",
     # --- layout / DQ / relational fill-ins ---
+    # NOTE (round 6): the 12 round-5 names above push the tail of this
+    # block past the driver's 50-slot window — as of round 5 the entries
+    # from ~z1 down are the remaining never-driver-checked set (all
+    # local-oracle-verified). Rotate them to the top next round.
     "z1_zorder_key",
     "dq1_constraint_check",
     "r17_fuzzy_join",

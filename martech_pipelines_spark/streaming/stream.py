@@ -519,44 +519,27 @@ def streaming_upsert_sink(
     test_streaming. Tombstones are what make a delete durable against a
     late-arriving older update; ``read_upsert_snapshot`` filters them.
 
-    Write protocol: write batch output to ``<path>.next``, atomically
-    swap directories, drop the old — so a reader never sees a partial
-    snapshot and foreachBatch replays (at-least-once) are idempotent
-    (the fold is; re-applying a batch changes nothing).
+    Write protocol: write batch output to ``<path>.next``, rename the
+    live snapshot to ``<path>.old``, rename ``.next`` into place, drop
+    ``.old`` — plus CRASH RECOVERY at the start of every apply: if the
+    live directory is missing but ``.old`` survives (a crash landed
+    between the two renames), ``.old`` is restored as the base before
+    folding. Single renames are atomic on POSIX, so with the recovery
+    step no crash point loses the snapshot, a reader never sees a
+    partial directory, and foreachBatch replays (at-least-once) are
+    idempotent (the fold is; re-applying a batch changes nothing).
 
     Scale: the fold is ONE keyed window over snapshot+batch. This
     rewrites the snapshot per trigger — the honest cost of table
     maintenance WITHOUT a transactional table format; with delta-spark
     installed the same fold becomes a MERGE on a Delta table and only
     touched files rewrite (see cdc.delta_available)."""
-    import os
-    import shutil
-
-    from martech_pipelines_spark.operators.cdc import latest_per_key
-
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        cols = batch_df.columns
-        if os.path.isdir(snapshot_path):
-            base = spark.read.parquet(snapshot_path).select(*cols)
-            unioned = base.unionByName(batch_df)
-        else:
-            unioned = batch_df
-        folded = latest_per_key(
-            unioned, keys, ts_col, tiebreak_cols=tiebreak_cols
+        apply_upsert_batch(
+            batch_df, snapshot_path, keys, ts_col, tiebreak_cols
         )
-        nxt = snapshot_path + ".next"
-        folded.write.mode("overwrite").parquet(nxt)
-        old = snapshot_path + ".old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(snapshot_path):
-            os.rename(snapshot_path, old)
-        os.rename(nxt, snapshot_path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
 
     return (
         change_stream.writeStream.foreachBatch(apply)
@@ -566,6 +549,47 @@ def streaming_upsert_sink(
     )
 
 
+def apply_upsert_batch(
+    batch_df: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None,
+) -> None:
+    """One fold of ``streaming_upsert_sink`` (module-level so crash
+    recovery is directly testable): recover an interrupted swap, union
+    the batch with the live snapshot, re-compact, swap atomically."""
+    import os
+    import shutil
+
+    from martech_pipelines_spark.operators.cdc import latest_per_key
+
+    old = snapshot_path + ".old"
+    nxt = snapshot_path + ".next"
+    # crash recovery: a death between rename(live->old) and
+    # rename(next->live) leaves no live dir but a complete .old —
+    # restore it as the base (the interrupted batch replays on top)
+    if not os.path.isdir(snapshot_path) and os.path.isdir(old):
+        os.rename(old, snapshot_path)
+
+    spark = batch_df.sparkSession
+    cols = batch_df.columns
+    if os.path.isdir(snapshot_path):
+        base = spark.read.parquet(snapshot_path).select(*cols)
+        unioned = base.unionByName(batch_df)
+    else:
+        unioned = batch_df
+    folded = latest_per_key(unioned, keys, ts_col, tiebreak_cols=tiebreak_cols)
+    folded.write.mode("overwrite").parquet(nxt)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(snapshot_path):
+        os.rename(snapshot_path, old)
+    os.rename(nxt, snapshot_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def read_upsert_snapshot(
     spark,
     snapshot_path: str,
@@ -573,8 +597,16 @@ def read_upsert_snapshot(
     change_type_col: str = "event_type",
 ) -> DataFrame:
     """Read the live rows of a ``streaming_upsert_sink`` snapshot:
-    filters tombstones (keys whose LATEST change is a delete type)."""
+    filters tombstones (keys whose LATEST change is a delete type).
+
+    A NULL change type means "not a delete" — the 3VL of a bare
+    ``~isin()`` would silently drop NULL-typed live rows (same bug
+    class as merge_upsert's NULL delete predicate), so the tombstone
+    test is coalesced to false."""
     df = spark.read.parquet(snapshot_path)
     if delete_types:
-        df = df.where(~F.col(change_type_col).isin(list(delete_types)))
+        is_tombstone = F.coalesce(
+            F.col(change_type_col).isin(list(delete_types)), F.lit(False)
+        )
+        df = df.where(~is_tombstone)
     return df

@@ -405,3 +405,13 @@ def test_pipe6_pack_invariants(spark):
         # offset-based semantics, not a defect
         assert len(ids) == len(set(ids))
         assert ids[0] == 0
+
+
+def test_curriculum_bins_approx_mass_point_contiguous_labels(spark):
+    """>1/n_bins of the data on one value makes quantile boundaries
+    coincide; deduping them must keep bin labels contiguous 1..k."""
+    rows = [(i, 5.0) for i in range(60)] + [(100 + i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_nll double")
+    out = TX.curriculum_bins(df, "avg_nll", 4, exact=False)
+    bins = sorted({r["bin"] for r in out.collect()})
+    assert bins == list(range(1, len(bins) + 1))  # contiguous from 1

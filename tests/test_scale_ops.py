@@ -558,3 +558,26 @@ def test_bpe_merge_budget_guard(spark):
         TX.bpe_learn_merges(docs, n_merges=-1)
     # n_merges=0 is a legal no-op returning the empty table
     assert TX.bpe_learn_merges(docs, n_merges=0).count() == 0
+
+
+def test_bm25_rebuild_purges_stream_batches(spark, tmp_path):
+    """Re-running the batch build over an index grown by streaming
+    ingest must be FULL overwrite: stale batch_id=N postings/stats
+    would double-count re-ingested docs in every later query."""
+    docs = load_table(spark, SF0001, "documents").limit(30)
+    idx = str(tmp_path / "bm25_idx")
+    TX.bm25_build_index(docs, idx)
+    # simulate a stream append of the SAME docs (worst-case duplication)
+    post = spark.read.parquet(f"{idx}/postings/batch_id=-1")
+    post.write.partitionBy("term").parquet(f"{idx}/postings/batch_id=0")
+    stats = spark.read.parquet(f"{idx}/stats/batch_id=-1")
+    stats.write.parquet(f"{idx}/stats/batch_id=0")
+
+    TX.bm25_build_index(docs, idx)  # rebuild = full overwrite
+    n_docs = (
+        spark.read.option("basePath", idx + "/stats")
+        .parquet(idx + "/stats")
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    assert n_docs == 30  # not 60: the stale batch is gone

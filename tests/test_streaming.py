@@ -3,6 +3,7 @@ watermarked tumbling windows — driven on the sf0.001 events log."""
 
 from __future__ import annotations
 
+import datetime as dt
 import shutil
 
 import pytest
@@ -642,3 +643,39 @@ def test_streaming_upsert_sink_matches_batch_compaction(spark, tmp_path):
     )
     want_live = {k for k, v in want.items() if v[2] != "error"}
     assert {r["user_id"] for r in live.collect()} == want_live
+
+
+def test_upsert_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames (live dir gone, .old
+    complete) must not lose the snapshot: the next apply restores .old
+    as the base before folding."""
+    import os
+
+    from martech_pipelines_spark.streaming.stream import apply_upsert_batch
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10.0)], "k long, ts timestamp, v double"
+    )
+    apply_upsert_batch(b1, snap, ["k"], "ts", None)
+    # simulate a crash mid-swap: live renamed to .old, .next never landed
+    os.rename(snap, snap + ".old")
+    b2 = spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 2), 20.0)], "k long, ts timestamp, v double"
+    )
+    apply_upsert_batch(b2, snap, ["k"], "ts", None)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
+    assert got == {1: 10.0, 2: 20.0}  # key 1 recovered from .old
+
+
+def test_read_upsert_snapshot_null_change_type_is_live(spark, tmp_path):
+    """NULL change type means 'not a delete' — 3VL of a bare ~isin()
+    must not silently drop the row."""
+    from martech_pipelines_spark.streaming.stream import read_upsert_snapshot
+
+    snap = str(tmp_path / "snap_null")
+    spark.createDataFrame(
+        [(1, "error"), (2, None), (3, "click")], "k long, event_type string"
+    ).write.parquet(snap)
+    live = read_upsert_snapshot(spark, snap, delete_types=("error",))
+    assert {r["k"] for r in live.collect()} == {2, 3}

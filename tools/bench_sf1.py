@@ -142,7 +142,13 @@ def measure_recall(spark) -> dict[str, float]:
         # index actually answered, against their exact rows
         qids = {q for q, _ in approx}
         exact_sub = {(q, v) for q, v in exact if q in qids}
-        recalls[name] = round(len(exact_sub & approx) / len(exact_sub), 4)
+        # an empty approx result (or disjoint query ids) is recall 0,
+        # not a ZeroDivisionError that discards the collected timings
+        recalls[name] = (
+            round(len(exact_sub & approx) / len(exact_sub), 4)
+            if exact_sub
+            else 0.0
+        )
         print(f"recall@5 {name}: {recalls[name]}", file=sys.stderr)
     return recalls
 
