@@ -216,3 +216,107 @@ def test_weighted_sample_prefix_property(spark):
     small = [r["doc_id"] for r in weighted_sample_topk(docs, "n_chars", k=10).collect()]
     big = [r["doc_id"] for r in weighted_sample_topk(docs, "n_chars", k=30).collect()]
     assert big[:10] == small
+
+
+# --- round-5 operators vs dict-model references ------------------------------
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(0, 8), st.integers(-5, 5), max_size=6
+    ),
+    chg=st.dictionaries(
+        st.integers(0, 8),
+        st.tuples(st.integers(-5, 5), st.booleans()),  # (value, delete?)
+        max_size=6,
+    ),
+)
+@SLOW
+def test_merge_upsert_matches_dict_model(spark, base, chg):
+    """MERGE semantics vs the obvious dict model: change wins, delete
+    removes, base passes through."""
+    from martech_pipelines_spark.operators import cdc
+
+    model = dict(base)
+    for k, (v, is_del) in chg.items():
+        if is_del:
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)], "k long, v long"
+    ).where(F.col("k").isNotNull())
+    chg_df = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in chg.items()] or [(None, None, None)],
+        "k long, v long, d boolean",
+    ).where(F.col("k").isNotNull())
+    out = cdc.merge_upsert(base_df, chg_df, "k", delete_when="d = true")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == model
+
+
+@given(
+    series=st.lists(
+        st.tuples(st.integers(1, 12), st.floats(-100, 100, width=32)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_resample_ffill_matches_python_model(spark, series):
+    """Gap fill vs a straight-Python model: dense day range, sum per
+    day, carry last observed value forward."""
+    from martech_pipelines_spark.operators import transforms as TR
+
+    rows = [
+        (1, dt.datetime(2024, 1, day, 6), float(v)) for day, v in series
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {
+        r["period"].day: r["value_ffill"]
+        for r in TR.resample_ffill(df, "k", "ts", "v", unit="day").collect()
+    }
+
+    per_day: dict[int, float] = {}
+    for day, v in series:
+        per_day[day] = per_day.get(day, 0.0) + float(v)
+    per_day = {d: round(s, 2) for d, s in per_day.items()}
+    model: dict[int, float] = {}
+    last = None
+    for d in range(min(per_day), max(per_day) + 1):
+        if d in per_day:
+            last = per_day[d]
+        model[d] = last
+    assert set(out) == set(model)
+    for d in model:
+        assert out[d] == pytest.approx(model[d], abs=1e-9)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+        min_size=1,
+        max_size=200,
+    ),
+    frac=st.sampled_from([0.05, 0.1, 0.25]),
+)
+@SLOW
+def test_heavy_hitters_exact_vs_counter_model(spark, words, frac):
+    """Two-pass MG must equal the brute-force counter filter for ANY
+    stream and threshold — the exactness claim, swept."""
+    import math
+    from collections import Counter
+
+    from martech_pipelines_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = {
+        r["w"]: r["cnt"]
+        for r in TX.heavy_hitters(docs.repartition(3), frac=frac).collect()
+    }
+    thr = max(1, math.ceil(frac * len(words)))
+    want = {w: c for w, c in Counter(words).items() if c >= thr}
+    assert got == want
