@@ -178,6 +178,9 @@ def t24_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["t24_curriculum_bins"] = ORACLE["t24_curriculum_bins"].replace(
     "({t17})", "(" + ORACLE["t17_ngram_lm_score"] + ")"
 )
+assert "{t17}" not in ORACLE["t24_curriculum_bins"], (
+    "t24 oracle template drifted: placeholder not spliced"
+)
 
 
 _DD12_CORPUS = """
