@@ -609,3 +609,93 @@ def merge_upsert(
                 .alias(name)
             )
     return j.where(~(has_change & F.col("c.__delete"))).select(*out_cols)
+
+
+def cohort_state_update(
+    firsts: DataFrame | None,
+    cells: DataFrame | None,
+    batch: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    revenue_types: tuple[str, ...] = ("purchase",),
+) -> tuple[DataFrame, DataFrame]:
+    """H10: incremental view maintenance for the cohort-LTV mart
+    (mart7) — fold an event batch into two small state tables instead of
+    re-scanning history:
+
+    - ``firsts``  (user, cohort_week): MIN-mergeable — a late-arriving
+      earlier event simply lowers the user's cohort week;
+    - ``cells``   (user, event_week, revenue): ADDITIVE — revenue sums
+      merge by +.
+
+    The decomposition is what makes the mart maintainable without the
+    raw log: age_weeks = (event_week - cohort_week)/7 is DERIVED at
+    read time (``cohort_matrix_from_state``), so when a late event
+    shifts a user's cohort, every one of their cells re-ages by a
+    constant offset automatically — no replay, no per-event state. The
+    distinct-buyer count per cell is exact because cells stay
+    user-granular (countDistinct happens at read).
+
+    Pass ``firsts=None, cells=None`` to cold-start. Scale shape: each
+    fold shuffles only the batch (keyed aggs) plus a |users|-sized state
+    merge — same contract as ``incremental_agg_update`` (h6); state size
+    is |users| + |users x active weeks|, independent of event count.
+    Final-matrix equality with the full mart7 recompute is the oracle
+    (h10 shares mart7's SQL), and batch-split/ordering invariance is
+    pinned in pytest."""
+    b_firsts = batch.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    new_firsts = (
+        b_firsts
+        if firsts is None
+        else firsts.unionByName(b_firsts)
+        .groupBy(user_col)
+        .agg(F.min("cohort_week").alias("cohort_week"))
+    )
+    b_cells = (
+        batch.where(F.col(type_col).isin(list(revenue_types)))
+        .groupBy(
+            F.col(user_col),
+            F.date_trunc("week", F.col(ts_col)).alias("event_week"),
+        )
+        .agg(F.sum(value_col).alias("revenue"))
+    )
+    new_cells = (
+        b_cells
+        if cells is None
+        else cells.unionByName(b_cells)
+        .groupBy(user_col, "event_week")
+        .agg(F.sum("revenue").alias("revenue"))
+    )
+    return new_firsts, new_cells
+
+
+def cohort_matrix_from_state(
+    firsts: DataFrame,
+    cells: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """H10 read side: derive the mart7 cohort x age revenue matrix from
+    the maintained state. age_weeks is computed here so cohort shifts
+    from late data are always reflected; n_buyers is an exact
+    countDistinct because cells are user-granular."""
+    joined = cells.join(F.broadcast(firsts), user_col).select(
+        user_col,
+        "cohort_week",
+        (
+            F.datediff(F.col("event_week"), F.col("cohort_week")) / 7
+        )
+        .cast("int")
+        .alias("age_weeks"),
+        "revenue",
+    )
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+    ).agg(
+        F.countDistinct(user_col).alias("n_buyers"),
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+    )

@@ -35,6 +35,7 @@ _WINDOW_PRIORITY = [
     "s9_hard_negatives",
     "s9b_hard_negatives_ivf",
     "pipe6_tokenize_pack",
+    "h10_incremental_cohort",
     # --- TPC-H completions (round 4, never driver-checked) ---
     "q2_min_cost_supplier",
     "q9_product_profit",

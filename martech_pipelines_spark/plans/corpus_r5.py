@@ -577,3 +577,27 @@ def pipe6_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("total_tokens").cast("long").alias("total_tokens"),
     )
+
+
+# =============================================================================
+# h10: incremental cohort-mart maintenance (IVM applied to mart7).
+# =============================================================================
+
+
+@q("h10_incremental_cohort", ORACLE["mart7_cohort_ltv"])  # SHARES mart7's oracle
+def h10_incremental_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart7 maintained INCREMENTALLY: the event log split at the
+    watermark into two batches, each folded into min-mergeable firsts +
+    additive user-week revenue cells (cdc.cohort_state_update); the
+    matrix derived from state must equal the full recompute — the IVM
+    proof, same contract as h6. Late-data cohort shifts re-age a user's
+    cells through the derived age_weeks, no raw-log replay."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    b1 = ev.where(F.col("ts") < cut)
+    b2 = ev.where(F.col("ts") >= cut)
+    # fold LATER data first: the second fold's earlier events must
+    # shift cohorts correctly (the hard IVM case)
+    firsts, cells = cdc.cohort_state_update(None, None, b2)
+    firsts, cells = cdc.cohort_state_update(firsts, cells, b1)
+    return cdc.cohort_matrix_from_state(firsts, cells)

@@ -415,3 +415,38 @@ def test_curriculum_bins_approx_mass_point_contiguous_labels(spark):
     out = TX.curriculum_bins(df, "avg_nll", 4, exact=False)
     bins = sorted({r["bin"] for r in out.collect()})
     assert bins == list(range(1, len(bins) + 1))  # contiguous from 1
+
+
+# --- h10 incremental cohort mart ---------------------------------------------
+
+
+def test_incremental_cohort_equals_full_recompute_any_split(spark):
+    """The IVM fold must equal mart7's full recompute for every batch
+    split and ordering — including the late-data case where a second
+    batch contains events EARLIER than a user's recorded first."""
+    from martech_pipelines_spark.plans import QUERIES
+
+    full = {
+        (r["cohort_week"], r["age_weeks"]): (r["n_buyers"], r["revenue"])
+        for r in QUERIES["mart7_cohort_ltv"](spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    for splits in ([10], [5, 20], [3, 25]):
+        cuts = [dt.datetime(2024, 1, d) for d in sorted(splits)]
+        bounds = [None, *cuts, None]
+        frames = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            f = ev
+            if lo is not None:
+                f = f.where(F.col("ts") >= F.lit(lo))
+            if hi is not None:
+                f = f.where(F.col("ts") < F.lit(hi))
+            frames.append(f)
+        firsts = cells = None
+        for f in reversed(frames):  # fold newest batch first (hard case)
+            firsts, cells = cdc.cohort_state_update(firsts, cells, f)
+        got = {
+            (r["cohort_week"], r["age_weeks"]): (r["n_buyers"], r["revenue"])
+            for r in cdc.cohort_matrix_from_state(firsts, cells).collect()
+        }
+        assert got == full, f"splits {splits}"
