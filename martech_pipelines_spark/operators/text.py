@@ -1390,3 +1390,92 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))
     )
+
+
+# --- stratified sampling & hashed linear scoring (round 5b) ------------------
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    strat_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact per-stratum quota sampling: EXACTLY ``n_per_stratum`` rows per
+    stratum (fewer only when the stratum is smaller), chosen by ranking on
+    the engine's portable md5 hash of the row id — deterministic under
+    repartitioning, engine-reproducible (DuckDB computes the identical
+    order), and independent of input row order.
+
+    Complements ``stratified_sample`` (the pct-based filter above): the
+    pct form is a pure 0-shuffle filter but only approximates the quota;
+    this form guarantees it at the cost of one keyed exchange.
+
+    Scale shape: ``row_number() <= n`` over (stratum, md5-order) lowers to
+    a ``WindowGroupLimit`` partial top-k BEFORE the hash exchange, so each
+    map task ships at most ``n`` rows per stratum it sees — the shuffle is
+    O(strata x n x map_tasks) worst case, never O(corpus). Plan-asserted
+    in tests/test_plans_r5b.py.
+    """
+    order = md5_bucket32(F.col(id_col).cast("string"), salt)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in strat_cols])
+        .orderBy(order.asc(), F.col(id_col).asc())
+    )
+    return (
+        docs.withColumn("__rnk", F.row_number().over(w))
+        .where(F.col("__rnk") <= F.lit(int(n_per_stratum)))
+        .drop("__rnk")
+    )
+
+
+#: Hashed-linear-model constants: feature space size and the Knuth
+#: multiplicative constant that maps a bucket to a deterministic synthetic
+#: weight in [-1000, 1000] milli-units.  Integer end-to-end so the score is
+#: summation-order-proof (bit-exact under any partitioning / engine).
+QC_BUCKETS = 1024
+QC_WEIGHT_MULT = 2654435761
+QC_WEIGHT_MOD = 2001
+
+
+def hashed_weight(tok: Column, salt: str = "qc") -> Column:
+    """Deterministic integer weight for a token: md5-hash the token into
+    ``QC_BUCKETS`` feature buckets, then derive a pseudo-random weight in
+    [-1000, 1000] from the bucket id.  Stands in for a trained fastText-
+    style linear classifier's weight vector — swap this function for a
+    broadcast ``MapType`` lookup of real weights without touching the
+    scoring plan."""
+    bucket = md5_bucket32(tok, salt) % QC_BUCKETS
+    return (bucket * F.lit(QC_WEIGHT_MULT)) % QC_WEIGHT_MOD - (QC_WEIGHT_MOD - 1) // 2
+
+
+def hashed_linear_score(
+    docs: DataFrame, text_col: str = "text", salt: str = "qc"
+) -> DataFrame:
+    """fastText-style hashed bag-of-words linear scoring, fully columnar.
+
+    tokenize -> hash each token into a fixed feature space -> sum the
+    per-bucket weights -> threshold.  The whole model application is ONE
+    codegen projection per row (``transform`` + ``aggregate`` higher-order
+    functions over the token array): zero shuffles, zero Python, and the
+    weight "vector" rides inside the expression — the real-model variant
+    broadcasts a 1024-entry map, still no shuffle.  This is the scale
+    template for applying any linear/hashed text classifier to a 100-TB
+    corpus: cost is a single scan.
+
+    Integer milli-unit weights keep the score exact (no float summation
+    order sensitivity), so the DuckDB oracle matches bit-for-bit.
+    """
+    toks = tokens(F.col(text_col))
+    score = F.aggregate(
+        F.transform(toks, lambda t: hashed_weight(t, salt).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_milli"),
+        (score > 0).alias("label"),
+    )

@@ -353,3 +353,45 @@ def rolling_zscore(
         .otherwise(F.lit(False))
         .alias("anomaly"),
     )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str,
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """One foreign-key integrity check: returns a single summary row
+    ``(constraint_name, child_rows, orphan_rows)`` where ``orphan_rows``
+    counts non-null child keys with no matching parent (dbt
+    ``relationships`` test semantics: NULL child keys are not violations).
+
+    Scale shape: the parent side is reduced to its DISTINCT key column
+    before the anti-join (parent is a PK table, so this is a metadata-cheap
+    projection — but stating it keeps the join payload one column wide).
+    For dimension-sized parents pass ``broadcast_parent=True`` and the
+    orphan scan is a broadcast anti-join with NO shuffle of the child; for
+    fact-sized parents the anti-join shuffles both sides once on the key.
+    The two counts (total + orphans) come from one aggregate over a left
+    anti-join, not two separate jobs, via count-distinct-free conditional
+    aggregation on a left join.
+    """
+    keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    joined = child.select(F.col(child_key).alias("__ck")).join(
+        keys, F.col("__ck") == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        F.lit(name).alias("constraint_name"),
+        F.count(F.lit(1)).cast("long").alias("child_rows"),
+        F.sum(
+            F.when(
+                F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("orphan_rows"),
+    )

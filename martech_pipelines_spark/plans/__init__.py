@@ -8,6 +8,7 @@ from martech_pipelines_spark.plans import corpus_scale  # noqa: F401  (registers
 from martech_pipelines_spark.plans import corpus_r4  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_tpch3  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5b  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -22,6 +23,12 @@ from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
+    # --- round-5b additions (newest, least-verified — registered in
+    # corpus_r5b; lead the window) ---
+    "mart8_time_decay_attribution",
+    "dq3_referential_integrity",
+    "t28_stratified_sample",
+    "t29_quality_classifier",
     # --- round-5 additions (never checked, registered in corpus_r5) ---
     "pipe5_export_e2e",
     "t23_domain_cap",

@@ -1,0 +1,277 @@
+"""Round-5b corpus additions (second half of round 5).
+
+Four new first-class operators, each with a full DuckDB oracle:
+
+- ``mart8_time_decay_attribution`` — completes the attribution family
+  (last-touch mart3 / linear mart5 / time-decay mart8) with integer
+  halving-per-day weights so credit is summation-order-proof.
+- ``dq3_referential_integrity`` — dbt-style ``relationships`` tests over
+  the whole TPC-H FK graph in one frame.
+- ``t28_stratified_sample`` — exact per-stratum quota sampling
+  (WindowGroupLimit partial top-k; complements the pct-based filter).
+- ``t29_quality_classifier`` — hashed bag-of-words linear scoring
+  (fastText-style model application as one codegen projection).
+
+Registers into the shared QUERIES/ORACLE dicts at import time, exactly
+like corpus_r5; names are prepended to plans/__init__._WINDOW_PRIORITY so
+the driver's 50-slot correctness window verifies them this round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import text as TX
+from martech_pipelines_spark.operators.transforms import referential_check
+from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES, q  # noqa: F401
+from martech_pipelines_spark.plans.corpus_extended import _DUCK_TOKENS
+from martech_pipelines_spark.sources import load_table
+
+
+# =============================================================================
+# mart8: time-decay multi-touch attribution
+# Completes the attribution family: mart3 (last-touch, no join) ->
+# mart5 (linear, equal split) -> mart8 (exponential time-decay).
+# Reference scope: extension operator (SURVEY.md §7 north star — marts the
+# reference's downstream marketing stack computes from the exported
+# profiles); same events surface as mart3/mart5.
+# =============================================================================
+
+_MART8_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, strict
+
+
+_MART8_ORACLE = f"""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us,
+               CAST(trunc(value * 100) AS BIGINT) AS value_paise
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_type AS touch_type, epoch_us(ts) AS touch_us
+        FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+        SELECT c.conv_id, c.value_paise, t.touch_type,
+               (c.conv_us - t.touch_us) // 86400000000 AS age_days
+        FROM conv c JOIN touch t ON c.user_id = t.user_id
+        WHERE t.touch_us < c.conv_us
+          AND c.conv_us - t.touch_us < {_MART8_WINDOW_US}
+    ), wts AS (
+        SELECT conv_id, value_paise, touch_type,
+               CAST(power(2, 6 - age_days) AS BIGINT) AS w
+        FROM j
+    ), cr AS (
+        SELECT conv_id, touch_type,
+               (value_paise * w) // sum(w) OVER (PARTITION BY conv_id)
+                   AS credit_paise
+        FROM wts
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(sum(credit_paise) AS BIGINT) AS credit_paise_total
+    FROM cr GROUP BY touch_type
+    """
+
+
+@q("mart8_time_decay_attribution", _MART8_ORACLE)
+def mart8_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: a purchase's value is split
+    across its view/click touches in a strict 7-day lookback with weight
+    halving per whole day of age — weight ``2^(6 - age_days)`` in
+    {64,...,1}, so a same-day touch earns 64x a six-day-old one.
+
+    Integer end-to-end: weights are exact powers of two and credit is
+    floor-division of ``value_paise * w`` by the per-conversion weight
+    sum, so results are bit-exact under any partitioning (no float decay
+    factors to accumulate in arbitrary order).
+
+    Scale shape: identical to mart5 — ONE user-keyed equi-join (both
+    sides shuffle once on user_id; per-user fan-out bounded by session
+    length), one window keyed on conv_id for the weight sum, one tiny
+    final agg. The decay weight itself is a free codegen expression on
+    the joined row; time-decay costs nothing over linear."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_paise"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    j = conv.join(touch, "user_id").where(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("conv_us") - F.col("touch_us") < F.lit(_MART8_WINDOW_US))
+    )
+    wts = j.select(
+        "conv_id",
+        "value_paise",
+        "touch_type",
+        F.expr(
+            "shiftleft(1, cast(6 - (conv_us - touch_us) div 86400000000 as int))"
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    cr = wts.withColumn(
+        "credit_paise",
+        F.expr("(value_paise * w) div sum(w) over (partition by conv_id)"),
+    )
+    return cr.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.sum("credit_paise").cast("long").alias("credit_paise_total"),
+    )
+
+
+# =============================================================================
+# dq3: referential integrity over the full TPC-H FK graph
+# dbt `relationships` test semantics (NULL child keys pass), one summary
+# row per constraint. Extends dq1 (column constraints) to cross-table
+# constraints.
+# =============================================================================
+
+_DQ3_FKS = [
+    # (name, child, child_key, parent, parent_key, broadcast)
+    ("lineitem_orderkey_fk", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem_partkey_fk", "lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem_suppkey_fk", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders_custkey_fk", "orders", "o_custkey", "customer", "c_custkey", False),
+    ("customer_nationkey_fk", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier_nationkey_fk", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation_regionkey_fk", "nation", "n_regionkey", "region", "r_regionkey", True),
+]
+
+
+def _dq3_oracle_block(name, child, ck, parent, pk):
+    return f"""
+    SELECT '{name}' AS constraint_name,
+           CAST(count(*) AS BIGINT) AS child_rows,
+           CAST(sum(CASE WHEN c.{ck} IS NOT NULL AND p.__pk IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+           ON c.{ck} = p.__pk
+    """
+
+
+_DQ3_ORACLE = "\nUNION ALL\n".join(
+    _dq3_oracle_block(n, c, ck, p, pk) for n, c, ck, p, pk, _ in _DQ3_FKS
+)
+
+
+@q("dq3_referential_integrity", _DQ3_ORACLE)
+def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All seven TPC-H foreign keys audited in one frame: per constraint,
+    total child rows and orphan rows (non-null child key with no parent).
+
+    Scale shape: each check reduces the parent to its DISTINCT key column
+    first (one-column join payload), then LEFT-joins + conditionally
+    aggregates — total AND orphan counts from a single join, not two
+    jobs. Dimension-sized parents (nation, region, supplier) are
+    broadcast, so the three biggest fact scans (lineitem x2, customer)
+    shuffle only for the fact-sized parents where co-partitioning is
+    genuinely required. The seven summary rows union AFTER aggregation —
+    the union moves 7 rows, not 7 tables."""
+    frames = []
+    for name, child, ck, parent, pk, bcast in _DQ3_FKS:
+        frames.append(
+            referential_check(
+                load_table(spark, sf_dir, child),
+                load_table(spark, sf_dir, parent),
+                ck,
+                pk,
+                name,
+                broadcast_parent=bcast,
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# =============================================================================
+# t28: exact per-stratum quota sampling
+# =============================================================================
+
+
+_T28_QUOTA = 5
+
+
+@q(
+    "t28_stratified_sample",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY ('0x' || substr(
+                       md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8
+                   ))::BIGINT ASC, doc_id ASC
+               ) AS rnk
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rnk <= {_T28_QUOTA}
+    """,
+)
+def t28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``{quota}`` docs per (lang, source) stratum, chosen by the
+    portable md5 order — the deterministic, engine-reproducible,
+    input-order-independent eval-set builder.
+
+    Scale shape (see ``stratified_sample_exact``): the rank filter lowers
+    to WindowGroupLimit, so map tasks pre-truncate to the quota before
+    the stratum exchange — shuffle volume is quota-bounded, never corpus-
+    proportional. Plan-asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.stratified_sample_exact(
+        docs.select("doc_id", "lang", "source"),
+        ["lang", "source"],
+        _T28_QUOTA,
+    )
+
+
+t28_stratified_sample.__doc__ = t28_stratified_sample.__doc__.replace(
+    "{quota}", str(_T28_QUOTA)
+)
+
+
+# =============================================================================
+# t29: hashed linear quality classifier (fastText-style model application)
+# =============================================================================
+
+
+@q(
+    "t29_quality_classifier",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(tok, t ->
+               (('0x' || substr(md5('qc:' || t), 1, 8))::BIGINT
+                % {TX.QC_BUCKETS}) * {TX.QC_WEIGHT_MULT}
+                % {TX.QC_WEIGHT_MOD} - {(TX.QC_WEIGHT_MOD - 1) // 2}
+           )), 0) AS BIGINT) AS score_milli,
+           CAST(coalesce(list_sum(list_transform(tok, t ->
+               (('0x' || substr(md5('qc:' || t), 1, 8))::BIGINT
+                % {TX.QC_BUCKETS}) * {TX.QC_WEIGHT_MULT}
+                % {TX.QC_WEIGHT_MOD} - {(TX.QC_WEIGHT_MOD - 1) // 2}
+           )), 0) AS BIGINT) > 0 AS label
+    FROM toks
+    """,
+)
+def t29_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier applied to every document —
+    the fastText-quality-model pattern (tokenize, hash into a fixed
+    feature space, dot with a weight vector, threshold) as ONE codegen
+    projection: zero shuffles, zero Python, exact integer score. See
+    ``text.hashed_linear_score`` for the scale rationale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.hashed_linear_score(docs)

@@ -1,0 +1,170 @@
+"""Round-5b operators: time-decay attribution, referential integrity,
+exact stratified sampling, hashed linear classifier — semantics + plan
+shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import text as TX
+from martech_pipelines_spark.operators.transforms import referential_check
+from martech_pipelines_spark.plans import QUERIES
+from tests.test_plans import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- referential_check -------------------------------------------------------
+
+
+def test_referential_check_counts_orphans_and_passes_nulls(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_check(child, parent, "fk", "pk", "c").collect()[0]
+    assert row.constraint_name == "c"
+    assert row.child_rows == 5
+    # 99 is an orphan; NULL child key is NOT (dbt relationships semantics)
+    assert row.orphan_rows == 1
+
+
+def test_referential_check_duplicate_parent_keys_no_fanout(spark):
+    child = spark.createDataFrame([(1,), (1,)], "fk long")
+    parent = spark.createDataFrame([(1,), (1,), (1,)], "pk long")
+    row = referential_check(child, parent, "fk", "pk", "c").collect()[0]
+    assert row.child_rows == 2 and row.orphan_rows == 0
+
+
+def test_dq3_broadcasts_dimension_parents(spark):
+    plan = plan_of(QUERIES["dq3_referential_integrity"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- stratified_sample_exact -------------------------------------------------
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "source")
+    )
+    sample = TX.stratified_sample_exact(docs, ["lang", "source"], 3)
+    per = sample.groupBy("lang", "source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    # strata with >= 3 docs must yield exactly 3 (exact quota, not pct)
+    sizes = {
+        (r.lang, r.source): r["count"]
+        for r in docs.groupBy("lang", "source").count().collect()
+    }
+    got = {(r.lang, r.source): r["count"] for r in per}
+    for k, n in sizes.items():
+        assert got.get(k, 0) == min(n, 3)
+    # deterministic under repartitioning / input order
+    a = {r.doc_id for r in sample.collect()}
+    b = {
+        r.doc_id
+        for r in TX.stratified_sample_exact(
+            docs.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+            ["lang", "source"],
+            3,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_t28_plan_has_window_group_limit(spark):
+    """The quota filter must lower to WindowGroupLimit so map tasks ship
+    at most quota rows per stratum into the exchange."""
+    plan = plan_of(QUERIES["t28_stratified_sample"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+# --- hashed_linear_score -----------------------------------------------------
+
+
+def test_hashed_linear_score_exact_vs_python_model(spark):
+    import hashlib
+
+    rows = [
+        (1, "Alpha beta beta!"),
+        (2, ""),
+        (3, "   "),
+        (4, "gamma-delta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.hashed_linear_score(df).collect()}
+
+    import re
+
+    def weight(tok: str) -> int:
+        h = int(hashlib.md5(f"qc:{tok}".encode()).hexdigest()[:8], 16)
+        b = h % TX.QC_BUCKETS
+        return b * TX.QC_WEIGHT_MULT % TX.QC_WEIGHT_MOD - (TX.QC_WEIGHT_MOD - 1) // 2
+
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        score = sum(weight(t) for t in toks)
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.score_milli == score
+        assert r.label == (score > 0)
+
+
+def test_t29_plan_is_shuffle_and_python_free(spark):
+    """Model application must be one codegen projection: no Exchange, no
+    Python eval nodes."""
+    plan = plan_of(QUERIES["t29_quality_classifier"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+# --- mart8 -------------------------------------------------------------------
+
+
+def test_mart8_decay_weights_model(spark):
+    """Hand-built scenario: one purchase, touches at ages 0, 1 and 6 days
+    -> weights 64/32/1; credit floor-divides value_paise * w by 97."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (100, t0, 7, "purchase", 10.0, None),
+        (1, t0 - dt.timedelta(hours=1), 7, "view", 0.0, None),
+        (2, t0 - dt.timedelta(days=1, hours=1), 7, "click", 0.0, None),
+        (3, t0 - dt.timedelta(days=6, hours=1), 7, "view", 0.0, None),
+        (4, t0 - dt.timedelta(days=8), 7, "view", 0.0, None),  # outside
+        (5, t0 + dt.timedelta(hours=1), 7, "click", 0.0, None),  # after
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        out = {
+            r.touch_type: r
+            for r in QUERIES["mart8_time_decay_attribution"](spark, d).collect()
+        }
+    # value_paise = 1000; weights: view 64+1=65, click 32; sum_w = 97
+    assert out["view"].n_touches == 2
+    assert out["click"].n_touches == 1
+    assert out["view"].credit_paise_total == 1000 * 64 // 97 + 1000 * 1 // 97
+    assert out["click"].credit_paise_total == 1000 * 32 // 97
+
+
+def test_mart8_plan_single_keyed_join(spark):
+    plan = plan_of(QUERIES["mart8_time_decay_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
