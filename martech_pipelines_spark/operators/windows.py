@@ -11,7 +11,7 @@ plus ordinary aggregation, one shuffle on (key, window)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,4 +91,60 @@ def session_agg(
             F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
             "n_events",
         )
+    )
+
+
+def late_data_admission(
+    events: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    batch_rows: int = 1000,
+    window_size: str = "1 hour",
+    delay_s: int = 5401,
+) -> DataFrame:
+    """Batch replay of Structured Streaming's watermark admission rule.
+
+    Chunks the arrival order (``arrival_col``) into micro-batches of
+    ``batch_rows`` rows and applies Spark's exact late-data rule to each
+    row: the watermark in effect for batch N is ``max(event time seen in
+    batches < N) - delay``, and a row is ADMITTED iff its tumbling
+    window's end is strictly after that watermark (probe-verified on this
+    Spark build: a window whose end EQUALS the watermark is already
+    evicted, so its late rows drop; see
+    tests/test_r5b_ops.py::test_late_admission_matches_real_stream, which
+    pins this replay against a real one-file-per-batch streaming run).
+
+    Why batch-granular and not per-row: that IS the engine's semantics —
+    Spark advances the global watermark only between micro-batches — and
+    it is what makes the replay scale-safe: the only ordered computation
+    is a running max over the per-batch summary (one row per micro-batch,
+    thousands at most), broadcast back to the corpus-sized side. No
+    corpus-wide ordered window anywhere.
+
+    Use cases: backfilling a streaming pipeline's historical output so
+    batch and stream agree bit-for-bit, and auditing how much data a
+    given watermark delay would discard.
+    """
+    delay_us = int(delay_s) * 1_000_000
+    b = events.withColumn(
+        "__batch_id", F.expr(f"{arrival_col} div {int(batch_rows)}")
+    )
+    summary = b.groupBy("__batch_id").agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("__mx")
+    )
+    wm = summary.select(
+        "__batch_id",
+        F.max("__mx")
+        .over(
+            Window.orderBy("__batch_id").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("__wm"),
+    )
+    win_end = F.unix_micros(F.window(F.col(ts_col), window_size)["end"])
+    return (
+        b.join(F.broadcast(wm), "__batch_id")
+        .where(F.col("__wm").isNull() | (win_end > F.col("__wm") - F.lit(delay_us)))
+        .drop("__batch_id")
     )

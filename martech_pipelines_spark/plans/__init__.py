@@ -29,6 +29,7 @@ _WINDOW_PRIORITY = [
     "dq3_referential_integrity",
     "t28_stratified_sample",
     "t29_quality_classifier",
+    "w4_late_data_admission",
     # --- round-5 additions (never checked, registered in corpus_r5) ---
     "pipe5_export_e2e",
     "t23_domain_cap",

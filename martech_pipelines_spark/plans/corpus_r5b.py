@@ -275,3 +275,62 @@ def t29_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text.hashed_linear_score`` for the scale rationale."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.hashed_linear_score(docs)
+
+
+# =============================================================================
+# w4: watermark late-data admission, replayed in batch
+# =============================================================================
+
+
+@q(
+    "w4_late_data_admission",
+    """
+    WITH b AS (
+        SELECT user_id, ts, epoch_us(ts) AS ts_us,
+               event_id // 1000 AS batch_id
+        FROM events
+    ), s AS (
+        SELECT batch_id, max(ts_us) AS mx FROM b GROUP BY batch_id
+    ), wmt AS (
+        SELECT batch_id,
+               max(mx) OVER (ORDER BY batch_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS wm
+        FROM s
+    ), adm AS (
+        SELECT b.user_id, b.ts
+        FROM b JOIN wmt USING (batch_id)
+        WHERE wmt.wm IS NULL
+           OR epoch_us(date_trunc('hour', b.ts) + INTERVAL 1 HOUR)
+              > wmt.wm - 5401000000
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM adm GROUP BY 1
+    """,
+)
+def w4_late_data_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark semantics replayed over a batch table: chunk
+    the arrival order into 1000-row micro-batches, drop each row exactly
+    when the real stream would (its hour-window's end not strictly after
+    the prior-batches watermark, delay 5401s), then tumbling-count the
+    admitted rows. Pinned against a REAL one-file-per-batch streaming run
+    in tests/test_r5b_ops.py. See ``windows.late_data_admission`` for why
+    the replay is scale-safe (ordered work only on the per-batch summary)."""
+    from martech_pipelines_spark.operators.windows import late_data_admission
+
+    ev = load_table(spark, sf_dir, "events")
+    adm = late_data_admission(ev)
+    return (
+        adm.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "n_users",
+        )
+    )

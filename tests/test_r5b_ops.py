@@ -168,3 +168,79 @@ def test_mart8_plan_single_keyed_join(spark):
     plan = plan_of(QUERIES["mart8_time_decay_attribution"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- late_data_admission -----------------------------------------------------
+
+
+def test_late_admission_matches_real_stream(spark, tmp_path):
+    """The batch replay must agree bit-for-bit with a real Structured
+    Streaming run fed the same micro-batches (one file per batch),
+    including the boundary case window_end == watermark (dropped)."""
+    import datetime as dt
+    import os
+
+    from martech_pipelines_spark.operators.windows import late_data_admission
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # arrival order = event_id; batch_rows=2 -> batches [0,1],[2,3],[4,5]
+    rows = [
+        (0, t(10, 5), 1),   # b0
+        (1, t(12, 0), 1),   # b0: advances max ts to 12:00
+        (2, t(10, 30), 2),  # b1: late, window end 11:00 == wm 11:00 -> DROP
+        (3, t(11, 30), 2),  # b1: window end 12:00 > wm 11:00 -> keep
+        (4, t(13, 0), 3),   # b2: on time (advances wm only AFTER b2)
+        (5, t(11, 45), 3),  # b2: wm still 11:00 -> keep
+    ]
+    schema = "event_id long, ts timestamp, user_id long"
+    df = spark.createDataFrame(rows, schema)
+    adm = late_data_admission(
+        df, batch_rows=2, window_size="1 hour", delay_s=3600
+    )
+    batch_counts = {
+        (r.user_id, r.ws): r.n
+        for r in adm.groupBy(
+            "user_id", F.window("ts", "1 hour")["start"].alias("ws")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("w4_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        for i in range(0, 6, 2):
+            spark.createDataFrame(rows[i : i + 2], schema).coalesce(
+                1
+            ).write.parquet(str(src / f"b{i}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode re-emits a key on every change; the LAST emission per
+    # key is the final count
+    stream_counts = {}
+    for r in spark.sql("SELECT * FROM w4_mem").collect():
+        stream_counts[(r.user_id, r.ws)] = r.n
+    assert stream_counts == batch_counts
+    # and the boundary-dropped row (event 2: window end == watermark) is
+    # really gone from both
+    assert sum(batch_counts.values()) == 5
+    assert (2, t(10)) not in batch_counts
