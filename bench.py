@@ -54,6 +54,12 @@ HEADLINE = [
     "s9_hard_negatives",
     "r20_gap_fill",
     "mart7_cohort_ltv",
+    # round-5b additions
+    "mart8_time_decay_attribution",
+    "dq3_referential_integrity",
+    "t28_stratified_sample",
+    "t29_quality_classifier",
+    "w4_late_data_admission",
 ]
 
 

@@ -1316,3 +1316,133 @@ def hard_negative_mining_ivf(
         .where(F.col("cos_sim").isNotNull())
     )
     return _mine_best_pairs(scored, query_id, corpus_id)
+
+
+# --- k-NN graph (round 5b) ---------------------------------------------------
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    bands: int,
+) -> DataFrame:
+    """(id, vec, norm, band, band_val) rows — one posexplode pass over the
+    Arrow-computed hyperplane signature (same banding as ``lsh_topk``;
+    extracted so the self-join graph form can reuse it)."""
+    band_bits = bits // bands
+    sig_udf = rp_signature_pandas(dim, bits)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        sig_udf(F.col(vec_col)).alias("__sig"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    band_vals = [
+        F.shiftright("__sig", b * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
+        for b in range(bands)
+    ]
+    return base.select(
+        "__id",
+        "__v",
+        "__n",
+        F.posexplode(F.array(*band_vals)).alias("band", "band_val"),
+    )
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph: for every vector, its top-k cosine
+    neighbors (self excluded). Output (src_id, nbr_id, cos_sim, rnk).
+
+    This is the exact baseline (broadcast corpus x corpus — O(N^2) dot
+    products): correct at any gate scale, quadratic at 100 TB. The scale
+    form is ``knn_graph_lsh`` below, whose candidates come from a banded
+    signature SELF-join (a keyed shuffle, no broadcast of the corpus),
+    equality/recall-pinned against this baseline in pytest.
+
+    Graph uses: SemDeDup-style connected-component dedup over embedding
+    space, label propagation, and kNN-classifier data curation."""
+    a = vectors.select(
+        F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    b = vectors.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    denom = F.col("__qn") * F.col("__cn")
+    scored = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("__qid") != F.col("__cid"))
+        .select(
+            F.col("__qid").alias("src_id"),
+            F.col("__cid").alias("nbr_id"),
+            F.round(
+                F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.col("nbr_id").asc())
+    return (
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def knn_graph_lsh(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Approximate k-NN graph at scale: candidate pairs from a banded
+    random-hyperplane signature SELF-join, exact cosine re-rank of
+    candidates only. Output (src_id, nbr_id, cos_sim, rnk) like
+    ``knn_graph``.
+
+    Scale shape: unlike ``lsh_topk`` (which broadcasts a small query
+    set), BOTH sides here are the corpus — so the band join is a plain
+    keyed shuffle on (band, band_val): each side shuffles once, band
+    buckets are 2^(bits/bands)-way partitioned, and no corpus-sized
+    broadcast exists anywhere. Work is sum of squared bucket sizes per
+    band — the banded analogue of a blocked self-join; skewed buckets
+    fall out of AQE skew-join splitting. Signature computation is one
+    Arrow matmul per batch, computed ONCE (single posexplode pass).
+
+    Deterministic (md5-derived hyperplanes) => full SQL oracle; recall
+    vs the exact graph is gated in pytest."""
+    banded = _banded_signatures(vectors, id_col, vec_col, dim, bits, bands)
+    qb = banded.withColumnsRenamed({"__id": "__qid", "__v": "__qv", "__n": "__qn"})
+    cb = banded.withColumnsRenamed({"__id": "__cid", "__v": "__cv", "__n": "__cn"})
+    cand = (
+        qb.join(cb, ["band", "band_val"])
+        .where(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn")
+        .dropDuplicates(["__qid", "__cid"])
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    scored = cand.select(
+        F.col("__qid").alias("src_id"),
+        F.col("__cid").alias("nbr_id"),
+        F.round(
+            F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom), round_dp
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.col("nbr_id").asc())
+    return (
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

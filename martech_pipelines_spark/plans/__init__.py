@@ -30,6 +30,8 @@ _WINDOW_PRIORITY = [
     "t28_stratified_sample",
     "t29_quality_classifier",
     "w4_late_data_admission",
+    "s10_knn_graph",
+    "s10b_knn_graph_lsh",
     # --- round-5 additions (never checked, registered in corpus_r5) ---
     "pipe5_export_e2e",
     "t23_domain_cap",

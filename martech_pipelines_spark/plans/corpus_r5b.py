@@ -334,3 +334,90 @@ def w4_late_data_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# =============================================================================
+# s10: k-NN graph over the embedding corpus (exact + LSH self-join twin)
+# =============================================================================
+
+_S10_EXACT_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               round(
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    )
+    SELECT src_id, nbr_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 3
+    """
+
+
+@q("s10_knn_graph", _S10_EXACT_ORACLE)
+def s10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN graph over the whole embedding table (self excluded) —
+    the neighbor structure SemDeDup-style embedding dedup, label
+    propagation, and kNN curation build on. Exact baseline (broadcast
+    N x N); the shuffle-only scale form is s10b, recall-gated against
+    this in pytest. See ``similarity.knn_graph``."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=3)
+
+
+def _s10b_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import (
+        _banded_sql,
+        _rp_sig_sql,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, v, {_rp_sig_sql('v', 64, 32)} AS sig FROM base
+    ), banded AS ({_banded_sql('sig', 8, 4)}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+        FROM banded a JOIN banded b USING (band, band_val)
+        WHERE a.vec_id <> b.vec_id
+    ), scored AS (
+        SELECT c.src_id, c.nbr_id,
+               round(
+                   list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 4) AS cos_sim
+        FROM cand c
+        JOIN base x ON x.vec_id = c.src_id
+        JOIN base y ON y.vec_id = c.nbr_id
+    )
+    SELECT src_id, nbr_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 3
+    """
+
+
+@q("s10b_knn_graph_lsh", _s10b_oracle())
+def s10b_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s10's 100-TB form: candidate pairs from a banded hyperplane-
+    signature SELF-join — a plain keyed shuffle on (band, band_val), no
+    corpus-sized broadcast anywhere — then exact cosine re-rank of the
+    collided pairs only. Deterministic md5-derived hyperplanes make even
+    this approximate form fully oracle-checkable (the oracle computes
+    the identical signatures); graph recall vs exact s10 additionally
+    gated in pytest. See ``similarity.knn_graph_lsh``."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph_lsh(emb, dim=64, k=3, bits=32, bands=8)

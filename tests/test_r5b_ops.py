@@ -244,3 +244,80 @@ def test_late_admission_matches_real_stream(spark, tmp_path):
     # really gone from both
     assert sum(batch_counts.values()) == 5
     assert (2, t(10)) not in batch_counts
+
+
+# --- runtime bloom-filter join pruning ---------------------------------------
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100-TB posture: a selective dim predicate should reach the fact
+    scan as a runtime bloom filter (Spark's runtime row-level filtering),
+    so the shuffle ships only probably-matching fact rows. Verifies the
+    plan injects might_contain on the fact side and that results are
+    unchanged vs the plain join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local[32]-sized data is below the production thresholds; relax
+        # them so the optimizer exercises the same rewrite it would apply
+        # to a real fact table
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1000GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{SF}/lineitem.parquet")
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = {r.o_orderpriority: r.n for r in build().collect()}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = build()
+        plan = plan_of(df)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        assert {r.o_orderpriority: r.n for r in df.collect()} == baseline
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# --- knn graph ---------------------------------------------------------------
+
+
+def test_knn_graph_lsh_recall_vs_exact(spark, sf_dir):
+    """Edge recall of the banded self-join graph vs the exact graph on
+    the gate corpus — the LSH twin must find most true neighbors."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.src_id, r.nbr_id) for r in SIM.knn_graph(emb, k=3).collect()
+    }
+    approx = {
+        (r.src_id, r.nbr_id)
+        for r in SIM.knn_graph_lsh(emb, dim=64, k=3, bits=32, bands=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_s10b_plan_is_shuffle_self_join_no_broadcast_corpus(spark):
+    """The scale form must NOT broadcast the corpus and must not fall
+    back to any nested-loop/cartesian join: candidates come from an
+    equi-join on the band keys."""
+    plan = plan_of(QUERIES["s10b_knn_graph_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

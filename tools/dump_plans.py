@@ -186,6 +186,21 @@ SHOWCASE = [
         "contrastive mining: broadcast-anchor NLJ, one window over "
         "(query, same-label) picks positive and hard negative together",
     ),
+    (
+        "t29_quality_classifier",
+        "hashed linear model application: ONE codegen projection, zero "
+        "exchanges, zero Python — the weight vector lives in the expression",
+    ),
+    (
+        "t28_stratified_sample",
+        "exact quota sampling: WindowGroupLimit partial top-k caps the "
+        "shuffle at quota rows per stratum per map task",
+    ),
+    (
+        "w4_late_data_admission",
+        "watermark replay: ordered running-max only over the per-batch "
+        "summary, broadcast back; corpus side never globally sorted",
+    ),
 ]
 
 
