@@ -60,6 +60,8 @@ HEADLINE = [
     "t28_stratified_sample",
     "t29_quality_classifier",
     "w4_late_data_admission",
+    "s10b_knn_graph_lsh",
+    "h11_incremental_topk",
 ]
 
 

@@ -88,3 +88,75 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> dict:
+    """OPTIMIZE-style small-file compaction: rewrite a dataset directory
+    so files approach ``target_bytes`` (the remedy for the many-small-
+    files problem that streaming ingest and fine-grained partitioning
+    leave behind — each file costs a task + open + footer parse at scan
+    time, so 10k x 1 MB files scan far slower than 80 x 128 MB).
+
+    Protocol (same atomic-swap discipline as the streaming upsert sink,
+    streaming/stream.py::apply_upsert_batch): write the compacted copy to
+    ``<path>.next``, rename live -> ``.old``, ``.next`` -> live, drop
+    ``.old``. A crash between the renames leaves a complete ``.old``,
+    which the next call restores before doing anything else — readers
+    never observe a partial dataset.
+
+    Returns a stats dict (files/bytes before, files after, skipped flag).
+    No-ops when the dataset already has no more files than the target
+    packing needs — compaction must be idempotent and cheap to re-run.
+
+    Local-FS file sizing (os.walk); on HDFS/S3 the same listing comes
+    from the FileSystem/ListObjectsV2 API — the swap protocol is the
+    part that changes (S3 has no rename; you'd version the prefix).
+    """
+    import math
+    import os
+    import shutil
+
+    old = path + ".old"
+    nxt = path + ".next"
+    # crash recovery first: a death between rename(live->old) and
+    # rename(next->live) leaves no live dir but a complete .old
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    shutil.rmtree(nxt, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            sizes.append(os.path.getsize(os.path.join(root, f)))
+    total = sum(sizes)
+    n_out = max(1, math.ceil(total / target_bytes))
+    stats = {
+        "files_before": len(sizes),
+        "bytes_total": total,
+        "files_target": n_out,
+        "skipped": len(sizes) <= n_out,
+    }
+    if stats["skipped"]:
+        stats["files_after"] = len(sizes)
+        return stats
+
+    df = spark.read.format(fmt).load(path)
+    df.repartition(n_out).write.format(fmt).mode("overwrite").save(nxt)
+    os.rename(path, old)
+    os.rename(nxt, path)
+    shutil.rmtree(old, ignore_errors=True)
+    stats["files_after"] = sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if not (f.startswith("_") or f.startswith("."))
+    )
+    return stats

@@ -1479,3 +1479,26 @@ def hashed_linear_score(
         score.alias("score_milli"),
         (score > 0).alias("label"),
     )
+
+
+def merge_token_counts(
+    counts: DataFrame, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental maintenance of a token-count table (the IVM form of
+    ``word_count_table``): aggregate ONLY the new docs, then merge the
+    two partial-count tables with one keyed sum. Counts are distributive,
+    so any batch split / merge order yields the identical table
+    (associativity pinned in pytest; h11 proves incremental == full
+    recompute via a shared oracle).
+
+    Scale shape: the delta shuffle is proportional to the new batch's
+    vocabulary; the merge shuffles |vocab| + |delta vocab| partial rows —
+    never the corpus. A top-k read over the maintained table (heavy
+    hitters, trending terms) is then a TakeOrdered over vocab-sized
+    data."""
+    delta = word_count_table(new_docs, text_col)
+    return (
+        counts.unionByName(delta)
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -395,3 +395,41 @@ def referential_check(
         .cast("long")
         .alias("orphan_rows"),
     )
+
+
+def source_freshness(
+    events: DataFrame,
+    source_col: str = "event_type",
+    ts_col: str = "ts",
+    stale_after_hours: int = 24,
+) -> DataFrame:
+    """dbt-source-freshness-style monitor: per source, last-seen event
+    time, staleness lag against the newest event anywhere in the table,
+    active-day count, integer events-per-active-day, and a stale flag.
+
+    Scale shape: one keyed aggregation per source plus a 1-row global-max
+    scalar joined by broadcast (the corpus-wide declarative alternative
+    to a driver-side collect — same pattern as the corpus stats joins).
+    Lag arithmetic is integer micros floor-divided to hours, so the
+    output is bit-exact cross-engine."""
+    per = events.groupBy(source_col).agg(
+        F.max(ts_col).alias("__last_ts"),
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct(F.date_trunc("day", F.col(ts_col)))
+        .cast("long")
+        .alias("n_days"),
+    )
+    g = events.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__mx"))
+    lag_h = F.expr("(__mx - unix_micros(__last_ts)) div 3600000000")
+    return (
+        per.join(F.broadcast(g))
+        .select(
+            source_col,
+            F.date_format("__last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            lag_h.cast("long").alias("lag_hours"),
+            "n_events",
+            "n_days",
+            F.expr("n_events div n_days").cast("long").alias("events_per_day"),
+            (lag_h >= F.lit(int(stale_after_hours))).alias("stale"),
+        )
+    )

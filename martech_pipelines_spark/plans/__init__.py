@@ -32,6 +32,8 @@ _WINDOW_PRIORITY = [
     "w4_late_data_admission",
     "s10_knn_graph",
     "s10b_knn_graph_lsh",
+    "h11_incremental_topk",
+    "dq4_source_freshness",
     # --- round-5 additions (never checked, registered in corpus_r5) ---
     "pipe5_export_e2e",
     "t23_domain_cap",

@@ -421,3 +421,70 @@ def s10b_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.knn_graph_lsh(emb, dim=64, k=3, bits=32, bands=8)
+
+
+# =============================================================================
+# h11: incremental heavy-hitters maintenance (IVM applied to word counts)
+# =============================================================================
+
+
+@q(
+    "h11_incremental_topk",
+    f"""
+    SELECT token, count(*) AS cnt
+    FROM (
+        SELECT unnest({_DUCK_TOKENS.format(col='text')}) AS token FROM documents
+    )
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 100
+    """,
+)
+def h11_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM proof for the token-frequency surface: build counts from a
+    base third of the corpus, fold in two delta batches with
+    ``merge_token_counts``, read the top-100 — and the oracle is the
+    FULL-corpus recompute (t1's query), so the incremental path must be
+    exactly equivalent. Each merge shuffles only vocab-sized partial
+    counts; the corpus is scanned once per batch, never re-scanned."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = TX.word_count_table(docs.where(F.col("doc_id") % 3 == 0))
+    counts = TX.merge_token_counts(counts, docs.where(F.col("doc_id") % 3 == 1))
+    counts = TX.merge_token_counts(counts, docs.where(F.col("doc_id") % 3 == 2))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
+
+
+# =============================================================================
+# dq4: source freshness / completeness monitor
+# =============================================================================
+
+
+@q(
+    "dq4_source_freshness",
+    """
+    WITH g AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    per AS (
+        SELECT event_type, max(ts) AS last_ts,
+               count(*) AS n_events,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           (g.mx - epoch_us(last_ts)) // 3600000000 AS lag_hours,
+           n_events,
+           n_days,
+           n_events // n_days AS events_per_day,
+           (g.mx - epoch_us(last_ts)) // 3600000000 >= 24 AS stale
+    FROM per, g
+    """,
+)
+def dq4_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/completeness audit per event source: last-seen, integer
+    lag-hours vs the newest event anywhere, active days, events per
+    active day, stale flag. See ``transforms.source_freshness`` (one
+    keyed agg + broadcast 1-row global max)."""
+    from martech_pipelines_spark.operators.transforms import source_freshness
+
+    ev = load_table(spark, sf_dir, "events")
+    return source_freshness(ev)

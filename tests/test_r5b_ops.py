@@ -321,3 +321,54 @@ def test_s10b_plan_is_shuffle_self_join_no_broadcast_corpus(spark):
     plan = plan_of(QUERIES["s10b_knn_graph_lsh"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- h11 / dq4 / compaction --------------------------------------------------
+
+
+def test_merge_token_counts_order_invariant(spark, sf_dir):
+    """Counts are distributive: any batch split / merge order must yield
+    the identical table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.token, r.cnt) for r in TX.word_count_table(docs).collect()
+    }
+    a, b, c = (docs.where(F.col("doc_id") % 3 == i) for i in range(3))
+    fwd = TX.merge_token_counts(TX.merge_token_counts(TX.word_count_table(a), b), c)
+    rev = TX.merge_token_counts(TX.merge_token_counts(TX.word_count_table(c), b), a)
+    assert {(r.token, r.cnt) for r in fwd.collect()} == full
+    assert {(r.token, r.cnt) for r in rev.collect()} == full
+
+
+def test_compact_small_files_reduces_files_and_preserves_data(spark, tmp_path):
+    from martech_pipelines_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "ds")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    before = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert before["files_before"] == 64
+    assert before["skipped"] is False
+    assert before["files_after"] == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    # idempotent: second run is a no-op
+    again = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert again["skipped"] is True
+
+
+def test_compact_small_files_crash_recovery(spark, tmp_path):
+    """A crash between the two renames (live moved to .old, .next not
+    yet moved in) must be recovered: the next call restores .old as live
+    before compacting."""
+    import os
+
+    from martech_pipelines_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "ds")
+    spark.range(1_000).repartition(8).write.parquet(path)
+    os.rename(path, path + ".old")  # simulate mid-swap crash
+    stats = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert stats["files_before"] == 8
+    assert spark.read.parquet(path).count() == 1_000
