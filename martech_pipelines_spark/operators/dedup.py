@@ -976,3 +976,96 @@ def keep_best_per_cluster(
             quality_col,
         )
     )
+
+
+# =============================================================================
+# Bloom-filter membership pre-filter (dd13). The pattern behind Spark's
+# own runtime bloom pruning (pinned as a plan demo in test_r5b_ops),
+# re-built here as an EXPLICIT, deterministic operator so the filter
+# itself is a first-class, oracle-checkable artifact: k=3 md5-derived
+# bit positions in an m=4096-bit space, represented as the distinct
+# position table (<= m rows — the broadcastable "bitmap"). Probing is a
+# map-side broadcast join; the expensive exact-verify join runs ONLY on
+# the bloom-positive candidates. One-sided error (no false negatives)
+# and the classic (1-e^{-kn/m})^k false-positive behavior are pinned in
+# pytest; the full corpus query dd13 value-checks every count against
+# DuckDB recomputing the identical positions.
+# =============================================================================
+
+
+def _bloom_positions(col: Column, k: int = 3, m: int = 4096) -> Column:
+    """Array of k bit positions for a key: _md5_bucket32(key, 'bloom{i}') % m."""
+    return F.array(
+        *[(_md5_bucket32(col, f"bloom{i}") % F.lit(m)).cast("int") for i in range(k)]
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, k: int = 3, m: int = 4096
+) -> DataFrame:
+    """Build the filter from a key column: the DISTINCT set bit positions
+    (one int column ``pos``). At most m rows regardless of input size —
+    map-side partial distinct keeps the shuffle bounded by m per task."""
+    return (
+        keys.select(F.explode(_bloom_positions(F.col(key_col), k, m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bloom: DataFrame, key_col: str, k: int = 3, m: int = 4096
+) -> DataFrame:
+    """Add ``bloom_hit`` to each probe row: true iff ALL k of the key's
+    positions are set. The position table collapses to ONE row holding
+    the sorted position array (<= m ints — the literal bitmap, a few KB)
+    which broadcast-cross-joins onto the probe side; the membership test
+    is then a pure map-side ``forall(array_contains)`` — the probe
+    corpus is never shuffled or exploded at all."""
+    bits = bloom.agg(F.sort_array(F.collect_set("pos")).alias("__bits"))
+    probed = probes.crossJoin(F.broadcast(bits))
+    hit = F.forall(
+        _bloom_positions(F.col(key_col), k, m),
+        lambda p: F.array_contains(F.col("__bits"), p),
+    )
+    return probed.withColumn("bloom_hit", hit).drop("__bits")
+
+
+def bloom_prefilter_audit(
+    build_docs: DataFrame,
+    probe_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """End-to-end cross-corpus membership audit: build a bloom over the
+    build side's normalized-text fingerprints, probe the other corpus,
+    exact-verify ONLY bloom-positive docs (semi-join on the fingerprint),
+    and report the confusion counts per probe source:
+
+      (source, n_probe, n_bloom_hits, n_true_dups, n_false_positives)
+
+    The exact-verify join's left side is pre-shrunk by the bloom — at
+    100 TB this is the difference between shuffling the whole probe
+    corpus into the join and shuffling only the candidate sliver.
+    No false negatives by construction (pinned in pytest), so
+    n_true_dups is exact."""
+    build_fps = build_docs.select(fingerprint(F.col(text_col)).alias("fp"))
+    bloom = bloom_build(build_fps, "fp", k=k, m=m)
+    probed = bloom_probe(
+        probe_docs.withColumn("fp", fingerprint(F.col(text_col))), bloom, "fp", k=k, m=m
+    )
+    candidates = probed.where(F.col("bloom_hit"))
+    verified = candidates.join(
+        build_fps.distinct(), "fp", "left_semi"
+    ).select(F.col("doc_id").alias("__vid"))
+    flagged = probed.join(
+        verified, probed["doc_id"] == verified["__vid"], "left"
+    ).withColumn("true_dup", F.col("__vid").isNotNull())
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_bloom_hits"),
+        F.sum(F.when(F.col("true_dup"), 1).otherwise(0)).alias("n_true_dups"),
+        F.sum(
+            F.when(F.col("bloom_hit") & ~F.col("true_dup"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+    )

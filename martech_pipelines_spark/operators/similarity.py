@@ -1446,3 +1446,88 @@ def knn_graph_lsh(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+# =============================================================================
+# Maximum inner-product search (MIPS). Recommendation / retrieval scoring
+# ranks by RAW dot product (unnormalized user·item affinity), which is
+# NOT a metric — cosine LSH/IVF machinery does not apply directly. The
+# public reduction (Bachrach et al. RecSys 2014; Shrivastava & Li NIPS
+# 2014 "ALSH") appends one coordinate sqrt(M^2 - |x|^2) to every corpus
+# vector (M = max corpus norm) and 0 to every query, after which
+# COSINE order against the augmented corpus equals dot-product order —
+# so every cosine ANN structure in this module (s2 LSH, s2b/s2c IVF)
+# becomes a MIPS index for free. mips_topk is the exact baseline
+# (full oracle, s11); the augmentation equivalence is pinned in pytest.
+# =============================================================================
+
+
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k by inner product: broadcast(queries) x corpus ->
+    per-query window on (rounded dot desc, corpus id asc). Same plan
+    shape as brute_force_topk — the corpus is never shuffled, only the
+    scored candidate rows move — but the score is the raw dot product
+    (no norms at all, so the projection is one fused fold per pair).
+
+    Output: (query_id, vec_id, dot_score, rnk), rnk 1..k."""
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        _as_double(F.col(corpus_vec)).alias("__cv"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        F.round(dot(F.col("__qv"), F.col("__cv")), round_dp).alias("dot_score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("dot_score"), F.col(corpus_id).asc()
+    )
+    return (
+        scored.where(F.col("dot_score").isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def augment_for_mips(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The MIPS->cosine reduction: corpus rows get the extra coordinate
+    sqrt(M^2 - |x|^2) (M = max corpus L2 norm, computed as a 1-row
+    broadcast scalar — no collect), queries get 0. Against the augmented
+    vectors, cosine ranking == dot-product ranking, because the
+    augmented corpus norms are all exactly M and the query norm is a
+    per-query constant — neither affects within-query order. Pinned
+    against mips_topk in pytest; feed the outputs to ANY cosine ANN
+    operator in this module to get approximate MIPS."""
+    c = corpus.withColumn("__n2", F.aggregate(
+        _as_double(F.col(corpus_vec)), F.lit(0.0), lambda a, v: a + v * v
+    ))
+    mx = c.agg(F.max("__n2").alias("__m2"))
+    c_aug = c.join(F.broadcast(mx)).withColumn(
+        corpus_vec,
+        F.concat(
+            _as_double(F.col(corpus_vec)),
+            F.array(F.sqrt(F.col("__m2") - F.col("__n2"))),
+        ),
+    ).drop("__n2", "__m2")
+    q_aug = queries.withColumn(
+        query_vec, F.concat(_as_double(F.col(query_vec)), F.array(F.lit(0.0)))
+    )
+    return c_aug, q_aug

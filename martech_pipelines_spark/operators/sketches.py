@@ -52,3 +52,166 @@ def estimate_distinct(sketches: DataFrame, out_col: str = "approx_distinct") -> 
     return sketches.withColumn(
         out_col, F.hll_sketch_estimate("sketch").cast("long")
     ).drop("sketch")
+
+
+# =============================================================================
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# state. Unlike HLL above, the md5-derived cell hashes make the WHOLE
+# sketch deterministic and SQL-portable, so the corpus query (t30)
+# carries a FULL value oracle even though the estimates are approximate.
+#
+# 100-TB posture: the explode fans each token occurrence into `depth`
+# cell keys, but partial aggregation collapses every map task's output
+# to at most depth*width rows BEFORE the shuffle — the exchange is
+# bounded by the sketch size (e.g. 4x64 = 256 cells), not the corpus.
+# The materialized sketch is tiny and broadcast to estimate lookups.
+# Merging two sketches = cell-wise sum (one keyed agg over 2*depth*width
+# rows) — the IVM state for streaming frequency monitoring.
+# =============================================================================
+
+from pyspark.sql import Column  # noqa: E402  (module-tail import, stdlib-free)
+
+from martech_pipelines_spark.operators.text import md5_bucket32  # noqa: E402
+
+
+def _cms_cell(col: Column, r: int, width: int) -> Column:
+    """Row-r cell index of a token: md5_bucket32(token, 'cms{r}') % width.
+
+    Salt string 'cms{r}' makes the depth rows pairwise-independent-ish
+    hash functions derived from the engine's one portable primitive."""
+    return (md5_bucket32(col, f"cms{r}") % F.lit(width)).cast("int")
+
+
+def countmin_sketch(
+    tokens: DataFrame, col: str = "token", depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build a Count-Min sketch over a token-occurrence table.
+
+    Returns (r, c, cnt): depth*width cells (cells nobody hashed to are
+    absent — readers treat missing as 0). One explode + one keyed agg;
+    the shuffle carries at most depth*width rows per map task thanks to
+    partial aggregation."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), _cms_cell(F.col(col), r, width).alias("c")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches — the mergeable-state property
+    (sketch(A) + sketch(B) == sketch(A ∪ B), pinned exactly in pytest)."""
+    return a.unionByName(b).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate each probe token's frequency: min over the depth
+    rows of its cell counts (missing cell = 0). The sketch is broadcast
+    (<= depth*width rows); probes are never shuffled — estimation is a
+    map-side broadcast join + one per-row min."""
+    probe_cells = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_cell(F.col(col), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(col, F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    joined = probe_cells.join(F.broadcast(sketch), ["r", "c"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy(col).agg(F.min("cnt").cast("long").alias("cms_est"))
+
+
+# =============================================================================
+# Mergeable equi-width histogram: the percentile analogue of the above.
+# Exact percentiles are holistic (not mergeable); a FIXED-bin histogram
+# is a tiny additive state that supports rank queries with bin-width
+# resolution. Bin edges are spec constants (not data-derived), so
+# per-batch histograms merge by plain cell-wise sum and the whole
+# pipeline — including the percentile read — is integer-exact and fully
+# oracle-checkable (h12).
+# =============================================================================
+
+
+def histogram_sketch(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-edge equi-width histogram: (bin, cnt). Values below lo
+    clamp to bin 0; >= hi clamp to the last bin. One keyed agg whose
+    shuffle is bounded by nbins per map task (map-side combine)."""
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    return df.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — additive state, same contract as countmin_merge."""
+    return a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_percentile_bins(
+    hist: DataFrame, percentiles: list[float], lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Rank-query read side: for each requested percentile p, the first
+    bin whose cumulative count reaches ceil(p * total). All-integer
+    arithmetic (bin ids, counts, integer bin edges) — no float
+    interpolation, so both engines agree bit-for-bit.
+
+    Output: (pct, bin, bin_lo, bin_hi, cum_cnt, total_cnt); bin_lo/hi
+    are the bin's value range — the estimator's resolution statement.
+    The window runs over <= nbins rows (a single tiny partition by
+    construction), so the global sort is on sketch-sized data."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum_cnt", F.sum("cnt").over(w))
+        .withColumn("total_cnt", F.sum("cnt").over(Window.partitionBy()))
+    )
+    pcts = hist.sparkSession.createDataFrame(
+        [(float(p),) for p in percentiles], "pct double"
+    )
+    need = F.ceil(F.col("pct") * F.col("total_cnt")).cast("long")
+    hit = (
+        F.broadcast(pcts)
+        .crossJoin(cum)
+        .where(F.col("cum_cnt") >= need)
+        .groupBy("pct")
+        .agg(
+            F.min_by(F.struct("bin", "cum_cnt", "total_cnt"), "bin").alias("s")
+        )
+        .select("pct", "s.bin", "s.cum_cnt", "s.total_cnt")
+    )
+    return hit.select(
+        "pct",
+        F.col("bin").cast("long").alias("bin"),
+        (F.lit(lo) + F.col("bin") * F.lit(width)).cast("long").alias("bin_lo"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).cast("long").alias("bin_hi"),
+        F.col("cum_cnt").cast("long").alias("cum_cnt"),
+        F.col("total_cnt").cast("long").alias("total_cnt"),
+    )

@@ -9,6 +9,7 @@ from martech_pipelines_spark.plans import corpus_r4  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_tpch3  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5b  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5c  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -23,8 +24,16 @@ from martech_pipelines_spark.plans import corpus_r5b  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5b additions (newest, least-verified — registered in
-    # corpus_r5b; lead the window) ---
+    # --- round-5c additions (newest, least-verified — registered in
+    # corpus_r5c; lead the window) ---
+    "t30_countmin",
+    "h12_incremental_histogram",
+    "mart9_transition_matrix",
+    "r21_order_streaks",
+    "s11_mips_topk",
+    "dd13_bloom_prefilter",
+    "w5_click_purchase_join",
+    # --- round-5b additions (registered in corpus_r5b) ---
     "mart8_time_decay_attribution",
     "dq3_referential_integrity",
     "t28_stratified_sample",

@@ -78,8 +78,18 @@ def _is_nanos(path: str, col: str) -> bool:
     if key in _NANOS_CACHE:
         return _NANOS_CACHE[key]
     try:
-        typ = pq.read_schema(probe).field(col).type
+        pf = pq.ParquetFile(probe)
+        typ = pf.schema_arrow.field(col).type
         result = getattr(typ, "unit", None) == "ns"
+        if result:
+            # Spark's own legacy INT96 timestamps ALSO surface as
+            # timestamp[ns] through arrow, but Spark reads INT96
+            # natively — forcing the nanos-as-long path on them fails
+            # with PARQUET_COLUMN_DATA_TYPE_MISMATCH. Only true
+            # INT64/TIMESTAMP(NANOS) columns take the long route.
+            idx = pf.schema_arrow.get_field_index(col)
+            if pf.schema.column(idx).physical_type == "INT96":
+                result = False
     except (OSError, KeyError):
         result = False
     _NANOS_CACHE[key] = result

@@ -610,3 +610,51 @@ def read_upsert_snapshot(
         )
         df = df.where(~is_tombstone)
     return df
+
+
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner interval join, lookback direction: each
+    purchase joins the same user's clicks from the preceding
+    ``window_minutes`` (strictly before the purchase). Complements
+    ``streaming_purchase_after_signup`` (forward window, pytest-only):
+    this one is the attribution-feeding shape and carries a FULL
+    value-checked batch twin. Both sides carry a watermark plus
+    the time-range predicate, so the state store evicts click state once
+    the purchase-side watermark passes click_ts + window — bounded state
+    on an unbounded stream (without BOTH conditions Spark must buffer a
+    side forever and rejects/leaks state).
+
+    Batch twin with the full oracle: ``w5_click_purchase_join`` in
+    plans/corpus_r5c.py — bit-for-bit equality pinned in pytest.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    bound = F.expr(f"click_ts >= purchase_ts - INTERVAL {window_minutes} MINUTES")
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & bound,
+        "inner",
+    )
+    return joined.select(
+        "user_id", "purchase_id", "click_id", "purchase_ts", "click_ts", "value"
+    )
