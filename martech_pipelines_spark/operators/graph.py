@@ -1,0 +1,111 @@
+"""Distributed graph analytics over relational edge lists.
+
+Connected components already live in ``operators/dedup.py`` (dup_clusters,
+large/small-star).  This module adds the other classic iterative graph
+primitive an analytics engine needs: fixed-iteration PageRank over an
+edge list, expressed as K rounds of (join edges -> keyed aggregate) —
+each round one hash exchange on the node key, AQE-friendly, no driver-side
+state beyond the loop counter.  (SURVEY.md §2.J extension surface; the
+co-purchase graph is the martech "customers who bought X also bought Y"
+signal the reference's event pipelines feed downstream.)
+
+Scale posture: edges are persisted and pre-partitioned by ``src`` once, so
+every iteration's ranks-to-edges join reuses one side's partitioning; the
+per-iteration shuffle moves only (node, contribution) pairs.  With a fixed
+iteration count there is no unbounded lineage; callers doing 10+ rounds
+should localCheckpoint the rank table every few iterations (same guidance
+as dup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed co-purchase edges: (p1 -> p2) whenever parts p1 != p2 ship
+    in the same order.  Both directions are emitted; duplicates from
+    multi-line orders collapse with DISTINCT.
+
+    One self-equi-join on the order key (keyed shuffle — never a
+    cartesian) followed by a distinct.  Line-count skew per order is
+    bounded (orders have few lines), so the self-join fan-out is small
+    and constant per order.
+    """
+    a = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst).
+
+    The node set is every id appearing as src or dst.  Nodes with no
+    outgoing edges (dangling) contribute their mass uniformly — on a
+    symmetric edge list (like co-purchase) there are none, and the
+    uniform term folds into the teleport constant only when present.
+
+    Returns (node, rank).  Ranks sum to 1 (up to float round-off) every
+    iteration.  Deterministic up to floating-point summation order —
+    callers comparing across engines should round.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one tiny job; the only driver-side scalar
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Pre-attach outdegree so the per-iteration join is single
+    edges_w = edges.join(out_deg, "src").persist()
+    edges_w.count()  # materialize once; reused every iteration
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # Dangling mass: rank held by nodes with no outgoing edges is
+        # redistributed uniformly.  Computed as 1 - sum(rank of nodes
+        # WITH outdegree); on symmetric graphs this is exactly 0.
+        linked_mass = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_semi")
+            .agg(F.sum("rank").alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(linked_mass))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("m")) / n
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

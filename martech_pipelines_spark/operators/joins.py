@@ -1,0 +1,162 @@
+"""Temporal join operators Spark's join syntax lacks as primitives.
+
+Two classic operators every event-analytics engine grows sooner or later,
+built here as shuffle-disciplined compositions of DataFrame ops (SURVEY.md
+§2.J extension surface — the reference's event pipelines join change logs
+to profiles by recency, e.g. martech_pipelines/tasks/user_profile/
+clevertap.py:30-53 keeps the latest row per key; ``asof_join`` is the
+two-table generalisation of that same latest-before semantics):
+
+- ``asof_join`` — for each left row, the single most recent right row with
+  ``right.ts <= left.ts`` on the same key (optionally within a tolerance).
+  Implemented JOIN-FREE: union both sides, one carry-forward window per
+  key, keep left rows.  One keyed shuffle, no per-key fan-out join — the
+  skew-proof formulation (a user with 1M right rows never materialises
+  1M x matches candidate pairs, unlike the naive join+rank form).
+- ``range_join`` — events matched into [start, end) intervals.  Spark has
+  no interval-join primitive; the naive formulation is a cartesian with an
+  inequality filter.  We bucket time at a caller-chosen granularity:
+  intervals explode to the buckets they overlap (``F.sequence``), events
+  key to their single containing bucket, and the match becomes an
+  EQUI-join on (bucket [, keys...]) followed by the exact range predicate.
+  Each event falls in exactly one bucket and each interval lists a bucket
+  once, so no post-join dedup is needed.  At 100 TB the bucket width is
+  the knob: ~p99 interval length keeps the per-interval explode factor
+  small while the equi-join shuffles on a high-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    *,
+    tolerance: Column | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right_ts <= left_ts``.
+
+    Returns every left row (left outer semantics) plus, for each, the
+    payload columns of the single most recent matching right row — or
+    NULLs when no right row precedes it (or the match is older than
+    ``tolerance``, an interval Column like ``F.expr("INTERVAL 72 HOURS")``).
+
+    Ties are broken deterministically: a right row at exactly ``left_ts``
+    matches (inclusive), and among right rows sharing a timestamp the one
+    ordered last by ``right_payload[0]`` wins — callers should pass a
+    unique id first.
+
+    Plan shape: ONE Exchange (hashpartitioning on ``on``) feeding a single
+    carry-forward window; zero join nodes.  Matches DuckDB's
+    ``ASOF JOIN`` semantics (the oracle spells the same union+window form
+    in ANSI SQL so any engine can replay it).
+    """
+    # Align schemas for the union: key cols + ts + right payload struct +
+    # all left columns (null on right-side rows).
+    lcols = left.columns
+    r_side = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("__match_ts"),
+            *[F.col(c) for c in right_payload],
+        ).alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in on],
+    )
+    l_side = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_side.schema["__r"].dataType).alias("__r"),
+        *[F.col(c) for c in lcols if c not in on],
+    )
+    # Right rows sort BEFORE left rows at an equal timestamp -> inclusive
+    # (<=) semantics; the struct itself is the final tiebreak so equal-ts
+    # right rows resolve deterministically (max payload wins via ordering).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r_side.unionByName(l_side)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    match = F.col("__m")
+    if tolerance is not None:
+        match = F.when(
+            F.col("__m.__match_ts") >= F.col("__ts") - tolerance, F.col("__m")
+        )
+    out = carried.select(
+        *[F.col(c) for c in on],
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols if c not in on and c != left_ts],
+        match.getField("__match_ts").alias(right_ts + suffix),
+        *[match.getField(c).alias(c + suffix) for c in right_payload],
+    )
+    return out
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_ts: str,
+    start: str,
+    end: str,
+    *,
+    bucket_seconds: int = 86400,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Match events into half-open [start, end) intervals without a
+    cartesian product.
+
+    ``bucket_seconds`` is the time-bucket width.  Intervals explode to
+    every bucket they overlap; events compute their single containing
+    bucket; the match becomes an equi-join on bucket (+ ``keys``) with
+    the exact ``start <= ts < end`` predicate applied after.  The result
+    carries all interval columns plus all event columns.
+
+    No dedup pass: an event lives in exactly one bucket, and
+    ``F.sequence`` lists each overlapped bucket once per interval, so a
+    (interval, event) pair can match at most once.
+    """
+    keys = keys or []
+    step = int(bucket_seconds)
+    ev = events.withColumn(
+        "__bucket",
+        F.floor(F.unix_timestamp(F.col(event_ts)) / step).cast("long"),
+    )
+    # Buckets the interval [start, end) overlaps: floor(start) .. floor(end-1s)
+    # — the half-open end does not reach into a bucket it only touches at
+    # its exact boundary.
+    first_b = F.floor(F.unix_timestamp(F.col(start)) / step).cast("long")
+    last_b = F.floor((F.unix_timestamp(F.col(end)) - 1) / step).cast("long")
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(first_b, last_b))
+    )
+    cond = [ev["__bucket"] == iv["__bucket"]] + [
+        ev[k] == iv[k] for k in keys
+    ]
+    joined = (
+        iv.join(ev, cond, "inner")
+        .filter(
+            (F.col(event_ts) >= F.col(start)) & (F.col(event_ts) < F.col(end))
+        )
+        .drop("__bucket")
+    )
+    if keys:
+        # drop the duplicated key columns from the event side
+        for k in keys:
+            joined = joined.drop(ev[k])
+    return joined

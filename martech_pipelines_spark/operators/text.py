@@ -1451,7 +1451,10 @@ def hashed_weight(tok: Column, salt: str = "qc") -> Column:
 
 
 def hashed_linear_score(
-    docs: DataFrame, text_col: str = "text", salt: str = "qc"
+    docs: DataFrame,
+    text_col: str = "text",
+    salt: str = "qc",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """fastText-style hashed bag-of-words linear scoring, fully columnar.
 
@@ -1478,6 +1481,7 @@ def hashed_linear_score(
         F.size(toks).cast("long").alias("n_tokens"),
         score.alias("score_milli"),
         (score > 0).alias("label"),
+        *extra_cols,
     )
 
 

@@ -10,6 +10,7 @@ from martech_pipelines_spark.plans import corpus_tpch3  # noqa: F401  (registers
 from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5c  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5d  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -24,8 +25,18 @@ from martech_pipelines_spark.plans import corpus_r5c  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5c additions (newest, least-verified — registered in
-    # corpus_r5c; lead the window) ---
+    # --- round-5d additions (newest, least-verified — registered in
+    # corpus_r5d; lead the window) ---
+    "r22_asof_join",
+    "r23_campaign_range_join",
+    "r24_cube",
+    "r25_pivot",
+    "r26_group_linreg",
+    "t31_classifier_auc",
+    "s12_covariance",
+    "s12b_covariance_arrow",
+    "g1_pagerank_copurchase",
+    # --- round-5c additions (registered in corpus_r5c) ---
     "t30_countmin",
     "h12_incremental_histogram",
     "mart9_transition_matrix",
