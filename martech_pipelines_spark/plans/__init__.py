@@ -11,6 +11,7 @@ from martech_pipelines_spark.plans import corpus_r5  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5d  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5e  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -25,8 +26,13 @@ from martech_pipelines_spark.plans import corpus_r5d  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5d additions (newest, least-verified — registered in
-    # corpus_r5d; lead the window) ---
+    # --- round-5e additions (newest, least-verified — registered in
+    # corpus_r5e; lead the window) ---
+    "fe1_pit_features",
+    "s14_negative_sampling",
+    "r27_unpivot",
+    "mart10_basket_affinity",
+    # --- round-5d additions (registered in corpus_r5d) ---
     "r22_asof_join",
     "r23_campaign_range_join",
     "r24_cube",

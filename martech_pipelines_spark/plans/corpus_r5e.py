@@ -1,0 +1,388 @@
+"""Round-5e corpus additions (fifth wave of round 5).
+
+Training-data and martech operators, each with a full DuckDB oracle:
+
+- ``fe1_pit_features`` — leakage-safe point-in-time feature extraction:
+  per purchase, trailing-window behavioural features computed ONLY from
+  strictly earlier events, all from one keyed window pass (the feature-
+  store backfill primitive; mart6's PIT join is the dimension-lookup
+  cousin, this is the aggregate-feature form).
+- ``s14_negative_sampling`` — deterministic O(users·k) negative sampling
+  for recommender/contrastive training: hash-addressed part candidates,
+  anti-joined against actual purchases (never a users×parts cross
+  product).
+- ``r27_unpivot`` — wide-to-long melt via the ``unpivot`` API, the
+  inverse of r25's pivot.
+- ``mart10_basket_affinity`` — market-basket association rules
+  (support / confidence / lift) over same-order part pairs; the
+  co-occurrence COUNT surface next to g1's centrality.
+
+Registers into the shared QUERIES/ORACLE dicts at import time; names are
+prepended to plans/__init__._WINDOW_PRIORITY so the driver's 50-slot
+correctness window verifies the newest work first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators.text import md5_bucket32
+from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES, q  # noqa: F401
+from martech_pipelines_spark.sources import load_table
+
+
+# =============================================================================
+# fe1: leakage-safe point-in-time training features.
+# Reference scope: §2.J north-star — the training-set backfill every
+# churn/propensity model needs; the reference's profile pipelines
+# (tasks/user_profile/*) produce the CURRENT state, this produces the
+# state AS OF each label event, with value-based (RANGE) frames so ties
+# can never leak the current row into its own features.
+# =============================================================================
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+_FE1_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100) AS BIGINT) END AS p_paise,
+               CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END AS p_us
+        FROM events
+    ), feat AS (
+        SELECT user_id, event_id, event_type, ts, us,
+               CAST(coalesce(sum(is_view) OVER w7, 0) AS BIGINT)
+                   AS n_views_7d,
+               count(p_us) OVER wp AS n_purchases_before,
+               CAST(coalesce(sum(p_paise) OVER wp, 0) AS BIGINT)
+                   AS spend_before_paise,
+               max(p_us) OVER wp AS prev_p_us
+        FROM base
+        WINDOW
+            w7 AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {_WEEK_US} PRECEDING AND 1 PRECEDING),
+            wp AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           n_views_7d, n_purchases_before, spend_before_paise,
+           (us - prev_p_us) // 1000000 AS secs_since_prev_purchase
+    FROM feat WHERE event_type = 'purchase'
+"""
+
+
+@q("fe1_pit_features", _FE1_ORACLE)
+def fe1_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase (= label event), four behavioural features over
+    STRICTLY earlier events only: views in the trailing 7 days, lifetime
+    purchase count, lifetime spend (integer paise), seconds since the
+    previous purchase.  All four come from ONE hash exchange on user_id:
+    two RANGE frames over the same (user_id, event-time) sort.  RANGE
+    (value-based) frames make the strict-past boundary deterministic even
+    under timestamp ties — a ROWS frame would leak same-timestamp rows
+    depending on sort order, the classic train-time leakage bug.  The
+    conditional columns (is_view / p_paise) turn "aggregate a different
+    event subset per feature" into plain sums, so no per-feature joins."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "view").cast("long").alias("is_view"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("long"),
+        ).alias("p_paise"),
+        F.when(
+            F.col("event_type") == "purchase", F.unix_micros("ts")
+        ).alias("p_us"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_WEEK_US, -1)
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    feat = base.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "us",
+        F.coalesce(F.sum("is_view").over(w7), F.lit(0)).alias("n_views_7d"),
+        F.count("p_us").over(wp).alias("n_purchases_before"),
+        F.coalesce(F.sum("p_paise").over(wp), F.lit(0)).alias(
+            "spend_before_paise"
+        ),
+        F.max("p_us").over(wp).alias("prev_p_us"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "n_views_7d",
+        "n_purchases_before",
+        "spend_before_paise",
+        F.expr("(us - prev_p_us) div 1000000").alias(
+            "secs_since_prev_purchase"
+        ),
+    )
+
+
+# =============================================================================
+# s14: deterministic negative sampling (recommender / contrastive
+# training pairs).  Reference scope: §2.J north-star — the complement of
+# s9's hard-negative mining: s9 mines negatives by similarity, this
+# samples them uniformly-at-hash from the catalog, the way large-scale
+# retrieval trainers build their negatives.
+# =============================================================================
+
+_S14_SLOTS, _S14_K = 15, 5
+
+_S14_ORACLE = f"""
+    WITH users AS (SELECT DISTINCT o_custkey AS u FROM orders),
+    np AS (SELECT count(*) AS n FROM part),
+    pidx AS (
+        SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+        FROM part
+    ),
+    slots AS (SELECT unnest(range({_S14_SLOTS})) AS slot),
+    cand AS (
+        SELECT u, slot,
+               ('0x' || substr(md5('ns:' || u || ':' || slot), 1, 8))::BIGINT
+                   % np.n AS idx
+        FROM users CROSS JOIN slots, np
+    ),
+    purchased AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    withpart AS (
+        SELECT c.u, c.slot, p.p_partkey
+        FROM cand c JOIN pidx p ON c.idx = p.idx
+    ),
+    neg AS (
+        SELECT u, p_partkey, min(slot) AS first_slot
+        FROM withpart w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM purchased pu
+            WHERE pu.u = w.u AND pu.p = w.p_partkey
+        )
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT u, p_partkey, first_slot,
+               row_number() OVER (
+                   PARTITION BY u ORDER BY first_slot, p_partkey
+               ) AS rk
+        FROM neg
+    )
+    SELECT u AS custkey, p_partkey AS neg_partkey,
+           CAST(first_slot AS BIGINT) AS first_slot, rk
+    FROM ranked WHERE rk <= {_S14_K}
+"""
+
+
+@q("s14_negative_sampling", _S14_ORACLE)
+def s14_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to 5 deterministic negative parts per customer: 15 hash-
+    addressed candidate slots per user (md5(user:slot) mod |parts|),
+    mapped to parts through a dense index, anti-joined against the
+    user's actual purchases, deduped keep-earliest-slot, top-5 by slot.
+
+    The cost model is the point: O(|users| · slots) candidates — NEVER
+    the |users| × |parts| cross product a naive "parts not purchased"
+    formulation scans.  The part index is a dim-table window (sorted
+    once, broadcast to the candidate join); the anti-join and the per-
+    user top-k are the only big-data shuffles, both keyed on user.
+    Everything is hash-derived, so the sample is reproducible across
+    engines, partitionings, and reruns — the oracle replays it exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    users = orders.select(F.col("o_custkey").alias("u")).distinct()
+    n_parts = part.count()  # dim-table scalar; partition count at scale
+    pidx = part.select(
+        "p_partkey",
+        (F.row_number().over(Window.orderBy("p_partkey")) - 1).alias("idx"),
+    )
+    cand = users.select(
+        "u", F.explode(F.sequence(F.lit(0), F.lit(_S14_SLOTS - 1))).alias("slot")
+    ).select(
+        "u",
+        "slot",
+        (
+            md5_bucket32(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                ),
+                "ns",
+            )
+            % n_parts
+        ).alias("idx"),
+    )
+    withpart = cand.join(F.broadcast(pidx), "idx").select(
+        "u", "slot", "p_partkey"
+    )
+    purchased = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    neg = (
+        withpart.join(purchased, ["u", "p_partkey"], "left_anti")
+        .groupBy("u", "p_partkey")
+        .agg(F.min("slot").alias("first_slot"))
+    )
+    wrk = Window.partitionBy("u").orderBy("first_slot", "p_partkey")
+    return (
+        neg.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") <= _S14_K)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("p_partkey").alias("neg_partkey"),
+            F.col("first_slot").cast("long").alias("first_slot"),
+            "rk",
+        )
+    )
+
+
+# =============================================================================
+# r27: unpivot/melt — the inverse of r25's pivot.
+# Reference scope: §2.J fill-in — the reference's sinks consume long
+# (event-stream) layouts while exports produce wide ones; melt closes
+# the round trip.
+# =============================================================================
+
+_R27_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+_R27_ORACLE = """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+@q("r27_unpivot", _R27_ORACLE)
+def r27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt via the ``unpivot`` API: a per-user wide count
+    frame (one conditional-aggregate pass) melted back to
+    (user_id, event_type, n) rows.  unpivot is a zero-shuffle Expand —
+    the only exchange in the plan is the groupBy that built the wide
+    frame — and the oracle pins the round trip: melt(pivot(events)) ==
+    groupBy(events) exactly (zero cells dropped to mirror COUNT's
+    no-row-no-group semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in _R27_TYPES
+        ]
+    )
+    return (
+        wide.unpivot("user_id", _R27_TYPES, "event_type", "n")
+        .where(F.col("n") > 0)
+    )
+
+
+# =============================================================================
+# mart10: market-basket association rules (support / confidence / lift).
+# Reference scope: §2.J north-star — the "bought X also bought Y"
+# recommendation signal a martech stack derives from the same
+# co-purchase pairs g1 ranks by centrality.
+# =============================================================================
+
+_MART10_TOPN = 50
+
+_MART10_ORACLE = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), n_orders AS (
+        SELECT count(DISTINCT k) AS n FROM li
+    ), item_cnt AS (
+        SELECT p, count(*) AS cnt FROM li GROUP BY 1
+    ), pairs AS (
+        SELECT a.p AS x, b.p AS y, count(*) AS pair_cnt
+        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT * FROM pairs
+        ORDER BY pair_cnt DESC, x, y LIMIT {_MART10_TOPN}
+    )
+    SELECT x, y, pair_cnt,
+           round(CAST(pair_cnt AS DOUBLE) / n.n, 6) AS support,
+           round(CAST(pair_cnt AS DOUBLE) / cx.cnt, 6) AS conf_x_y,
+           round(CAST(pair_cnt AS DOUBLE) * n.n / (cx.cnt * cy.cnt), 6)
+               AS lift
+    FROM top
+    JOIN item_cnt cx ON top.x = cx.p
+    JOIN item_cnt cy ON top.y = cy.p, n_orders n
+"""
+
+
+@q("mart10_basket_affinity", _MART10_ORACLE)
+def mart10_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over same-order part pairs: the 50 most frequent
+    unordered pairs with support (share of orders), confidence (P(y|x))
+    and lift (observed/independent).  One keyed self-join on the order
+    key builds pair counts (bounded per-order fan-out, never a
+    cartesian); per-item counts join back BROADCAST (item dim is tiny
+    next to the pair table); the order total is a broadcast 1-row
+    scalar.  All ratios divide integer counts, so cross-engine equality
+    is exact up to the shared rounding.  Top-N is integer-ordered with a
+    full tiebreak — deterministic under any partitioning."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select(F.col("k"), F.col("p").alias("x"))
+    b = li.select(F.col("k").alias("k2"), F.col("p").alias("y"))
+    pairs = (
+        a.join(b, (a["k"] == b["k2"]) & (a["x"] < b["y"]))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    top = pairs.orderBy(
+        F.desc("pair_cnt"), F.asc("x"), F.asc("y")
+    ).limit(_MART10_TOPN)
+    item_cnt = li.groupBy("p").agg(F.count("*").alias("cnt"))
+    n_orders = li.select(F.countDistinct("k").alias("n"))
+    cx = item_cnt.select(F.col("p").alias("x"), F.col("cnt").alias("cnt_x"))
+    cy = item_cnt.select(F.col("p").alias("y"), F.col("cnt").alias("cnt_y"))
+    return (
+        top.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "x",
+            "y",
+            "pair_cnt",
+            F.round(F.col("pair_cnt").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("cnt_x"), 6
+            ).alias("conf_x_y"),
+            F.round(
+                F.col("pair_cnt").cast("double")
+                * F.col("n")
+                / (F.col("cnt_x") * F.col("cnt_y")),
+                6,
+            ).alias("lift"),
+        )
+    )
