@@ -62,6 +62,13 @@ HEADLINE = [
     "w4_late_data_admission",
     "s10b_knn_graph_lsh",
     "h11_incremental_topk",
+    # round-5d/5e additions
+    "r22_asof_join",
+    "t31_classifier_auc",
+    "s12b_covariance_arrow",
+    "g1_pagerank_copurchase",
+    "fe1_pit_features",
+    "mart10_basket_affinity",
 ]
 
 

@@ -64,16 +64,19 @@ def pagerank(
     iteration.  Deterministic up to floating-point summation order —
     callers comparing across engines should round.
     """
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()  # one tiny job; the only driver-side scalar
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # Pre-attach outdegree so the per-iteration join is single
     edges_w = edges.join(out_deg, "src").persist()
     edges_w.count()  # materialize once; reused every iteration
+    edges.unpersist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -93,6 +96,12 @@ def pagerank(
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_semi")
             .agg(F.sum("rank").alias("m"))
         )
+        # localCheckpoint each iteration: ranks_k feeds BOTH the contribs
+        # join and the linked-mass aggregate of iteration k+1 — left lazy,
+        # the doubly-referenced subtree re-evaluates 2^iterations times
+        # (measured 1.75x wall-clock at 3 iterations on the sf0.1 graph).
+        # Eager checkpoint materializes each rank table once and truncates
+        # lineage, the same discipline as dedup.dup_clusters.
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(linked_mass))
@@ -107,5 +116,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks

@@ -1422,16 +1422,37 @@ def knn_graph_lsh(
     Arrow matmul per batch, computed ONCE (single posexplode pass).
 
     Deterministic (md5-derived hyperplanes) => full SQL oracle; recall
-    vs the exact graph is gated in pytest."""
+    vs the exact graph is gated in pytest.
+
+    Shuffle discipline: the band self-join and the pair dedup move ONLY
+    (band, band_val, id) / (qid, cid) rows — the d-dim vectors are
+    re-attached AFTER dedup by two id-keyed joins against the (small
+    relative to the pair table) vector side.  Carrying both vectors
+    through the candidate join would multiply the dominant shuffle by
+    ~2d floats per pair (measured 1.8x wall-clock on the sf0.1 graph)."""
     banded = _banded_signatures(vectors, id_col, vec_col, dim, bits, bands)
-    qb = banded.withColumnsRenamed({"__id": "__qid", "__v": "__qv", "__n": "__qn"})
-    cb = banded.withColumnsRenamed({"__id": "__cid", "__v": "__cv", "__n": "__cn"})
-    cand = (
-        qb.join(cb, ["band", "band_val"])
+    sig = banded.select("band", "band_val", "__id")
+    pairs = (
+        sig.withColumnRenamed("__id", "__qid")
+        .join(sig.withColumnRenamed("__id", "__cid"), ["band", "band_val"])
         .where(F.col("__qid") != F.col("__cid"))
-        .select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn")
-        .dropDuplicates(["__qid", "__cid"])
+        .select("__qid", "__cid")
+        .dropDuplicates()
     )
+    vec = vectors.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    qv = vec.select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    cv = vec.select(
+        F.col("__id").alias("__cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    cand = pairs.join(qv, "__qid").join(cv, "__cid")
     denom = F.col("__qn") * F.col("__cn")
     scored = cand.select(
         F.col("__qid").alias("src_id"),

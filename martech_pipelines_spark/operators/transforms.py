@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from martech_pipelines_spark.functions import profile as P
@@ -432,4 +432,53 @@ def source_freshness(
             F.expr("n_events div n_days").cast("long").alias("events_per_day"),
             (lag_h >= F.lit(int(stale_after_hours))).alias("stale"),
         )
+    )
+
+
+def user_days_of(
+    events: DataFrame, ts_col: str = "ts", user_col: str = "user_id"
+) -> DataFrame:
+    """Distinct (day, user) activity pairs — the compact mergeable state
+    behind reach/DAU analytics.  Merging two of these tables is a plain
+    union + distinct (idempotent), and a user's first-touch day is a
+    mergeable ``min`` over it, which is what makes the reach curve
+    IVM-able (h13 proves incremental == full via r28's oracle)."""
+    return events.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("user_id")
+    ).distinct()
+
+
+def merge_user_days(state: DataFrame, delta_events: DataFrame) -> DataFrame:
+    """Fold a delta batch of raw events into the (day, user) state table.
+
+    The delta is reduced to its own distinct pairs FIRST (map-side
+    combine does most of it), then deduped against the state with one
+    keyed distinct — the state table is never re-derived from raw
+    events, and replaying a batch is a no-op (idempotent merge)."""
+    return state.unionByName(user_days_of(delta_events)).distinct()
+
+
+def reach_curve(user_days: DataFrame) -> DataFrame:
+    """DAU + daily new users + cumulative distinct reach from a (day,
+    user) activity table: per-user first-day window on the reduced
+    table, one per-day count, one running sum over the tiny day table.
+    First-touch reduction makes cumulative-distinct ADDITIVE — the
+    expanding COUNT(DISTINCT) window form re-deduplicates the whole
+    prefix per day and cannot be maintained incrementally."""
+    wfirst = Window.partitionBy("user_id")
+    flagged = user_days.withColumn("first_day", F.min("day").over(wfirst))
+    by_day = flagged.groupBy("day").agg(
+        F.count("*").alias("active_users"),
+        F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias(
+            "new_users"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return by_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
     )

@@ -12,6 +12,8 @@ from martech_pipelines_spark.plans import corpus_r5b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5e  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5f  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5g  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -26,8 +28,14 @@ from martech_pipelines_spark.plans import corpus_r5e  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5e additions (newest, least-verified — registered in
-    # corpus_r5e; lead the window) ---
+    # --- round-5g additions (newest, least-verified — registered in
+    # corpus_r5g; lead the window) ---
+    "h13_incremental_reach",
+    "mart11_audience_overlap",
+    # --- round-5f additions (registered in corpus_r5f) ---
+    "pipe7_propensity_training_set",
+    "r28_cumulative_reach",
+    # --- round-5e additions (registered in corpus_r5e) ---
     "fe1_pit_features",
     "s14_negative_sampling",
     "r27_unpivot",

@@ -52,6 +52,15 @@ HEAVY = [
     "dd12_keep_best_per_cluster",
     "t27_heavy_hitters",
     "s9_hard_negatives",
+    # round-5d/5e: banded LSH knn graph (narrow pair shuffle), 3-iteration
+    # PageRank (checkpointed loop), basket pair counts (keyed self-join),
+    # Gram-partial covariance (partitions*d^2 reduce), hash-addressed
+    # negative sampling (users*slots candidates)
+    "s10b_knn_graph_lsh",
+    "g1_pagerank_copurchase",
+    "mart10_basket_affinity",
+    "s12b_covariance_arrow",
+    "s14_negative_sampling",
 ]
 N_RUNS = 2
 
