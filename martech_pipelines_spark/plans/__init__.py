@@ -14,6 +14,7 @@ from martech_pipelines_spark.plans import corpus_r5d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5e  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5f  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5g  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5h  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -28,8 +29,8 @@ from martech_pipelines_spark.plans import corpus_r5g  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5g additions (newest, least-verified — registered in
-    # corpus_r5g; lead the window) ---
+    # --- round-5h/5g additions (newest, least-verified; lead the window) ---
+    "pipe8_entity_resolution",
     "h13_incremental_reach",
     "mart11_audience_overlap",
     # --- round-5f additions (registered in corpus_r5f) ---
