@@ -699,3 +699,60 @@ def cohort_matrix_from_state(
         F.countDistinct(user_col).alias("n_buyers"),
         F.round(F.sum("revenue"), 2).alias("revenue"),
     )
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    delta: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Incrementally maintain a type-2 dimension: fold a NEW change batch
+    into an existing SCD2 table without rebuilding history.
+
+    Three keyed steps, all on the same key partitioning:
+
+    1. the delta alone becomes version rows (``scd2_from_changes`` on the
+       batch — its newest row per key stays open);
+    2. each key's EARLIEST new ``valid_from`` closes that key's currently
+       open dim row (valid_to = first new ts, is_current = false) — a
+       broadcast-or-keyed join against a (key, min_ts) table reduced from
+       the delta;
+    3. untouched dim rows pass through unchanged.
+
+    APPEND-ONLY CONTRACT: every delta timestamp must be >= the key's
+    current open ``valid_from`` (the streaming/CDC reading order). Late
+    rows older than an already-closed version would need history
+    splicing — that is a rebuild (``scd2_from_changes`` on the full log),
+    not a maintenance step; h14 pins incremental == rebuild under
+    time-split batches, the contract's happy path.
+
+    Scale shape: history is NEVER rescanned beyond one join against the
+    per-key first-new-timestamp table; the delta pays one keyed
+    shuffle + lead() exactly like a fresh build of its own rows.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    delta_scd = scd2_from_changes(
+        delta, keys, ts_col, tiebreak_cols, end_of_time
+    )
+    first_new = delta.groupBy(*keys).agg(
+        F.min(F.col(ts_col)).alias("__first_new_ts")
+    )
+    closed = (
+        dim.join(first_new, keys, "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("is_current") & F.col("__first_new_ts").isNotNull(),
+                F.col("__first_new_ts"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn(
+            "is_current",
+            F.col("is_current") & F.col("__first_new_ts").isNull(),
+        )
+        .drop("__first_new_ts")
+    )
+    return closed.unionByName(delta_scd)

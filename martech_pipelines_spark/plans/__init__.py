@@ -15,6 +15,7 @@ from martech_pipelines_spark.plans import corpus_r5e  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5f  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5g  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5h  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5i  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -29,7 +30,9 @@ from martech_pipelines_spark.plans import corpus_r5h  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5h/5g additions (newest, least-verified; lead the window) ---
+    # --- round-5i/5h/5g additions (newest, least-verified; lead the window) ---
+    "h14_incremental_scd2",
+    "mart12_top_paths",
     "pipe8_entity_resolution",
     "h13_incremental_reach",
     "mart11_audience_overlap",
