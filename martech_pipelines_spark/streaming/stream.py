@@ -564,14 +564,7 @@ def apply_upsert_batch(
 
     from martech_pipelines_spark.operators.cdc import latest_per_key
 
-    old = snapshot_path + ".old"
-    nxt = snapshot_path + ".next"
-    # crash recovery: a death between rename(live->old) and
-    # rename(next->live) leaves no live dir but a complete .old —
-    # restore it as the base (the interrupted batch replays on top)
-    if not os.path.isdir(snapshot_path) and os.path.isdir(old):
-        os.rename(old, snapshot_path)
-
+    _recover_swap(snapshot_path)
     spark = batch_df.sparkSession
     cols = batch_df.columns
     if os.path.isdir(snapshot_path):
@@ -580,12 +573,38 @@ def apply_upsert_batch(
     else:
         unioned = batch_df
     folded = latest_per_key(unioned, keys, ts_col, tiebreak_cols=tiebreak_cols)
-    folded.write.mode("overwrite").parquet(nxt)
+    _swap_write(folded, snapshot_path)
+
+
+def _recover_swap(path: str) -> None:
+    """Crash recovery for the swap protocol: a death between
+    rename(live->old) and rename(next->live) leaves no live dir but a
+    complete .old — restore it as the base (the interrupted batch
+    replays on top)."""
+    import os
+
+    old = path + ".old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    """Atomically replace the parquet directory at ``path`` with ``df``:
+    write to ``.next``, rename live to ``.old``, rename ``.next`` into
+    place, drop ``.old``.  Single renames are atomic on POSIX, so with
+    ``_recover_swap`` no crash point loses the table and a reader never
+    sees a partial directory."""
+    import os
+    import shutil
+
+    old = path + ".old"
+    nxt = path + ".next"
+    df.write.mode("overwrite").parquet(nxt)
     if os.path.isdir(old):
         shutil.rmtree(old)
-    if os.path.isdir(snapshot_path):
-        os.rename(snapshot_path, old)
-    os.rename(nxt, snapshot_path)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(nxt, path)
     if os.path.isdir(old):
         shutil.rmtree(old)
 
@@ -657,4 +676,49 @@ def streaming_click_purchase_join(
     )
     return joined.select(
         "user_id", "purchase_id", "click_id", "purchase_ts", "click_ts", "value"
+    )
+
+
+def apply_reach_batch(batch_df: DataFrame, state_path: str) -> None:
+    """One fold of ``streaming_reach_maintenance``: merge the batch's
+    distinct (day, user) pairs into the parquet state table with the
+    same crash-safe swap protocol as the upsert sink.  The merge is
+    idempotent (union + distinct), so foreachBatch's at-least-once
+    replays are free."""
+    import os
+
+    from martech_pipelines_spark.operators.transforms import (
+        merge_user_days,
+        user_days_of,
+    )
+
+    _recover_swap(state_path)
+    spark = batch_df.sparkSession
+    if os.path.isdir(state_path):
+        base = spark.read.parquet(state_path)
+        folded = merge_user_days(base, batch_df)
+    else:
+        folded = user_days_of(batch_df)
+    _swap_write(folded, state_path)
+
+
+def streaming_reach_maintenance(
+    events_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain the (day, user) activity state from an
+    event stream — the streaming twin of h13: each micro-batch folds in
+    via the idempotent distinct-merge, and ``transforms.reach_curve``
+    over the state table serves the DAU/new/cumulative curve at read
+    time.  Distinct-counting keeps no per-query state here: the state
+    TABLE is the sketchless exact answer, bounded by users x days, not
+    by event volume."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_reach_batch(batch_df, state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
     )

@@ -679,3 +679,53 @@ def test_read_upsert_snapshot_null_change_type_is_live(spark, tmp_path):
     ).write.parquet(snap)
     live = read_upsert_snapshot(spark, snap, delete_types=("error",))
     assert {r["k"] for r in live.collect()} == {2, 3}
+
+
+def test_streaming_reach_maintenance_matches_batch(spark, tmp_path):
+    """Stream the event log in multiple micro-batches through the reach
+    state sink; the curve read off the maintained (day, user) state must
+    equal the batch r28 curve (and replays are free: the merge is
+    idempotent)."""
+    import shutil as _sh
+
+    from martech_pipelines_spark.operators.transforms import (
+        reach_curve,
+        user_days_of,
+    )
+    from martech_pipelines_spark.streaming.stream import (
+        apply_reach_batch,
+        stream_events_source,
+        streaming_reach_maintenance,
+    )
+
+    d = tmp_path / "reach_stream"
+    d.mkdir()
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    ev = load_table(spark, SF, "events")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"slice{i}"))
+        import glob as _g
+
+        src = _g.glob(str(tmp_path / f"slice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    state = str(tmp_path / "reach_state")
+    stream = stream_events_source(spark, str(d))
+    q = streaming_reach_maintenance(
+        stream, state, str(tmp_path / "reach_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in reach_curve(spark.read.parquet(state)).collect()}
+    want = {tuple(r) for r in reach_curve(user_days_of(ev)).collect()}
+    assert got == want
+
+    # replaying a batch is a no-op (idempotent merge)
+    apply_reach_batch(ev.where(F.col("event_id") % 3 == 0), state)
+    again = {tuple(r) for r in reach_curve(spark.read.parquet(state)).collect()}
+    assert again == want
