@@ -16,6 +16,7 @@ from martech_pipelines_spark.plans import corpus_r5f  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5g  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5h  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5i  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5j  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -30,7 +31,9 @@ from martech_pipelines_spark.plans import corpus_r5i  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5i/5h/5g additions (newest, least-verified; lead the window) ---
+    # --- round-5j/5i/5h/5g additions (newest, least-verified; lead the
+    # window) ---
+    "a9_jsonl_scan",
     "h14_incremental_scd2",
     "mart12_top_paths",
     "pipe8_entity_resolution",

@@ -202,3 +202,36 @@ def read_evolving_parquet(
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema and PERMISSIVE corrupt-row
+    capture (the wire format of the reference's REST integrations —
+    martech_pipelines/hooks/http.py request/response bodies — landed as
+    an ingestible log).
+
+    The declared ``schema`` is extended with a corrupt-record column:
+    malformed lines arrive as rows whose data fields are NULL and whose
+    ``corrupt_col`` holds the raw line, so a pipeline can split
+    good/quarantine streams in one pass instead of failing the scan
+    (FAILFAST) or silently dropping rows (DROPMALFORMED).  Explicit
+    schema also means NO inference pre-pass — at 100 TB a schema-less
+    ``spark.read.json`` scans the data twice.
+
+    Caveat: Spark refuses queries whose pruned projection is ONLY the
+    corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    — cache the parsed frame before quarantine-only counts."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
