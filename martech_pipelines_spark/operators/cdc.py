@@ -722,12 +722,17 @@ def scd2_apply_changes(
        the delta;
     3. untouched dim rows pass through unchanged.
 
-    APPEND-ONLY CONTRACT: every delta timestamp must be >= the key's
-    current open ``valid_from`` (the streaming/CDC reading order). Late
-    rows older than an already-closed version would need history
-    splicing — that is a rebuild (``scd2_from_changes`` on the full log),
-    not a maintenance step; h14 pins incremental == rebuild under
-    time-split batches, the contract's happy path.
+    APPEND-ONLY CONTRACT: every delta timestamp must be STRICTLY GREATER
+    than the key's current open ``valid_from`` (the streaming/CDC
+    reading order).  Equality is NOT enough: a delta row at exactly the
+    open row's timestamp with a smaller tiebreak would, under a full
+    rebuild's (ts, tiebreak) ordering, sort BEFORE the open row — this
+    maintenance step always closes the open row at the delta's first
+    timestamp, so the two would disagree about which row stays current.
+    Late rows at-or-before an existing version need history splicing —
+    that is a rebuild (``scd2_from_changes`` on the full log), not a
+    maintenance step; h14 pins incremental == rebuild under time-split
+    batches, the contract's happy path.
 
     Scale shape: history is NEVER rescanned beyond one join against the
     per-key first-new-timestamp table; the delta pays one keyed

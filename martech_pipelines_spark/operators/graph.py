@@ -118,4 +118,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # ranks is checkpointed (materialized, lineage-free), so the cached
+    # inputs can be released — without this every pagerank() call leaks
+    # a node set + degree-annotated edge list into executor storage for
+    # the session lifetime.
+    nodes.unpersist()
+    edges_w.unpersist()
     return ranks

@@ -132,16 +132,22 @@ def range_join(
     (interval, event) pair can match at most once.
     """
     keys = keys or []
-    step = int(bucket_seconds)
+    # All bucket arithmetic in integer MICROseconds: unix_timestamp()
+    # truncates fractional seconds, which would drop the final bucket of
+    # an interval whose end carries sub-second precision (events in
+    # [floor_sec(end), end) would silently never match).
+    step_us = int(bucket_seconds) * 1_000_000
     ev = events.withColumn(
         "__bucket",
-        F.floor(F.unix_timestamp(F.col(event_ts)) / step).cast("long"),
+        F.floor(F.unix_micros(F.col(event_ts)) / step_us).cast("long"),
     )
-    # Buckets the interval [start, end) overlaps: floor(start) .. floor(end-1s)
-    # — the half-open end does not reach into a bucket it only touches at
-    # its exact boundary.
-    first_b = F.floor(F.unix_timestamp(F.col(start)) / step).cast("long")
-    last_b = F.floor((F.unix_timestamp(F.col(end)) - 1) / step).cast("long")
+    # Buckets the interval [start, end) overlaps: floor(start) ..
+    # floor(end - 1us) — the half-open end does not reach into a bucket
+    # it only touches at its exact boundary.
+    first_b = F.floor(F.unix_micros(F.col(start)) / step_us).cast("long")
+    last_b = F.floor(
+        (F.unix_micros(F.col(end)) - 1) / step_us
+    ).cast("long")
     iv = intervals.withColumn(
         "__bucket", F.explode(F.sequence(first_b, last_b))
     )

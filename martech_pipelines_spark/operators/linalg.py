@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 
 
 def embedding_covariance(
-    df: DataFrame, vec_col: str = "embedding", round_dp: int = 5
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 5,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Exact covariance matrix cells cov(i, j) for i <= j.
 
@@ -44,11 +47,26 @@ def embedding_covariance(
     Elements are cast to double BEFORE multiplying so both engines do
     identical float->double arithmetic; output rounded for cross-engine
     hash comparison.
+
+    ``id_col`` names an existing unique row key.  Pass one whenever the
+    frame has it: the fallback ``monotonically_increasing_id`` is only
+    positionally stable, and the within-row pairing self-joins two
+    branches of the same projection — over a nondeterministically
+    ordered upstream (round-robin repartition) independently recomputed
+    ids would cross-pair values from DIFFERENT rows.  The fallback
+    persists the id projection so both join branches read one
+    materialization.
     """
+    row_key = (
+        F.col(id_col) if id_col is not None
+        else F.monotonically_increasing_id()
+    )
     with_id = df.select(
-        F.monotonically_increasing_id().alias("__rid"),
+        row_key.alias("__rid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
+    if id_col is None:
+        with_id = with_id.persist()
     exploded = with_id.select(
         "__rid", F.posexplode("__v").alias("i", "xi")
     )
@@ -138,7 +156,10 @@ def embedding_covariance_arrow(
 
 
 def pca_components(
-    df: DataFrame, vec_col: str = "embedding", k: int = 4
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+    id_col: str | None = None,
 ) -> tuple["object", "object", "object"]:
     """Driver-side eigendecomposition of the exact covariance.
 
@@ -150,7 +171,9 @@ def pca_components(
     """
     import numpy as np
 
-    cells = embedding_covariance(df, vec_col, round_dp=12).collect()
+    cells = embedding_covariance(
+        df, vec_col, round_dp=12, id_col=id_col
+    ).collect()
     d = max(r["j"] for r in cells) + 1
     cov = np.zeros((d, d))
     for r in cells:

@@ -384,7 +384,7 @@ def _s10b_oracle() -> str:
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), sig AS (
         SELECT vec_id, v, {_rp_sig_sql('v', 64, 32)} AS sig FROM base
-    ), banded AS ({_banded_sql('sig', 8, 4)}),
+    ), banded AS ({_banded_sql('sig', 4, 8)}),
     cand AS (
         SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
         FROM banded a JOIN banded b USING (band, band_val)
@@ -416,11 +416,17 @@ def s10b_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collided pairs only. Deterministic md5-derived hyperplanes make even
     this approximate form fully oracle-checkable (the oracle computes
     the identical signatures); graph recall vs exact s10 additionally
-    gated in pytest. See ``similarity.knn_graph_lsh``."""
+    gated in pytest. See ``similarity.knn_graph_lsh``.
+
+    Band geometry is THE scale knob: candidate pairs grow with
+    sum-of-squared-bucket-sizes per band, so the band value space must
+    track corpus size. 4 bands x 8 bits (256 buckets/band) holds the
+    sf1 50k-vector graph at ~6.6s where 8 x 4-bit bands (16 buckets/
+    band) took 133s — same recall gate, ~30x fewer candidate pairs."""
     from martech_pipelines_spark.operators import similarity as SIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_graph_lsh(emb, dim=64, k=3, bits=32, bands=8)
+    return SIM.knn_graph_lsh(emb, dim=64, k=3, bits=32, bands=4)
 
 
 # =============================================================================

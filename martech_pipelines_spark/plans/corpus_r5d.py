@@ -467,7 +467,9 @@ def s12_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin ``s12b_covariance_arrow`` computes the same cells from
     per-partition numpy Gram partials and shares this oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return LA.embedding_covariance(emb, "embedding", round_dp=5)
+    return LA.embedding_covariance(
+        emb, "embedding", round_dp=5, id_col="vec_id"
+    )
 
 
 @q("s12b_covariance_arrow", _S12_ORACLE)
@@ -497,7 +499,9 @@ def s13_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eigenvectors are trained state); orthonormality, explained-variance
     ordering and reconstruction-error gates live in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
-    mean, comps, _vals = LA.pca_components(emb, "embedding", k=4)
+    mean, comps, _vals = LA.pca_components(
+        emb, "embedding", k=4, id_col="vec_id"
+    )
     out = LA.pca_project(emb, mean, comps, "embedding", out_col="pca")
     return out.select(
         "vec_id",
@@ -523,7 +527,10 @@ _G1_ITER = """
         JOIN r{p} r ON e.src = r.node
         JOIN deg d ON e.src = d.src
         GROUP BY 1
-    ), m{p} AS (SELECT sum(rank) AS m FROM r{p}),
+    ), m{p} AS (
+        SELECT sum(rank) AS m
+        FROM r{p} JOIN deg ON r{p}.node = deg.src
+    ),
     r{k} AS (
         SELECT nodes.node,
                0.15 / nn.n
@@ -567,10 +574,12 @@ def g1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian); each iteration is one ranks⋈edges join + one keyed sum —
     the per-iteration shuffle carries only (node, contribution) pairs,
     and the degree-annotated edge list is persisted once and reused.
-    The oracle unrolls the identical three iterations (including the
-    dangling-mass term, identically zero on this symmetric graph), so
-    the iterative distributed loop is value-checked against closed SQL,
-    not just self-consistent."""
+    The oracle unrolls the identical three iterations, including the
+    dangling-mass term computed exactly as the implementation does (rank
+    mass held by out-degree-bearing nodes; identically zero on this
+    symmetric graph, live on graphs with sinks), so the iterative
+    distributed loop is value-checked against closed SQL, not just
+    self-consistent."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = G.copurchase_edges(li)
     ranks = G.pagerank(edges, iterations=3, damping=0.85)

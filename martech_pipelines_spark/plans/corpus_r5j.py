@@ -41,8 +41,16 @@ def write_events_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the deterministic JSON-lines log: every 10th event as
     a JSON object plus three planted corrupt lines.  Rewritten per call
     (overwrite) so the corpus query is self-contained and idempotent."""
+    import hashlib
+
+    # key the path by the FULL dataset path (two sf_dirs sharing a
+    # basename must not collide) and by pid (a concurrent session's
+    # overwrite must not delete files this session is mid-scan on)
+    tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
     out_dir = os.path.join(
-        "/tmp", "mp_spark_jsonl_" + os.path.basename(sf_dir.rstrip("/"))
+        "/tmp", f"mp_spark_jsonl_{tag}_{os.getpid()}"
     )
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
     good = ev.select(

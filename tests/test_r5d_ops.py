@@ -236,7 +236,7 @@ def test_covariance_arrow_equals_exact(spark):
     emb = load_table(spark, SF, "embeddings")
     a = {
         (r["i"], r["j"]): r["cov"]
-        for r in LA.embedding_covariance(emb, round_dp=5).collect()
+        for r in LA.embedding_covariance(emb, round_dp=5, id_col="vec_id").collect()
     }
     b = {
         (r["i"], r["j"]): r["cov"]
@@ -255,7 +255,7 @@ def test_covariance_diagonal_is_variance(spark):
     x = np.array([r["embedding"] for r in rows], dtype="float64")
     var0 = x[:, 0].var()  # population variance
     got = (
-        LA.embedding_covariance(emb, round_dp=5)
+        LA.embedding_covariance(emb, round_dp=5, id_col="vec_id")
         .where((F.col("i") == 0) & (F.col("j") == 0))
         .first()["cov"]
     )
@@ -266,7 +266,7 @@ def test_pca_gates(spark):
     import numpy as np
 
     emb = load_table(spark, SF, "embeddings")
-    mean, comps, vals = LA.pca_components(emb, k=4)
+    mean, comps, vals = LA.pca_components(emb, k=4, id_col="vec_id")
     # orthonormal rows
     gram = comps @ comps.T
     assert np.allclose(gram, np.eye(4), atol=1e-8)
@@ -287,7 +287,7 @@ def test_pca_projection_is_codegen_only(spark):
     """No Python eval nodes in the projection plan (the eigendecomposition
     is driver-side; the per-row path is pure Column expressions)."""
     emb = load_table(spark, SF, "embeddings")
-    mean, comps, _ = LA.pca_components(emb, k=2)
+    mean, comps, _ = LA.pca_components(emb, k=2, id_col="vec_id")
     plan = plan_of(LA.pca_project(emb, mean, comps))
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
