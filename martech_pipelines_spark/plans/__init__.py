@@ -17,6 +17,7 @@ from martech_pipelines_spark.plans import corpus_r5g  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5h  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5i  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5j  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5k  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -31,8 +32,10 @@ from martech_pipelines_spark.plans import corpus_r5j  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5j/5i/5h/5g additions (newest, least-verified; lead the
+    # --- round-5k..5g additions (newest, least-verified; lead the
     # window) ---
+    "mart13_rfm",
+    "h15_incremental_baskets",
     "a9_jsonl_scan",
     "h14_incremental_scd2",
     "mart12_top_paths",
