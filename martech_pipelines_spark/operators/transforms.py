@@ -482,3 +482,49 @@ def reach_curve(user_days: DataFrame) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+def erase_keys(
+    df: DataFrame, ids: DataFrame, key_col: str
+) -> DataFrame:
+    """Right-to-be-forgotten scrub: drop every row whose ``key_col`` is
+    in ``ids`` (a 1-column frame).  A LEFT ANTI join — the ids side is
+    deletion-list-sized and broadcasts, so the scrub is one scan of the
+    data with a map-side hash probe, no shuffle of the big table.  At
+    very large deletion lists, pre-filter with a Bloom membership test
+    (the dd13 pattern) before the exact anti-join."""
+    id_col = ids.columns[0]
+    return df.join(
+        F.broadcast(ids.select(F.col(id_col).alias(key_col)).distinct()),
+        key_col,
+        "left_anti",
+    )
+
+
+def erasure_audit(
+    before: DataFrame, after: DataFrame, ids: DataFrame, key_col: str, table: str
+) -> DataFrame:
+    """One-row audit record for an ``erase_keys`` run: rows before and
+    after, rows removed, and the count of erased keys still present
+    afterwards (the compliance check — MUST be zero).  All four counts
+    come from two aggregates + one broadcast semi-join aggregate."""
+    id_col = ids.columns[0]
+    leftovers = after.join(
+        F.broadcast(ids.select(F.col(id_col).alias(key_col)).distinct()),
+        key_col,
+        "left_semi",
+    )
+    b = before.agg(F.count("*").alias("rows_before"))
+    a = after.agg(F.count("*").alias("rows_after"))
+    l = leftovers.agg(F.count("*").alias("leftover_rows"))
+    return (
+        b.crossJoin(a)
+        .crossJoin(l)
+        .select(
+            F.lit(table).alias("table_name"),
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_removed"),
+            "leftover_rows",
+        )
+    )

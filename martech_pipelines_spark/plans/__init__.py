@@ -18,6 +18,7 @@ from martech_pipelines_spark.plans import corpus_r5h  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5i  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5j  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5k  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5l  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -34,6 +35,8 @@ from martech_pipelines_spark.plans import corpus_r5k  # noqa: F401  (registers)
 _WINDOW_PRIORITY = [
     # --- round-5k..5g additions (newest, least-verified; lead the
     # window) ---
+    "dq5_erasure_audit",
+    "pipe9_campaign_report",
     "mart13_rfm",
     "h15_incremental_baskets",
     "a9_jsonl_scan",
