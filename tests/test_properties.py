@@ -320,3 +320,129 @@ def test_heavy_hitters_exact_vs_counter_model(spark, words, frac):
     thr = max(1, math.ceil(frac * len(words)))
     want = {w: c for w, c in Counter(words).items() if c >= thr}
     assert got == want
+
+
+# --- round-5 temporal joins vs python models ---------------------------------
+
+
+def py_asof(left, right, tol_s=None):
+    """Model: per left (key, ts, lid) -> payload of the latest right row
+    (key, rts, rid) with rts <= ts (tie: max rid), within tolerance."""
+    out = {}
+    for key, ts, lid in left:
+        best = None
+        for k2, rts, rid in right:
+            if k2 != key or rts > ts:
+                continue
+            if tol_s is not None and rts < ts - tol_s:
+                continue
+            if best is None or (rts, rid) > best:
+                best = (rts, rid)
+        out[lid] = best[1] if best else None
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 50),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 50),
+        ),
+        max_size=12,
+    ),
+    tol=st.one_of(st.none(), st.integers(1, 30)),
+)
+def test_asof_join_matches_python_model(spark, left, right, tol):
+    import datetime as _dt
+
+    from martech_pipelines_spark.operators.joins import asof_join
+
+    base = _dt.datetime(2024, 1, 1)
+    lrows = [
+        (k, base + _dt.timedelta(seconds=ts), i)
+        for i, (k, ts) in enumerate(left)
+    ]
+    rrows = [
+        (k, base + _dt.timedelta(seconds=ts), 100 + i)
+        for i, (k, ts) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(lrows, "key long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(
+        rrows, "key long, rts timestamp, rid long"
+    ) if rrows else spark.createDataFrame([], "key long, rts timestamp, rid long")
+    out = asof_join(
+        ldf,
+        rdf,
+        on=["key"],
+        left_ts="ts",
+        right_ts="rts",
+        right_payload=["rid"],
+        tolerance=F.expr(f"INTERVAL {tol} SECONDS") if tol else None,
+    )
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+    want = py_asof(
+        [(k, int(ts.timestamp()), i) for k, ts, i in
+         [(k, t, i) for (k, t, i) in lrows]],
+        [(k, int(ts.timestamp()), i) for k, ts, i in rrows],
+        tol_s=tol if tol else None,
+    )
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(st.integers(0, 2000), min_size=1, max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(1, 500)),
+        min_size=1,
+        max_size=8,
+    ),
+    bucket=st.sampled_from([7, 60, 300]),
+)
+def test_range_join_matches_python_model(spark, events, intervals, bucket):
+    import datetime as _dt
+
+    from martech_pipelines_spark.operators.joins import range_join
+
+    base = _dt.datetime(2024, 1, 1)
+    evrows = [
+        (i, base + _dt.timedelta(seconds=s)) for i, s in enumerate(events)
+    ]
+    ivrows = [
+        (
+            j,
+            base + _dt.timedelta(seconds=s),
+            base + _dt.timedelta(seconds=s + d),
+        )
+        for j, (s, d) in enumerate(intervals)
+    ]
+    edf = spark.createDataFrame(evrows, "eid long, ts timestamp")
+    idf = spark.createDataFrame(ivrows, "iid long, s timestamp, e timestamp")
+    out = range_join(edf, idf, "ts", "s", "e", bucket_seconds=bucket)
+    got = {(r["iid"], r["eid"]) for r in out.collect()}
+    want = {
+        (j, i)
+        for j, s, e in ivrows
+        for i, ts in evrows
+        if s <= ts < e
+    }
+    assert got == want

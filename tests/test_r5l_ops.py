@@ -59,3 +59,22 @@ def test_campaign_report_internal_consistency(spark):
         assert 0 <= r["conv_rate"] <= 1
         if r["purchases"] == 0:
             assert r["revenue_paise"] == 0
+
+
+def test_exact_percentiles_match_sorted_selection(spark):
+    """r29's histogram selection == percentile-by-sorting on the raw
+    values (the definition it claims): smallest y covering ceil(q*n)."""
+    import math
+
+    ev = load_table(spark, SF, "events").where(F.col("value").isNotNull())
+    vals = {}
+    for r in ev.select("event_type", F.floor(F.col("value") * 100).cast("long").alias("y")).collect():
+        vals.setdefault(r["event_type"], []).append(r["y"])
+    got = {r["event_type"]: r for r in QUERIES["r29_exact_percentiles"](spark, SF).collect()}
+    for et, ys in vals.items():
+        ys.sort()
+        n = len(ys)
+        for q_, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            want = ys[math.ceil(q_ * n) - 1]
+            assert got[et][name] == want, (et, name)
+        assert got[et]["n"] == n
