@@ -20,6 +20,7 @@ from martech_pipelines_spark.plans import corpus_r5j  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5k  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5l  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5m  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5n  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -36,6 +37,8 @@ from martech_pipelines_spark.plans import corpus_r5m  # noqa: F401  (registers)
 _WINDOW_PRIORITY = [
     # --- round-5k..5g additions (newest, least-verified; lead the
     # window) ---
+    "r30_debounce",
+    "t36_langid_confusion",
     "r29_exact_percentiles",
     "dq5_erasure_audit",
     "pipe9_campaign_report",

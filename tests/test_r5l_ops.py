@@ -78,3 +78,53 @@ def test_exact_percentiles_match_sorted_selection(spark):
             want = ys[math.ceil(q_ * n) - 1]
             assert got[et][name] == want, (et, name)
         assert got[et]["n"] == n
+
+
+def test_debounce_burst_semantics(spark):
+    """5 clicks 20s apart: lag-debounce at 60s keeps only the first
+    (each is <60s from its predecessor); an event 61s after the last
+    kept predecessor survives."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=20 * i), 1, "click", None)
+        for i in range(5)
+    ] + [(99, base + dt.timedelta(seconds=80 + 61), 1, "click", None)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    kept = lagged.where(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 60 * 1_000_000)
+    )
+    assert sorted(r["event_id"] for r in kept.collect()) == [0, 99]
+
+
+def test_langid_confusion_cells_match_t3_recount(spark):
+    """Matrix cells == brute-force recount of t3's per-doc predictions
+    joined to declared labels.  (On this synthetic corpus the matrix
+    correctly EXPOSES that 'de' docs mostly score as 'en' — the
+    documents carry English marker words — which is exactly the signal
+    a confusion matrix exists to surface, so no diagonal assertion.)"""
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    pred = QUERIES["t3_lang_id"](spark, SF).select("doc_id", "lang_pred")
+    joined = docs.join(pred, "doc_id").collect()
+    brute = {}
+    for r in joined:
+        key = (r["lang"], r["lang_pred"])
+        brute[key] = brute.get(key, 0) + 1
+    rows = QUERIES["t36_langid_confusion"](spark, SF).collect()
+    got = {(r["actual"], r["predicted"]): r["n"] for r in rows}
+    assert got == brute
+    # shares are a distribution per actual-language row
+    by_actual = {}
+    for r in rows:
+        by_actual.setdefault(r["actual"], []).append(r["row_share"])
+    for actual, shares in by_actual.items():
+        assert abs(sum(shares) - 1.0) < 1e-4
