@@ -528,3 +528,162 @@ def erasure_audit(
             "leftover_rows",
         )
     )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-touch ordered funnel over an event stream.
+
+    Semantics (the greedy min-chain, documented so the oracle can spell
+    it identically): a user reaches step ``i`` iff they have an event of
+    ``steps[i]`` STRICTLY after the timestamp at which they reached step
+    ``i-1``; the reached timestamp is the EARLIEST such event.  With
+    unbounded step windows the greedy chain is equivalent to the
+    existential ordered match (if any ordered k-tuple exists, chaining
+    per-step minima finds one), so "reached step k" means "ever did
+    steps[0] < steps[1] < ... < steps[k] in time order".
+
+    Scale shape: ONE keyed shuffle.  Events are filtered to the step
+    types at the scan (pushed predicate), reduced to one row per user
+    carrying a time-sorted array of (unix_micros, tiebreak, type)
+    structs, and the step chain is computed by a single
+    ``F.aggregate`` fold over that array — all JVM-side higher-order
+    expressions, no window pass, no per-step self-join (the k-join
+    min-chain form shuffles the events table k times; this shuffles it
+    once).  The final count-reduction is a 1-row aggregate.
+
+    Returns one row per step: ``step_idx``, ``step``, ``users`` (users
+    reaching the step), ``conv_from_prev``, ``conv_from_first``
+    (both NULL-safe rounded ratios; step 0's conv_from_prev is 1.0).
+
+    Per-user state is one long per step, so memory is O(k); the sorted
+    per-user array is bounded by that user's step-type event count —
+    debounce (r30) upstream if click storms make single users pathological.
+    """
+    k = len(steps)
+    ev = events.where(F.col(type_col).isin(list(steps)))
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("t"),
+                    F.col(tiebreak_col).alias("tb"),
+                    F.col(type_col).alias("typ"),
+                )
+            )
+        ).alias("evs")
+    )
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(f"s{i}") for i in range(k)]
+    )
+
+    def fold_step(acc, x):
+        fields = []
+        for i in range(k):
+            cond = acc[f"s{i}"].isNull() & (x["typ"] == F.lit(steps[i]))
+            if i > 0:
+                cond = cond & acc[f"s{i-1}"].isNotNull() & (
+                    x["t"] > acc[f"s{i-1}"]
+                )
+            fields.append(
+                F.when(cond, x["t"]).otherwise(acc[f"s{i}"]).alias(f"s{i}")
+            )
+        return F.struct(*fields)
+
+    folded = per_user.select(
+        F.aggregate("evs", init, fold_step).alias("st")
+    )
+    counts = folded.agg(
+        *[F.count(F.col(f"st.s{i}")).alias(f"n{i}") for i in range(k)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(steps[i]).alias("step"),
+                F.col(f"n{i}").alias("users"),
+                (
+                    F.lit(1.0)
+                    if i == 0
+                    else F.round(
+                        F.col(f"n{i}")
+                        / F.nullif(F.col(f"n{i-1}"), F.lit(0)),
+                        6,
+                    )
+                ).alias("conv_from_prev"),
+                (
+                    F.lit(1.0)
+                    if i == 0
+                    else F.round(
+                        F.col(f"n{i}") / F.nullif(F.col("n0"), F.lit(0)), 6
+                    )
+                ).alias("conv_from_first"),
+            )
+            for i in range(k)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def user_weeks_of(
+    events: DataFrame, ts_col: str = "ts", user_col: str = "user_id"
+) -> DataFrame:
+    """Distinct (week, user) activity pairs — the mergeable state behind
+    the weekly retention triangle (the week-granularity sibling of
+    ``user_days_of``).  Weeks are ISO-Monday ``date_trunc('week')``,
+    matching DuckDB's, so cells align bit-exact cross-engine."""
+    return events.select(
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        F.col(user_col).alias("user_id"),
+    ).distinct()
+
+
+def merge_user_weeks(state: DataFrame, delta_events: DataFrame) -> DataFrame:
+    """Fold a delta batch of raw events into the (week, user) state —
+    idempotent distinct-merge: replaying a batch (at-least-once
+    delivery) is a no-op, and out-of-order batches land correctly
+    because a user's cohort week is a mergeable ``min`` read at query
+    time, never frozen into the state."""
+    return state.unionByName(user_weeks_of(delta_events)).distinct()
+
+
+def retention_matrix(user_weeks: DataFrame) -> DataFrame:
+    """Weekly cohort retention triangle from a distinct (week, user)
+    activity table: cohort = each user's first active week; cell
+    (cohort_week, age_weeks) counts that cohort's users active in
+    cohort_week + age_weeks; retention is the share of the cohort's
+    size (its age-0 cell — every cohort user is active in week 0 by
+    definition of first week).
+
+    Scale shape: the raw-event reduction happened upstream in
+    ``user_weeks_of`` (map-side combine collapses the event volume to
+    |users|·|weeks| pairs); here one user-keyed window pins the cohort
+    week, one keyed agg builds the cells, and cohort sizes re-read the
+    age-0 cells (cell table is |cohorts|·|ages| — tiny — so the size
+    join broadcasts).  No COUNT(DISTINCT) anywhere: distinctness is a
+    property of the state table.
+    """
+    wfirst = Window.partitionBy("user_id")
+    flagged = user_weeks.withColumn("cohort_week", F.min("week").over(wfirst))
+    cells = flagged.groupBy(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("age_weeks"),
+    ).agg(F.count("*").alias("active_users"))
+    sizes = cells.where(F.col("age_weeks") == 0).select(
+        "cohort_week", F.col("active_users").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+        "cohort_size",
+        "active_users",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+            "retention_pct"
+        ),
+    )

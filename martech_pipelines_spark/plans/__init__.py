@@ -21,6 +21,7 @@ from martech_pipelines_spark.plans import corpus_r5k  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5l  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5m  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5n  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5o  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -35,8 +36,11 @@ from martech_pipelines_spark.plans import corpus_r5n  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5k..5g additions (newest, least-verified; lead the
-    # window) ---
+    # --- round-5o additions (newest, least-verified; lead the window) ---
+    "mart14_funnel",
+    "mart15_retention",
+    "h16_incremental_retention",
+    # --- round-5k..5g additions ---
     "r30_debounce",
     "t36_langid_confusion",
     "r29_exact_percentiles",

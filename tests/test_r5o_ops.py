@@ -1,0 +1,134 @@
+"""Round-5o: ordered funnel, retention triangle + its IVM twin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators.transforms import (
+    merge_user_weeks,
+    ordered_funnel,
+    retention_matrix,
+    user_weeks_of,
+)
+from martech_pipelines_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_hand_case_strict_ordering(spark):
+    # u1 full ordered chain; u2 click BEFORE view; u3 click at the SAME
+    # instant as view (strict > excludes it); u4 purchase at the same
+    # instant as click (excluded; reaches click); u5 purchase only.
+    rows = [
+        (1, 1, "view", _ts("2024-01-01 10:00:00")),
+        (2, 1, "click", _ts("2024-01-01 10:05:00")),
+        (3, 1, "purchase", _ts("2024-01-01 10:10:00")),
+        (4, 2, "click", _ts("2024-01-02 09:00:00")),
+        (5, 2, "view", _ts("2024-01-02 09:30:00")),
+        (6, 3, "view", _ts("2024-01-03 08:00:00")),
+        (7, 3, "click", _ts("2024-01-03 08:00:00")),
+        (8, 4, "view", _ts("2024-01-04 07:00:00")),
+        (9, 4, "click", _ts("2024-01-04 07:01:00")),
+        (10, 4, "purchase", _ts("2024-01-04 07:01:00")),
+        (11, 5, "purchase", _ts("2024-01-05 06:00:00")),
+    ]
+    out = ordered_funnel(
+        _events(spark, rows), ["view", "click", "purchase"]
+    ).collect()
+    by_step = {r["step"]: r for r in out}
+    assert by_step["view"]["users"] == 4  # u1 u2 u3 u4
+    assert by_step["click"]["users"] == 2  # u1 u4
+    assert by_step["purchase"]["users"] == 1  # u1
+    assert by_step["view"]["conv_from_prev"] == 1.0
+    assert by_step["click"]["conv_from_prev"] == 0.5
+    assert by_step["purchase"]["conv_from_prev"] == 0.5
+    assert by_step["purchase"]["conv_from_first"] == 0.25
+
+
+def test_funnel_greedy_equals_existential_match(spark):
+    # A later view has a following click but the FIRST view also does
+    # eventually — greedy chaining from the first view must still find
+    # the chain (unbounded windows: greedy == existential).
+    rows = [
+        (1, 9, "view", _ts("2024-02-01 10:00:00")),
+        (2, 9, "view", _ts("2024-02-01 11:00:00")),
+        (3, 9, "click", _ts("2024-02-01 11:30:00")),
+        (4, 9, "purchase", _ts("2024-02-01 12:00:00")),
+    ]
+    out = ordered_funnel(
+        _events(spark, rows), ["view", "click", "purchase"]
+    ).collect()
+    assert {r["step"]: r["users"] for r in out} == {
+        "view": 1,
+        "click": 1,
+        "purchase": 1,
+    }
+
+
+def test_funnel_partitioning_invariance(spark):
+    ev = load_table(spark, SF, "events")
+    base = {
+        (r["step"], r["users"])
+        for r in ordered_funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    shuffled = {
+        (r["step"], r["users"])
+        for r in ordered_funnel(
+            ev.repartition(7), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert base == shuffled
+
+
+def test_retention_hand_case_and_age0_is_cohort_size(spark):
+    # Mondays: 2024-01-01, 2024-01-08, 2024-01-15.
+    rows = [
+        (1, 1, "view", _ts("2024-01-01 10:00:00")),
+        (2, 1, "view", _ts("2024-01-08 10:00:00")),
+        (3, 1, "view", _ts("2024-01-15 10:00:00")),
+        (4, 2, "view", _ts("2024-01-02 10:00:00")),  # same cohort week as u1
+        (5, 2, "view", _ts("2024-01-16 10:00:00")),  # skips week 1
+        (6, 3, "view", _ts("2024-01-08 10:00:00")),  # later cohort
+    ]
+    out = retention_matrix(user_weeks_of(_events(spark, rows))).collect()
+    cells = {
+        (r["cohort_week"], r["age_weeks"]): (
+            r["cohort_size"],
+            r["active_users"],
+            r["retention_pct"],
+        )
+        for r in out
+    }
+    assert cells[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert cells[("2024-01-01", 1)] == (2, 1, 0.5)
+    assert cells[("2024-01-01", 2)] == (2, 2, 1.0)
+    assert cells[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert ("2024-01-08", 1) not in cells
+
+
+def test_retention_merge_is_order_free_and_replay_is_noop(spark):
+    ev = load_table(spark, SF, "events")
+    b0 = ev.where(F.col("event_id") % 3 == 0)
+    b1 = ev.where(F.col("event_id") % 3 == 1)
+    b2 = ev.where(F.col("event_id") % 3 == 2)
+    full = retention_matrix(user_weeks_of(ev))
+
+    fwd = merge_user_weeks(merge_user_weeks(user_weeks_of(b0), b1), b2)
+    rev = merge_user_weeks(merge_user_weeks(user_weeks_of(b2), b0), b1)
+    replay = merge_user_weeks(fwd, b1)  # at-least-once redelivery
+
+    want = {tuple(r) for r in full.collect()}
+    for state in (fwd, rev, replay):
+        assert {tuple(r) for r in retention_matrix(state).collect()} == want
