@@ -125,3 +125,98 @@ def pagerank(
     nodes.unpersist()
     edges_w.unpersist()
     return ranks
+
+
+def triangle_stats(edges: DataFrame, top_n: int = 20) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as a both-directions edge list (src, dst)
+    like ``copurchase_edges`` emits.
+
+    Enumeration uses DEGREE-ORDERED ORIENTATION (the MapReduce triangle
+    counting of Suri & Vassilvitskii, WWW'11): each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher, so
+    every node's out-degree is O(sqrt(m)) and the wedge self-join fans
+    out per-node quadratically in THAT bound instead of in raw degree —
+    the difference between a feasible and an exploding plan when the
+    graph has hubs (every co-purchase graph does).  Each triangle is
+    found exactly once: at its lowest-ordered vertex, closed by the
+    oriented edge between the two higher endpoints.  Triangle counts are
+    orientation-invariant, so an id-ordered oracle enumeration agrees
+    value-for-value.
+
+    Shuffles: one distinct on the undirected edge, one degree agg, two
+    node-keyed degree joins, the wedge self-join on the pivot node, one
+    (lo, hi)-keyed closing join, one corner agg.  All keyed — never an
+    all-pairs product.
+
+    Returns nodes with >= 1 triangle: (node, degree, triangles,
+    clustering = 2T / d(d-1), rounded 6dp), ordered by (triangles DESC,
+    node ASC), limited to ``top_n`` — a total deterministic order, so
+    the cut is engine-stable.
+    """
+    und = (
+        edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    with_deg = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("degree").alias("db")),
+            "b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    )
+    o1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("dhi").alias("dv")
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("dhi").alias("dw")
+    )
+    # each unordered wedge once: v strictly before w in the orientation
+    # order, so the closing edge (if present) is oriented v -> w.
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    corners = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        corners.join(deg, "node")
+        .select(
+            "node",
+            "degree",
+            "triangles",
+            F.round(
+                F.lit(2.0)
+                * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.col("triangles").desc(), F.col("node"))
+        .limit(top_n)
+    )

@@ -537,6 +537,7 @@ def ordered_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tiebreak_col: str = "event_id",
+    within_s: int | None = None,
 ) -> DataFrame:
     """First-touch ordered funnel over an event stream.
 
@@ -548,6 +549,15 @@ def ordered_funnel(
     existential ordered match (if any ordered k-tuple exists, chaining
     per-step minima finds one), so "reached step k" means "ever did
     steps[0] < steps[1] < ... < steps[k] in time order".
+
+    ``within_s`` bounds each step: step ``i`` must land within
+    ``within_s`` seconds of step ``i-1``'s reach time (strictly after,
+    inclusive of the boundary).  NOTE the windowed funnel is GREEDY
+    ANCHORED AT FIRST TOUCH — the product-analytics convention — not an
+    existential search over all anchor choices (a later first step
+    might open a window the earliest one misses; that search is
+    exponential and no funnel tool runs it).  The oracle must spell the
+    same greedy chain, which is exactly what the min-chain CTEs do.
 
     Scale shape: ONE keyed shuffle.  Events are filtered to the step
     types at the scan (pushed predicate), reduced to one row per user
@@ -591,6 +601,10 @@ def ordered_funnel(
                 cond = cond & acc[f"s{i-1}"].isNotNull() & (
                     x["t"] > acc[f"s{i-1}"]
                 )
+                if within_s is not None:
+                    cond = cond & (
+                        x["t"] <= acc[f"s{i-1}"] + F.lit(within_s * 1_000_000)
+                    )
             fields.append(
                 F.when(cond, x["t"]).otherwise(acc[f"s{i}"]).alias(f"s{i}")
             )

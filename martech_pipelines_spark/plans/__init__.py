@@ -37,6 +37,8 @@ from martech_pipelines_spark.plans import corpus_r5o  # noqa: F401  (registers)
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
     # --- round-5o additions (newest, least-verified; lead the window) ---
+    "w6_windowed_funnel",
+    "g2_triangles",
     "mart14_funnel",
     "mart15_retention",
     "h16_incremental_retention",

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from martech_pipelines_spark.operators import graph as G
 from martech_pipelines_spark.operators.transforms import (
     merge_user_weeks,
     ordered_funnel,
@@ -151,3 +152,112 @@ def h16_incremental_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = merge_user_weeks(state, ev.where(F.col("event_id") % 3 == 1))
     state = merge_user_weeks(state, ev.where(F.col("event_id") % 3 == 2))
     return retention_matrix(state)
+
+
+# =============================================================================
+# w6: windowed funnel (greedy, anchored at first touch, 48h per step).
+# =============================================================================
+
+_W6_WITHIN_S = 48 * 3600
+
+_W6_ORACLE = f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS ct
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.vt
+          AND e.ts <= v.vt + INTERVAL {_W6_WITHIN_S} SECOND
+        GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS pt
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct
+          AND e.ts <= c.ct + INTERVAL {_W6_WITHIN_S} SECOND
+        GROUP BY 1
+    ), n AS (
+        SELECT (SELECT count(*) FROM v) AS n0,
+               (SELECT count(*) FROM c) AS n1,
+               (SELECT count(*) FROM p) AS n2
+    )
+    SELECT * FROM (
+        SELECT 0 AS step_idx, 'view' AS step, n0 AS users,
+               1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM n
+        UNION ALL
+        SELECT 1, 'click', n1,
+               round(CAST(n1 AS DOUBLE) / nullif(n0, 0), 6),
+               round(CAST(n1 AS DOUBLE) / nullif(n0, 0), 6) FROM n
+        UNION ALL
+        SELECT 2, 'purchase', n2,
+               round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6),
+               round(CAST(n2 AS DOUBLE) / nullif(n0, 0), 6) FROM n
+    )
+"""
+
+
+@q("w6_windowed_funnel", _W6_ORACLE)
+def w6_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart14's funnel with a 48-hour window per step: each step must
+    land within 48h of the previous step's reach time (strictly after,
+    boundary inclusive, integer-microsecond arithmetic in both engines).
+    GREEDY ANCHORED AT FIRST TOUCH — the product-analytics convention;
+    see ``ordered_funnel`` for why the existential-anchor search is not
+    what any funnel tool computes.  Same single-shuffle fold plan as
+    mart14; the oracle spells the identical greedy chain with interval
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ordered_funnel(ev, _FUNNEL_STEPS, within_s=_W6_WITHIN_S)
+
+
+# =============================================================================
+# g2: triangle counting + local clustering coefficient (degree-ordered
+# orientation) over the co-purchase graph.
+# =============================================================================
+
+_G2_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ), und AS (
+        SELECT src AS a, dst AS b FROM e WHERE src < dst
+    ), deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und
+            UNION ALL
+            SELECT b AS node FROM und
+        ) ends GROUP BY 1
+    ), tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+        SELECT node, count(*) AS triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        ) c GROUP BY 1
+    )
+    SELECT node, degree, triangles,
+           round(2.0 * triangles / (degree * (degree - 1)), 6) AS clustering
+    FROM corners JOIN deg USING (node)
+    ORDER BY triangles DESC, node
+    LIMIT 20
+"""
+
+
+@q("g2_triangles", _G2_ORACLE)
+def g2_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase parts by triangle participation, with degree
+    and local clustering coefficient — the cohesion metric behind
+    "bought together" bundle detection.  The engine enumerates via
+    degree-ordered orientation (per-node out-degree O(sqrt(m)) — hub-
+    proof wedge join); the oracle enumerates id-ordered.  Triangle
+    counts are orientation-invariant, so the two agree exactly; the
+    (triangles DESC, node ASC) order is total, so the top-20 cut is
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return G.triangle_stats(G.copurchase_edges(li), top_n=20)

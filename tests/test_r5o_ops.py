@@ -132,3 +132,72 @@ def test_retention_merge_is_order_free_and_replay_is_noop(spark):
     want = {tuple(r) for r in full.collect()}
     for state in (fwd, rev, replay):
         assert {tuple(r) for r in retention_matrix(state).collect()} == want
+
+
+def test_windowed_funnel_boundary_is_inclusive_microsecond_exact(spark):
+    # u1 clicks exactly AT the 60s boundary (kept); u2 clicks 1us past
+    # it (dropped); u3 re-views later but the funnel stays anchored at
+    # the FIRST view, so their in-window click after the second view
+    # does NOT count (greedy first-touch semantics, documented).
+    rows = [
+        (1, 1, "view", _ts("2024-01-01 10:00:00")),
+        (2, 1, "click", _ts("2024-01-01 10:01:00")),
+        (3, 2, "view", _ts("2024-01-02 10:00:00")),
+        (4, 2, "click", _ts("2024-01-02 10:01:00.000001")),
+        (5, 3, "view", _ts("2024-01-03 10:00:00")),
+        (6, 3, "view", _ts("2024-01-03 12:00:00")),
+        (7, 3, "click", _ts("2024-01-03 12:00:30")),
+    ]
+    out = ordered_funnel(
+        _events(spark, rows), ["view", "click"], within_s=60
+    ).collect()
+    by_step = {r["step"]: r["users"] for r in out}
+    assert by_step == {"view": 3, "click": 1}
+
+
+def _tri_edges(spark, pairs):
+    both = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_triangle_hand_case_square_with_diagonal(spark):
+    from martech_pipelines_spark.operators.graph import triangle_stats
+
+    out = triangle_stats(
+        _tri_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    ).collect()
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"]) for r in out}
+    assert got == {
+        1: (3, 2, 0.666667),
+        3: (3, 2, 0.666667),
+        2: (2, 1, 1.0),
+        4: (2, 1, 1.0),
+    }
+
+
+def test_triangle_counts_match_brute_force(spark):
+    from itertools import combinations
+
+    from martech_pipelines_spark.operators.graph import triangle_stats
+
+    # deterministic pseudo-random graph on 30 nodes
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for i in range(200)
+            for a, b in [((i * 7 + 3) % 30, (i * i * 5 + i) % 30)]
+            if a != b
+        }
+    )
+    adj = {n: set() for n in range(30)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for n in adj:
+        t = sum(1 for x, y in combinations(sorted(adj[n]), 2) if y in adj[x])
+        if t:
+            want[n] = (len(adj[n]), t)
+    out = triangle_stats(_tri_edges(spark, pairs), top_n=1000).collect()
+    got = {r["node"]: (r["degree"], r["triangles"]) for r in out}
+    assert got == want
