@@ -701,3 +701,47 @@ def retention_matrix(user_weeks: DataFrame) -> DataFrame:
             "retention_pct"
         ),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """EXACT trailing-N-day active users for every day with activity
+    (rolling WAU for N=7) — the growth metric between DAU and the
+    retention triangle.
+
+    A per-day expanding COUNT(DISTINCT) window re-deduplicates N days
+    of raw events for every output day and cannot be maintained; this
+    form is the scale shape: reduce to distinct (day, user) FIRST
+    (map-side combine collapses raw event volume), fan each pair out to
+    the N report days it covers (bounded ×N explode of the REDUCED
+    table), distinct once, count per day.  Total shuffled volume is
+    N·|user-days|, independent of raw event count.  Report days are
+    restricted to days with actual activity (semi-join with the tiny
+    day set) so the tail beyond the data's last day is not reported.
+    """
+    ud = user_days_of(events, ts_col=ts_col, user_col=user_col)
+    contrib = (
+        ud.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), window_days - 1)
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    return (
+        contrib.groupBy("day")
+        .agg(F.count("*").alias("active_users"))
+        .join(days, "day", "left_semi")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+        )
+    )

@@ -22,6 +22,7 @@ from martech_pipelines_spark.plans import corpus_r5l  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5m  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5n  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5o  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5p  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -36,7 +37,9 @@ from martech_pipelines_spark.plans import corpus_r5o  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5o additions (newest, least-verified; lead the window) ---
+    # --- round-5p additions (newest, least-verified; lead the window) ---
+    "r31_rolling_active",
+    # --- round-5o additions ---
     "w6_windowed_funnel",
     "g2_triangles",
     "mart14_funnel",

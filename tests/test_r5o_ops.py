@@ -201,3 +201,44 @@ def test_triangle_counts_match_brute_force(spark):
     out = triangle_stats(_tri_edges(spark, pairs), top_n=1000).collect()
     got = {r["node"]: (r["degree"], r["triangles"]) for r in out}
     assert got == want
+
+
+def test_rolling_active_hand_case(spark):
+    from martech_pipelines_spark.operators.transforms import (
+        rolling_active_users,
+    )
+
+    # u1 active Jan 1 and Jan 10; u2 active Jan 5.  Report days are the
+    # activity days only.  Jan 5's trailing week covers Jan 1 (u1) +
+    # Jan 5 (u2) = 2; Jan 10's covers Jan 5 (u2, 5 days back) + Jan 10
+    # (u1) = 2; Jan 1 sees only u1.  Jan 8 (u1's Jan-1 activity is 7
+    # days back — outside a 7-day trailing window) is not a report day.
+    rows = [
+        (1, 1, "view", _ts("2024-01-01 10:00:00")),
+        (2, 1, "view", _ts("2024-01-10 10:00:00")),
+        (3, 2, "view", _ts("2024-01-05 10:00:00")),
+    ]
+    out = {
+        r["day"]: r["active_users"]
+        for r in rolling_active_users(_events(spark, rows)).collect()
+    }
+    assert out == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-10": 2}
+
+
+def test_rolling_active_window_boundary_is_seven_days_inclusive(spark):
+    from martech_pipelines_spark.operators.transforms import (
+        rolling_active_users,
+    )
+
+    # u2's Jan 1 activity still counts on Jan 7 (6 days later) but not
+    # on Jan 8.
+    rows = [
+        (1, 2, "view", _ts("2024-01-01 10:00:00")),
+        (2, 3, "view", _ts("2024-01-07 10:00:00")),
+        (3, 3, "view", _ts("2024-01-08 10:00:00")),
+    ]
+    out = {
+        r["day"]: r["active_users"]
+        for r in rolling_active_users(_events(spark, rows)).collect()
+    }
+    assert out == {"2024-01-01": 1, "2024-01-07": 2, "2024-01-08": 1}
