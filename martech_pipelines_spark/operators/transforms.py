@@ -678,10 +678,12 @@ def retention_matrix(user_weeks: DataFrame) -> DataFrame:
     Scale shape: the raw-event reduction happened upstream in
     ``user_weeks_of`` (map-side combine collapses the event volume to
     |users|·|weeks| pairs); here one user-keyed window pins the cohort
-    week, one keyed agg builds the cells, and cohort sizes re-read the
-    age-0 cells (cell table is |cohorts|·|ages| — tiny — so the size
-    join broadcasts).  No COUNT(DISTINCT) anywhere: distinctness is a
-    property of the state table.
+    week, one keyed agg builds the cells, and cohort sizes are read off
+    the SAME cell table with a cohort-keyed window (every cohort user is
+    active at age 0 by definition of first week) — a self-join on the
+    age-0 cells would re-derive the whole state subtree per consumer.
+    No COUNT(DISTINCT) anywhere: distinctness is a property of the
+    state table.
     """
     wfirst = Window.partitionBy("user_id")
     flagged = user_weeks.withColumn("cohort_week", F.min("week").over(wfirst))
@@ -689,10 +691,14 @@ def retention_matrix(user_weeks: DataFrame) -> DataFrame:
         "cohort_week",
         (F.datediff("week", "cohort_week") / 7).cast("int").alias("age_weeks"),
     ).agg(F.count("*").alias("active_users"))
-    sizes = cells.where(F.col("age_weeks") == 0).select(
-        "cohort_week", F.col("active_users").alias("cohort_size")
+    wcoh = Window.partitionBy("cohort_week")
+    sized = cells.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("age_weeks") == 0, F.col("active_users"))
+        ).over(wcoh),
     )
-    return cells.join(F.broadcast(sizes), "cohort_week").select(
+    return sized.select(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "age_weeks",
         "cohort_size",
@@ -718,30 +724,34 @@ def rolling_active_users(
     form is the scale shape: reduce to distinct (day, user) FIRST
     (map-side combine collapses raw event volume), fan each pair out to
     the N report days it covers (bounded ×N explode of the REDUCED
-    table), distinct once, count per day.  Total shuffled volume is
-    N·|user-days|, independent of raw event count.  Report days are
-    restricted to days with actual activity (semi-join with the tiny
-    day set) so the tail beyond the data's last day is not reported.
+    table), dedup per (report day, user), count per day.  Total
+    shuffled volume is N·|user-days|, independent of raw event count.
+    Report days are restricted to days with actual activity via an
+    is-origin flag carried through the explode (a semi-join against the
+    day set would re-derive the whole state subtree per consumer).
     """
     ud = user_days_of(events, ts_col=ts_col, user_col=user_col)
-    contrib = (
-        ud.select(
-            F.explode(
-                F.sequence(
-                    F.col("day"), F.date_add(F.col("day"), window_days - 1)
-                )
-            ).alias("day"),
-            "user_id",
-        )
-        .distinct()
+    contrib = ud.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("rday"),
+        "user_id",
+        F.col("day").alias("orig"),
     )
-    days = ud.select("day").distinct()
+    per = contrib.groupBy("rday", "user_id").agg(
+        F.max((F.col("orig") == F.col("rday")).cast("int")).alias("is_origin")
+    )
     return (
-        contrib.groupBy("day")
-        .agg(F.count("*").alias("active_users"))
-        .join(days, "day", "left_semi")
+        per.groupBy("rday")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.max("is_origin").alias("__has_origin"),
+        )
+        .where(F.col("__has_origin") == 1)
         .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.date_format("rday", "yyyy-MM-dd").alias("day"),
             "active_users",
         )
     )
