@@ -69,6 +69,11 @@ HEADLINE = [
     "g1_pagerank_copurchase",
     "fe1_pit_features",
     "mart10_basket_affinity",
+    # round-5o/5p additions
+    "mart14_funnel",
+    "g2_triangles",
+    "mart15_retention",
+    "r31_rolling_active",
 ]
 
 

@@ -23,6 +23,7 @@ from martech_pipelines_spark.plans import corpus_r5m  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5n  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5o  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5p  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -37,7 +38,8 @@ from martech_pipelines_spark.plans import corpus_r5p  # noqa: F401  (registers)
 # registration order after the priority block; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5p additions (newest, least-verified; lead the window) ---
+    # --- round-5q/5p additions (newest, least-verified; lead the window) ---
+    "a10_orc_roundtrip",
     "r31_rolling_active",
     # --- round-5o additions ---
     "w6_windowed_funnel",

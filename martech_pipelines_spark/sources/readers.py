@@ -235,3 +235,22 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """ORC scan — the other columnar format Spark ships natively (no
+    extra package, unlike Avro's external spark-avro artifact).  ORC
+    supports the same scan-time machinery as parquet: column pruning,
+    predicate pushdown into stripe/row-group indexes, and vectorized
+    reading, so at 100 TB an ORC lake is first-class.  Pass ``schema``
+    to skip footer-merging schema resolution on very wide directories;
+    omit it to take the footer schema (ORC footers carry exact types —
+    no inference pass, unlike JSON/CSV)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -242,3 +242,28 @@ def test_rolling_active_window_boundary_is_seven_days_inclusive(spark):
         for r in rolling_active_users(_events(spark, rows)).collect()
     }
     assert out == {"2024-01-01": 1, "2024-01-07": 2, "2024-01-08": 1}
+
+
+def test_orc_roundtrip_and_pushdown(spark):
+    from martech_pipelines_spark.plans.corpus_r5q import (
+        a10_orc_roundtrip,
+        write_customer_orc,
+    )
+    from martech_pipelines_spark.sources.readers import read_orc
+    from tests.test_plans import plan_of
+
+    back = a10_orc_roundtrip(spark, SF)
+    src = load_table(spark, SF, "customer")
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    # predicate + projection reach the ORC scan
+    path = write_customer_orc(spark, SF)
+    q = read_orc(spark, path).where(F.col("c_custkey") == 7).select(
+        "c_custkey", "c_name"
+    )
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]" in plan
+    assert "c_acctbal" not in plan.split("ReadSchema")[1].splitlines()[0]
