@@ -1506,3 +1506,52 @@ def merge_token_counts(
         .groupBy("token")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def sentiment_scores(
+    docs: DataFrame,
+    lexicon: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexicon-join sentiment scoring (SURVEY §7.3): per-doc signed
+    lexicon mass over token count, labeled pos/neg/neu.
+
+    The general form for REAL lexicons (VADER/SentiWordNet-sized,
+    10k-100k entries): explode tokens, LEFT broadcast-join the lexicon
+    dim (small side broadcasts — the token stream never hash-exchanges
+    for the join), one doc-keyed agg folds hits and token count in the
+    same pass.  LEFT join keeps zero-hit docs (score 0, 'neu') — an
+    inner join would silently drop them.  For toy lexicons a map
+    literal inside ``F.aggregate`` computes the same score with ZERO
+    shuffles; this operator keeps the join form because it is the one
+    that survives a lexicon too big for a literal.
+
+    Score is ``sum(weight) / n_tokens`` rounded 4dp; ties at exactly 0
+    label 'neu'.  Empty-token docs are dropped (no denominator).
+    """
+    lex = docs.sparkSession.createDataFrame(
+        list(lexicon.items()), "token string, weight int"
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(lex), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("sent_mass"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    score = F.round(F.col("sent_mass") / F.col("n_tokens"), 4)
+    return scored.select(
+        id_col,
+        F.col("sent_mass").cast("long").alias("sent_mass"),
+        "n_tokens",
+        score.alias("sent_score"),
+        F.when(F.col("sent_mass") > 0, "pos")
+        .when(F.col("sent_mass") < 0, "neg")
+        .otherwise("neu")
+        .alias("sent_label"),
+    )

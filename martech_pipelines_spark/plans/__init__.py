@@ -40,6 +40,7 @@ from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
 _WINDOW_PRIORITY = [
     # --- round-5q/5p additions (newest, least-verified; lead the window) ---
     "a10_orc_roundtrip",
+    "t37_sentiment",
     "r31_rolling_active",
     # --- round-5o additions ---
     "w6_windowed_funnel",

@@ -48,3 +48,46 @@ def a10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB regression)."""
     path = write_customer_orc(spark, sf_dir)
     return read_orc(spark, path)
+
+
+# =============================================================================
+# t37: lexicon-join sentiment scoring (SURVEY §7.3's sentiment-lexicon
+# join bullet; the last unticked item of the extended text surface).
+# =============================================================================
+
+_T37_LEXICON = {"fast": 1, "big": 1, "fresh": 1, "slow": -1, "small": -1, "stale": -1}
+
+
+def _t37_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import _DUCK_TOKENS
+
+    case = " ".join(
+        f"WHEN '{w}' THEN {v}" for w, v in _T37_LEXICON.items()
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS.format(col='text')}) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(sum(CASE token {case} ELSE 0 END) AS BIGINT) AS sent_mass,
+           count(*) AS n_tokens,
+           round(CAST(sum(CASE token {case} ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS sent_score,
+           CASE WHEN sum(CASE token {case} ELSE 0 END) > 0 THEN 'pos'
+                WHEN sum(CASE token {case} ELSE 0 END) < 0 THEN 'neg'
+                ELSE 'neu' END AS sent_label
+    FROM toks GROUP BY doc_id
+    """
+
+
+@q("t37_sentiment", _t37_oracle())
+def t37_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentiment over the synthetic corpus vocabulary via the
+    broadcast lexicon join (see ``text.sentiment_scores`` — the form
+    that survives a 100k-entry lexicon; the oracle folds the same
+    lexicon as a CASE).  LEFT join semantics keep zero-hit docs."""
+    from martech_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.sentiment_scores(docs, _T37_LEXICON)

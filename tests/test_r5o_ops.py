@@ -267,3 +267,22 @@ def test_orc_roundtrip_and_pushdown(spark):
     plan = plan_of(q)
     assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]" in plan
     assert "c_acctbal" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_sentiment_zero_hit_doc_is_neutral_and_kept(spark):
+    from martech_pipelines_spark.operators.text import sentiment_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast fast slow table"),   # +2 -1 over 4 tokens
+            (2, "the join merge"),         # no lexicon hits
+            (3, "slow stale"),             # -2 over 2
+        ],
+        "doc_id long, text string",
+    )
+    lex = {"fast": 1, "slow": -1, "stale": -1}
+    out = {r["doc_id"]: r for r in sentiment_scores(docs, lex).collect()}
+    assert (out[1]["sent_mass"], out[1]["n_tokens"], out[1]["sent_label"]) == (1, 4, "pos")
+    assert out[1]["sent_score"] == 0.25
+    assert (out[2]["sent_mass"], out[2]["sent_label"]) == (0, "neu")
+    assert (out[3]["sent_mass"], out[3]["sent_label"]) == (-2, "neg")
