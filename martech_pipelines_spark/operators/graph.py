@@ -130,10 +130,38 @@ def pagerank(
     return ranks
 
 
-def triangle_stats(edges: DataFrame, top_n: int = 20) -> DataFrame:
+def copurchase_edges_undirected(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges, each pair once as (src < dst).
+
+    For undirected consumers (triangle counting) this is the lean build:
+    the ``src < dst`` predicate sits IN the self-join, so the join emits
+    half the rows of ``copurchase_edges`` and the single DISTINCT
+    shuffles half the volume — vs deriving the undirected set from the
+    both-directions list, which pays the full-volume distinct and then a
+    second one after the filter."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, top_n: int = 20, undirected: bool = False
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph given as a both-directions edge list (src, dst)
-    like ``copurchase_edges`` emits.
+    like ``copurchase_edges`` emits — or, with ``undirected=True``, an
+    already-deduplicated (src < dst) list like
+    ``copurchase_edges_undirected``'s, which skips the re-filter +
+    re-distinct here.
 
     Enumeration uses DEGREE-ORDERED ORIENTATION (the MapReduce triangle
     counting of Suri & Vassilvitskii, WWW'11): each undirected edge is
@@ -162,12 +190,17 @@ def triangle_stats(edges: DataFrame, top_n: int = 20) -> DataFrame:
     node ASC), limited to ``top_n`` — a total deterministic order, so
     the cut is engine-stable.
     """
-    und = caching.register(
-        edges.where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if undirected:
+        raw = edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    else:
+        raw = (
+            edges.where(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .distinct()
+        )
+    und = caching.register(raw.persist(StorageLevel.MEMORY_AND_DISK))
     deg = caching.register(
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))

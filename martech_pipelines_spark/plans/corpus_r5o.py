@@ -260,4 +260,6 @@ def g2_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (triangles DESC, node ASC) order is total, so the top-20 cut is
     engine-stable."""
     li = load_table(spark, sf_dir, "lineitem")
-    return G.triangle_stats(G.copurchase_edges(li), top_n=20)
+    return G.triangle_stats(
+        G.copurchase_edges_undirected(li), top_n=20, undirected=True
+    )

@@ -446,3 +446,70 @@ def test_range_join_matches_python_model(spark, events, intervals, bucket):
         if s <= ts < e
     }
     assert got == want
+
+
+# --- ordered funnel (greedy min-chain, optional per-step window) -------------
+
+
+def py_funnel(events, steps, within_s=None):
+    """Greedy first-touch chain over (user, type, t_us, tiebreak) rows."""
+    by_user = {}
+    for u, typ, t, tb in events:
+        by_user.setdefault(u, []).append((t, tb, typ))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        reached = [None] * len(steps)
+        for t, _tb, typ in sorted(evs):
+            for i, s in enumerate(steps):
+                if reached[i] is None and typ == s:
+                    if i == 0:
+                        reached[i] = t
+                    elif reached[i - 1] is not None and t > reached[i - 1]:
+                        if within_s is None or t <= reached[i - 1] + within_s * 1_000_000:
+                            reached[i] = t
+        for i in range(len(steps)):
+            if reached[i] is not None:
+                counts[i] += 1
+    return counts
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),            # user
+            st.sampled_from(["a", "b", "c", "x"]),  # type (x = noise)
+            st.integers(0, 20),           # seconds offset (dups likely)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    within=st.one_of(st.none(), st.integers(1, 10)),
+)
+def test_ordered_funnel_matches_python_model(spark, events, within):
+    from martech_pipelines_spark.operators.transforms import ordered_funnel
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, typ, base + dt.timedelta(seconds=s))
+        for i, (u, typ, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = ordered_funnel(df, ["a", "b", "c"], within_s=within).collect()
+    got = [r["users"] for r in sorted(out, key=lambda r: r["step_idx"])]
+    want = py_funnel(
+        [
+            (u, typ, int((base + dt.timedelta(seconds=s)).timestamp() * 1_000_000), i)
+            for i, (u, typ, s) in enumerate(events)
+        ],
+        ["a", "b", "c"],
+        within_s=within,
+    )
+    assert got == want
