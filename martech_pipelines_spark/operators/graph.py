@@ -130,27 +130,42 @@ def pagerank(
     return ranks
 
 
-def copurchase_edges_undirected(lineitem: DataFrame) -> DataFrame:
+def copurchase_edges_undirected(
+    lineitem: DataFrame, min_support: int = 1
+) -> DataFrame:
     """Undirected co-purchase edges, each pair once as (src < dst).
 
     For undirected consumers (triangle counting) this is the lean build:
     the ``src < dst`` predicate sits IN the self-join, so the join emits
-    half the rows of ``copurchase_edges`` and the single DISTINCT
-    shuffles half the volume — vs deriving the undirected set from the
-    both-directions list, which pays the full-volume distinct and then a
-    second one after the filter."""
+    half the rows of ``copurchase_edges`` and the single keyed
+    aggregation shuffles half the volume — vs deriving the undirected
+    set from the both-directions list, which pays the full-volume
+    distinct and then a second one after the filter.
+
+    ``min_support`` keeps only pairs co-purchased in at least that many
+    orders — the production density control for co-occurrence graphs:
+    when the fact table grows against a fixed catalog (more orders, same
+    parts), support-1 edge density inflates toward the complete graph
+    and every downstream wedge/triangle cost inflates quadratically
+    with it, while the signal lives in the repeated pairs.  Support
+    thresholding costs nothing here (the pair aggregation already
+    groups by the pair) and is how a real basket graph is built
+    (mart10's rules are support-thresholded for the same reason)."""
     a = lineitem.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
     )
     b = lineitem.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
     )
-    return (
+    pairs = (
         a.join(b, "k")
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("__support"))
     )
+    if min_support > 1:
+        pairs = pairs.where(F.col("__support") >= min_support)
+    return pairs.select("src", "dst")
 
 
 def triangle_stats(

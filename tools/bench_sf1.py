@@ -61,6 +61,14 @@ HEAVY = [
     "mart10_basket_affinity",
     "s12b_covariance_arrow",
     "s14_negative_sampling",
+    # round-5o/5p: funnel fold (event-volume keyed shuffle, per-user
+    # sorted arrays), triangle counting (edge set is CATALOG-bound —
+    # sf1's 10 copies share partkeys, so the wedge stage is constant
+    # and only the pair-support aggregation scales with the facts),
+    # rolling WAU (7x fan-out of the reduced user-day state)
+    "mart14_funnel",
+    "g2_triangles",
+    "r31_rolling_active",
 ]
 N_RUNS = 2
 
