@@ -201,6 +201,23 @@ SHOWCASE = [
         "watermark replay: ordered running-max only over the per-batch "
         "summary, broadcast back; corpus side never globally sorted",
     ),
+    (
+        "mart14_funnel",
+        "ordered funnel: ONE user-keyed shuffle + a codegen aggregate "
+        "fold over sorted event arrays — no per-step self-join chain",
+    ),
+    (
+        "g2_triangles",
+        "degree-ordered triangle enumeration: persisted oriented edges, "
+        "wedge self-join bounded by O(sqrt(m)) out-degree, keyed closing "
+        "join — no all-pairs anywhere",
+    ),
+    (
+        "r31_rolling_active",
+        "rolling WAU: distinct user-day reduction, bounded x7 explode, "
+        "origin-flag report days — shuffle volume independent of raw "
+        "event count",
+    ),
 ]
 
 
