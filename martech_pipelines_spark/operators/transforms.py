@@ -730,7 +730,20 @@ def rolling_active_users(
     is-origin flag carried through the explode (a semi-join against the
     day set would re-derive the whole state subtree per consumer).
     """
-    ud = user_days_of(events, ts_col=ts_col, user_col=user_col)
+    return rolling_active_from_state(
+        user_days_of(events, ts_col=ts_col, user_col=user_col),
+        window_days=window_days,
+    )
+
+
+def rolling_active_from_state(
+    ud: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """The rolling-WAU read over an existing distinct (day, user) state
+    table — the same table ``merge_user_days`` maintains incrementally,
+    which is what makes rolling distinct-counting IVM-able (h17 proves
+    incremental == full against r31's oracle): the state merge is
+    idempotent, and the window fan-out is a pure read."""
     contrib = ud.select(
         F.explode(
             F.sequence(

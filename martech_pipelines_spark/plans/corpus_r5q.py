@@ -91,3 +91,97 @@ def t37_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return TX.sentiment_scores(docs, _T37_LEXICON)
+
+
+# =============================================================================
+# h17: incrementally-maintained rolling WAU (shares r31's oracle);
+# g3: common-neighbors link prediction over the support-thresholded
+# co-purchase graph.
+# =============================================================================
+
+
+def _r31_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_r5p import _R31_ORACLE
+
+    return _R31_ORACLE
+
+
+@q("h17_incremental_rolling_active", _r31_oracle())  # SHARES r31's oracle
+def h17_incremental_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM proof for the rolling-WAU curve: the (day, user) state folded
+    over three event_id-split delta batches (out of time order — late
+    data must land in old days), then read through the same
+    ``rolling_active_from_state`` fan-out.  The oracle is r31's full
+    recompute, so incremental == full is engine-checked.  The h13/h16
+    pattern applied to a SLIDING distinct count: the state is the same
+    mergeable (day, user) table; only the read differs."""
+    from pyspark.sql import functions as F
+
+    from martech_pipelines_spark.operators.transforms import (
+        merge_user_days,
+        rolling_active_from_state,
+        user_days_of,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = user_days_of(ev.where(F.col("event_id") % 3 == 0))
+    state = merge_user_days(state, ev.where(F.col("event_id") % 3 == 1))
+    state = merge_user_days(state, ev.where(F.col("event_id") % 3 == 2))
+    return rolling_active_from_state(state, window_days=7)
+
+
+_G3_MIN_SUPPORT = 2
+_G3_MIN_COMMON = 2
+
+_G3_ORACLE = f"""
+    WITH e AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_G3_MIN_SUPPORT}
+    ), adj AS (
+        SELECT src AS u, dst AS n FROM e
+        UNION ALL
+        SELECT dst AS u, src AS n FROM e
+    ), deg AS (
+        SELECT n AS node, count(*) AS degree FROM adj GROUP BY 1
+    ), cand AS (
+        SELECT w1.n AS a, w2.n AS b, count(*) AS common_neighbors
+        FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.n < w2.n
+        GROUP BY 1, 2
+        HAVING count(*) >= {_G3_MIN_COMMON}
+    ), nonadj AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN e ON e.src = c.a AND e.dst = c.b
+        WHERE e.src IS NULL
+    )
+    SELECT n.a AS p1, n.b AS p2, n.common_neighbors,
+           round(CAST(n.common_neighbors AS DOUBLE)
+                 / (d1.degree + d2.degree - n.common_neighbors), 6) AS jaccard
+    FROM nonadj n
+    JOIN deg d1 ON d1.node = n.a
+    JOIN deg d2 ON d2.node = n.b
+    ORDER BY n.common_neighbors DESC, p1, p2
+    LIMIT 50
+"""
+
+
+@q("g3_link_prediction", _G3_ORACLE)
+def g3_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted co-purchase links: non-adjacent part pairs
+    sharing >= 2 neighbors in the support-2 co-purchase graph, Jaccard-
+    scored — the candidate generator behind "customers who bought these
+    also bought".  Wedge enumeration is unoriented (common-neighbor
+    counts need every center), so the SUPPORT THRESHOLD is the scale
+    knob (see ``link_prediction``): support-1 co-occurrence is noise
+    for recommendation and quadratically inflates the wedge count as
+    facts grow against a fixed catalog."""
+    from martech_pipelines_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges_undirected(li, min_support=_G3_MIN_SUPPORT)
+    return G.link_prediction(
+        edges, min_common=_G3_MIN_COMMON, top_n=50
+    )

@@ -286,3 +286,31 @@ def test_sentiment_zero_hit_doc_is_neutral_and_kept(spark):
     assert out[1]["sent_score"] == 0.25
     assert (out[2]["sent_mass"], out[2]["sent_label"]) == (0, "neu")
     assert (out[3]["sent_mass"], out[3]["sent_label"]) == (-2, "neg")
+
+
+def test_link_prediction_square_hand_case(spark):
+    from martech_pipelines_spark.operators.graph import link_prediction
+
+    # Square 1-2-3-4: diagonals (1,3) and (2,4) each share BOTH other
+    # corners (cn=2) and are non-adjacent -> predicted with Jaccard
+    # 2/(2+2-2)=1.0; every adjacent pair is excluded.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    out = {
+        (r["p1"], r["p2"]): (r["common_neighbors"], r["jaccard"])
+        for r in link_prediction(edges).collect()
+    }
+    assert out == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_prediction_excludes_existing_edges_and_low_common(spark):
+    from martech_pipelines_spark.operators.graph import link_prediction
+
+    # Triangle 1-2-3 plus pendant 4 attached to 3: (1,4) and (2,4)
+    # share only node 3 (cn=1 < min_common=2); (1,2),(1,3),(2,3) are
+    # edges.  Nothing qualifies.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert link_prediction(edges).count() == 0
