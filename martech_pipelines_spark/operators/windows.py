@@ -148,3 +148,51 @@ def late_data_admission(
         .where(F.col("__wm").isNull() | (win_end > F.col("__wm") - F.lit(delay_us)))
         .drop("__batch_id")
     )
+
+
+def session_conversion(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Daily session-scoped conversion: sessionize per user (same
+    ``session_window`` semantics as ``session_agg`` — end = last event
+    + gap, a >=gap arrival starts a new session), flag each session for
+    view/purchase presence IN THE SAME aggregation that builds the
+    session (no second pass over events), assign the session to its
+    start day, and report per-day session counts and the view->purchase
+    conversion share among view-sessions.
+
+    Two keyed shuffles total: the session aggregation (sort-within-key
+    merge) and the tiny per-day rollup.  Presence flags are max-of-
+    indicator — mergeable, so the session agg stays partial-aggregable.
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    sess = events.groupBy(F.col(key_col), w.alias("w")).agg(
+        F.max((F.col(type_col) == view_type).cast("int")).alias("has_view"),
+        F.max((F.col(type_col) == convert_type).cast("int")).alias("has_conv"),
+    )
+    by_day = sess.groupBy(
+        F.to_date(F.col("w.start")).alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("view_sessions"),
+        F.sum(F.col("has_view") * F.col("has_conv"))
+        .cast("long")
+        .alias("converting_sessions"),
+    )
+    return by_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_sessions",
+        "view_sessions",
+        "converting_sessions",
+        F.round(
+            F.col("converting_sessions")
+            / F.nullif(F.col("view_sessions"), F.lit(0)),
+            6,
+        ).alias("session_cvr"),
+    )

@@ -39,6 +39,7 @@ from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
     # --- round-5q/5p additions (newest, least-verified; lead the window) ---
+    "w7_session_conversion",
     "g3_link_prediction",
     "h17_incremental_rolling_active",
     "a10_orc_roundtrip",

@@ -185,3 +185,52 @@ def g3_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.link_prediction(
         edges, min_common=_G3_MIN_COMMON, top_n=50
     )
+
+
+# =============================================================================
+# w7: session-scoped conversion (session_window composition).
+# =============================================================================
+
+_W7_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), per_sess AS (
+        SELECT user_id, sid,
+               CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_conv
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n_sessions,
+           CAST(sum(has_view) AS BIGINT) AS view_sessions,
+           CAST(sum(has_view * has_conv) AS BIGINT) AS converting_sessions,
+           round(CAST(sum(has_view * has_conv) AS DOUBLE)
+                 / nullif(sum(has_view), 0), 6) AS session_cvr
+    FROM per_sess GROUP BY day
+"""
+
+
+@q("w7_session_conversion", _W7_ORACLE)
+def w7_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session conversion over 30-minute session windows: the w3
+    sessionization composed with presence flags folded into the SAME
+    session aggregation (one pass over events; see
+    ``windows.session_conversion``).  The oracle spells Spark's
+    session_window as gaps-and-islands (w3's validated convention:
+    a >=30min arrival starts a new session, sessions keyed to their
+    start day)."""
+    from martech_pipelines_spark.operators import windows as WIN
+
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.session_conversion(ev)

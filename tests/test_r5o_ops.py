@@ -314,3 +314,22 @@ def test_link_prediction_excludes_existing_edges_and_low_common(spark):
         [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
     )
     assert link_prediction(edges).count() == 0
+
+
+def test_session_conversion_hand_case(spark):
+    from martech_pipelines_spark.operators.windows import session_conversion
+
+    # u1 session A (view+purchase, converts), then >=30min gap, session
+    # B (view only).  u2: purchase-only session (counted in n_sessions,
+    # not in view_sessions).  Conversion = 1 converting / 2 view
+    # sessions on Jan 1.
+    rows = [
+        (1, 1, "view", _ts("2024-01-01 10:00:00")),
+        (2, 1, "purchase", _ts("2024-01-01 10:10:00")),
+        (3, 1, "view", _ts("2024-01-01 11:00:00")),  # 50min after -> new
+        (4, 2, "purchase", _ts("2024-01-01 12:00:00")),
+    ]
+    out = {r["day"]: r for r in session_conversion(_events(spark, rows)).collect()}
+    r = out["2024-01-01"]
+    assert (r["n_sessions"], r["view_sessions"], r["converting_sessions"]) == (3, 2, 1)
+    assert r["session_cvr"] == 0.5
