@@ -768,3 +768,59 @@ def rolling_active_from_state(
             "active_users",
         )
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations held by FEWER than
+    ``k`` rows — the groups where a released record is re-identifiable
+    by joining public attributes.  One keyed aggregation (map-side
+    combine collapses to |groups| rows before the shuffle) + a post-agg
+    filter; pair with generalization/suppression upstream and
+    ``erase_keys`` (dq5) for the deletion side of the same compliance
+    surface."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
+def rolling_active_hll(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    lgk: int = 12,
+) -> DataFrame:
+    """Approximate trailing-N-day actives via mergeable per-day HLL
+    sketches — the r31 twin whose windowed shuffle is USER-COUNT
+    INDEPENDENT: per-day sketches (one keyed agg over raw events, map-
+    side partial sketching), fan each day's fixed-size sketch to the N
+    report days it covers, one ``hll_union_agg`` + estimate per day.
+    The per-day sketch table doubles as IVM state: late data re-unions
+    into its day (idempotent for re-seen users up to sketch register
+    semantics — HLL inserts are idempotent, so replay is a no-op)."""
+    per_day = events.groupBy(
+        F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.hll_sketch_agg(F.col(user_col), F.lit(lgk)).alias("sketch"))
+    fanned = per_day.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("rday"),
+        "sketch",
+    )
+    merged = fanned.groupBy("rday").agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+    days = per_day.select(F.col("day").alias("rday"))
+    return (
+        merged.join(days, "rday", "left_semi")
+        .select(
+            F.date_format("rday", "yyyy-MM-dd").alias("day"),
+            F.hll_sketch_estimate("sketch").cast("long").alias("active_users"),
+        )
+    )

@@ -24,6 +24,7 @@ from martech_pipelines_spark.plans import corpus_r5n  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5o  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5p  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5r  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -39,6 +40,7 @@ from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
     # --- round-5q/5p additions (newest, least-verified; lead the window) ---
+    "dq7_k_anonymity",
     "w7_session_conversion",
     "g3_link_prediction",
     "h17_incremental_rolling_active",

@@ -333,3 +333,34 @@ def test_session_conversion_hand_case(spark):
     r = out["2024-01-01"]
     assert (r["n_sessions"], r["view_sessions"], r["converting_sessions"]) == (3, 2, 1)
     assert r["session_cvr"] == 0.5
+
+
+def test_k_anonymity_flags_only_small_groups(spark):
+    from martech_pipelines_spark.operators.transforms import (
+        k_anonymity_violations,
+    )
+
+    rows = [(1, "A", "x")] * 6 + [(2, "B", "y")] * 2 + [(3, "C", "z")] * 4
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (_, a, b) in enumerate(rows)],
+        "id long, qa string, qb string",
+    )
+    out = {
+        (r["qa"], r["qb"]): r["group_size"]
+        for r in k_anonymity_violations(df, ["qa", "qb"], k=5).collect()
+    }
+    assert out == {("B", "y"): 2, ("C", "z"): 4}
+
+
+def test_rolling_active_hll_within_5pct_of_exact(spark):
+    from martech_pipelines_spark.operators.transforms import (
+        rolling_active_hll,
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, SF, "events")
+    exact = {r["day"]: r["active_users"] for r in rolling_active_users(ev).collect()}
+    approx = {r["day"]: r["active_users"] for r in rolling_active_hll(ev).collect()}
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(1, 0.05 * n), (day, n, approx[day])
