@@ -150,13 +150,18 @@ def copurchase_edges_undirected(
     with it, while the signal lives in the repeated pairs.  Support
     thresholding costs nothing here (the pair aggregation already
     groups by the pair) and is how a real basket graph is built
-    (mart10's rules are support-thresholded for the same reason)."""
+    (mart10's rules are support-thresholded for the same reason).
+
+    Support counts DISTINCT co-purchase orders: the (order, part)
+    projection is deduplicated before the self-join (mart10's
+    convention), so an order listing the same part on several lineitems
+    contributes one co-occurrence, not a lineitem-pair product."""
     a = lineitem.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
-    )
+    ).distinct()
     b = lineitem.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
+    ).distinct()
     pairs = (
         a.join(b, "k")
         .filter(F.col("src") < F.col("dst"))

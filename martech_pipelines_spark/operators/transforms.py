@@ -812,13 +812,19 @@ def rolling_active_hll(
             )
         ).alias("rday"),
         "sketch",
+        F.col("day").alias("orig"),
     )
+    # origin flag instead of a semi-join against per_day: the semi-join
+    # form references the sketch aggregation subtree twice (same
+    # re-derivation hazard rolling_active_from_state documents).
     merged = fanned.groupBy("rday").agg(
-        F.hll_union_agg("sketch").alias("sketch")
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.max((F.col("orig") == F.col("rday")).cast("int")).alias(
+            "__has_origin"
+        ),
     )
-    days = per_day.select(F.col("day").alias("rday"))
     return (
-        merged.join(days, "rday", "left_semi")
+        merged.where(F.col("__has_origin") == 1)
         .select(
             F.date_format("rday", "yyyy-MM-dd").alias("day"),
             F.hll_sketch_estimate("sketch").cast("long").alias("active_users"),

@@ -44,22 +44,33 @@ from martech_pipelines_spark.sources import load_table
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
-# The oracle spells the SAME greedy chain as the fold: step i's reach
-# time is the MIN event of that type STRICTLY after step i-1's reach
-# time.  With unbounded windows this equals the existential ordered
-# match, so both engines agree on "ever did view < click < purchase".
-_MART14_ORACLE = """
+def _funnel_oracle(within_s: int | None = None) -> str:
+    """One spelling of the greedy min-chain spec for BOTH funnel
+    oracles: step i's reach time is the MIN event of that type STRICTLY
+    after step i-1's reach time, optionally bounded to ``within_s``
+    seconds of it.  With unbounded windows the greedy chain equals the
+    existential ordered match; windowed, it is the first-touch-anchored
+    convention ``ordered_funnel`` documents."""
+
+    def win(prev: str) -> str:
+        if within_s is None:
+            return ""
+        return f" AND e.ts <= {prev} + INTERVAL {within_s} SECOND"
+
+    return f"""
     WITH v AS (
         SELECT user_id, min(ts) AS vt FROM events
         WHERE event_type = 'view' GROUP BY 1
     ), c AS (
         SELECT e.user_id, min(e.ts) AS ct
         FROM events e JOIN v USING (user_id)
-        WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1
+        WHERE e.event_type = 'click' AND e.ts > v.vt{win('v.vt')}
+        GROUP BY 1
     ), p AS (
         SELECT e.user_id, min(e.ts) AS pt
         FROM events e JOIN c USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct{win('c.ct')}
+        GROUP BY 1
     ), n AS (
         SELECT (SELECT count(*) FROM v) AS n0,
                (SELECT count(*) FROM c) AS n1,
@@ -78,6 +89,9 @@ _MART14_ORACLE = """
                round(CAST(n2 AS DOUBLE) / nullif(n0, 0), 6) FROM n
     )
 """
+
+
+_MART14_ORACLE = _funnel_oracle()
 
 
 @q("mart14_funnel", _MART14_ORACLE)
@@ -160,40 +174,7 @@ def h16_incremental_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W6_WITHIN_S = 48 * 3600
 
-_W6_ORACLE = f"""
-    WITH v AS (
-        SELECT user_id, min(ts) AS vt FROM events
-        WHERE event_type = 'view' GROUP BY 1
-    ), c AS (
-        SELECT e.user_id, min(e.ts) AS ct
-        FROM events e JOIN v USING (user_id)
-        WHERE e.event_type = 'click' AND e.ts > v.vt
-          AND e.ts <= v.vt + INTERVAL {_W6_WITHIN_S} SECOND
-        GROUP BY 1
-    ), p AS (
-        SELECT e.user_id, min(e.ts) AS pt
-        FROM events e JOIN c USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.ts > c.ct
-          AND e.ts <= c.ct + INTERVAL {_W6_WITHIN_S} SECOND
-        GROUP BY 1
-    ), n AS (
-        SELECT (SELECT count(*) FROM v) AS n0,
-               (SELECT count(*) FROM c) AS n1,
-               (SELECT count(*) FROM p) AS n2
-    )
-    SELECT * FROM (
-        SELECT 0 AS step_idx, 'view' AS step, n0 AS users,
-               1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM n
-        UNION ALL
-        SELECT 1, 'click', n1,
-               round(CAST(n1 AS DOUBLE) / nullif(n0, 0), 6),
-               round(CAST(n1 AS DOUBLE) / nullif(n0, 0), 6) FROM n
-        UNION ALL
-        SELECT 2, 'purchase', n2,
-               round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6),
-               round(CAST(n2 AS DOUBLE) / nullif(n0, 0), 6) FROM n
-    )
-"""
+_W6_ORACLE = _funnel_oracle(_W6_WITHIN_S)
 
 
 @q("w6_windowed_funnel", _W6_ORACLE)

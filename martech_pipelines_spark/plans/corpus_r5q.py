@@ -134,11 +134,12 @@ _G3_MIN_SUPPORT = 2
 _G3_MIN_COMMON = 2
 
 _G3_ORACLE = f"""
-    WITH e AS (
-        SELECT a.l_partkey AS src, b.l_partkey AS dst
-        FROM lineitem a
-        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-                       AND a.l_partkey < b.l_partkey
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), e AS (
+        SELECT a.p AS src, b.p AS dst
+        FROM lp a
+        JOIN lp b ON a.k = b.k AND a.p < b.p
         GROUP BY 1, 2
         HAVING count(*) >= {_G3_MIN_SUPPORT}
     ), adj AS (
