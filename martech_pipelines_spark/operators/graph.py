@@ -156,15 +156,17 @@ def copurchase_edges_undirected(
     projection is deduplicated before the self-join (mart10's
     convention), so an order listing the same part on several lineitems
     contributes one co-occurrence, not a lineitem-pair product."""
-    a = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    lp = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
     ).distinct()
-    b = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    ).distinct()
+    # true self-join of ONE deduped projection: both sides canonicalize
+    # to the same subplan, so ReuseExchange materializes the distinct
+    # shuffle once and feeds it to both join inputs.
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("src") < F.col("dst"))
+        lp.alias("a")
+        .join(lp.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("__support"))
     )
