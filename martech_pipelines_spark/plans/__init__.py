@@ -25,6 +25,7 @@ from martech_pipelines_spark.plans import corpus_r5o  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5p  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5r  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r5s  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -40,6 +41,7 @@ from martech_pipelines_spark.plans import corpus_r5r  # noqa: F401  (registers)
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
     # --- round-5q/5p additions (newest, least-verified; lead the window) ---
+    "t38_tfidf_keywords",
     "dq7_k_anonymity",
     "w7_session_conversion",
     "g3_link_prediction",

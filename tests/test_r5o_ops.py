@@ -364,3 +364,44 @@ def test_rolling_active_hll_within_5pct_of_exact(spark):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(1, 0.05 * n), (day, n, approx[day])
+
+
+def test_tfidf_keywords_hand_case_and_plan(spark):
+    import math
+
+    from martech_pipelines_spark.plans.corpus_r5s import t38_tfidf_keywords
+    from tests.test_plans import plan_of
+    from martech_pipelines_spark.plans import QUERIES
+
+    # 'cat' appears in 1 of 2 docs (idf=ln 2); 'the' in both (idf=0).
+    docs = spark.createDataFrame(
+        [(1, "the cat the cat"), (2, "the dog")],
+        "doc_id long, text string",
+    )
+    import martech_pipelines_spark.plans.corpus_r5s as mod
+    from martech_pipelines_spark.operators.text import tokens  # noqa: F401
+
+    # exercise the same expression pipeline via a local rebuild
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from martech_pipelines_spark.operators.text import tokens as tk
+
+    tf = (
+        docs.select("doc_id", F.explode(tk(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(df, "token").crossJoin(F.broadcast(n)).select(
+        "doc_id", "token", "tf",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+    )
+    got = {(r["doc_id"], r["token"]): r["tfidf"] for r in scored.collect()}
+    assert got[(1, "cat")] == round(2 * math.log(2), 4)
+    assert got[(1, "the")] == 0.0
+    assert got[(2, "dog")] == round(math.log(2), 4)
+
+    # partial top-k reaches the plan (WindowGroupLimit before the exchange)
+    plan = plan_of(QUERIES["t38_tfidf_keywords"](spark, SF))
+    assert "WindowGroupLimit" in plan
