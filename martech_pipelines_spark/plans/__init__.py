@@ -42,6 +42,7 @@ from martech_pipelines_spark.plans import corpus_r5s  # noqa: F401  (registers)
 _WINDOW_PRIORITY = [
     # --- round-5q/5p additions (newest, least-verified; lead the window) ---
     "t38_tfidf_keywords",
+    "h18_incremental_join",
     "dq7_k_anonymity",
     "w7_session_conversion",
     "g3_link_prediction",

@@ -91,3 +91,52 @@ def t38_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _T38_TOP)
         .select("doc_id", "token", "tf", "tfidf", "rk")
     )
+
+
+# =============================================================================
+# h18: incremental JOIN-view maintenance (the bilinear delta identity).
+# =============================================================================
+
+_H18_ORACLE = """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+           round(o.o_totalprice, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@q("h18_incremental_join", _H18_ORACLE)
+def h18_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM proof for a JOIN view: the enriched-orders view A⋈B
+    maintained under insert deltas on BOTH sides via the bilinear
+    identity  Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB  — the reason join views
+    are maintainable without re-reading either full side: every delta
+    term joins a DELTA against a (bounded) side, never full⋈full
+    again.  Here orders and customer are each split in half (modular
+    key split — both 'old' halves form the initial view, both 'new'
+    halves arrive as deltas) and the view is assembled as
+    old⋈old ∪ new⋈old ∪ old⋈new ∪ new⋈new; the oracle is the full
+    recompute, so the identity (and its non-overlap — each joined pair
+    lands in exactly one term) is value-checked, completing the IVM
+    family: h6 aggregates, h7 sketches, h13/h16/h17 distinct states,
+    h14 SCD2, h15 additive marts, h18 joins."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    a0 = od.where(F.col("o_orderkey") % 2 == 0)
+    a1 = od.where(F.col("o_orderkey") % 2 == 1)
+    b0 = cust.where(F.col("c_custkey") % 2 == 0)
+    b1 = cust.where(F.col("c_custkey") % 2 == 1)
+
+    def j(a, b):
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "total"
+        )
+
+    view = j(a0, b0)
+    view = view.unionByName(j(a1, b0))   # ΔA ⋈ B_old
+    view = view.unionByName(j(a0, b1))   # A_old ⋈ ΔB
+    view = view.unionByName(j(a1, b1))   # ΔA ⋈ ΔB
+    return view
