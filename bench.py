@@ -74,6 +74,8 @@ HEADLINE = [
     "g2_triangles",
     "mart15_retention",
     "r31_rolling_active",
+    # round-6 additions
+    "g2b_triangles_support2",
 ]
 
 
@@ -102,6 +104,26 @@ def main() -> None:
             caching.release()  # free operator-persisted intermediates per run
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+
+    # Regression gate: warn (stderr — stdout stays ONE JSON line) when a
+    # query exceeds 2x its recorded floor.  Floors live in
+    # BENCH_BASELINE.json and only apply at the floor's own sf (0.1).
+    try:
+        floors = json.load(
+            open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASELINE.json"))
+        )
+        if str(floors.get("sf")) == sf_dir.rstrip("/").rsplit("sf", 1)[-1]:
+            for name, t in timings.items():
+                floor = floors["queries"].get(name)
+                if floor and t > 2.0 * floor:
+                    print(
+                        f"WARN bench regression: {name} {t:.3f}s > 2x floor "
+                        f"{floor:.3f}s",
+                        file=sys.stderr,
+                    )
+    except (OSError, ValueError, KeyError):
+        pass
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -26,130 +26,51 @@ from martech_pipelines_spark.plans import corpus_r5p  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5r  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5s  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r6  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering.
+# Driver-window ordering (round 6 rotation — VERDICT r5 "Next round" #2).
 #
 # The correctness driver hashes only the FIRST 50 entries of queries() each
-# round (CORRECTNESS_r{N}.json).  Rounds 1-4 verified 65 distinct queries;
-# 90 registered queries have never been driver-checked.  We lead the registry
-# with 50 never-driver-verified, full-oracle queries (new round-5 work first,
-# then the hardest carried work: TPC-H q2/q9/q20, dd8-dd11, s6/s7, t13-t22,
-# mart1-6, h6/h8, pipe1-4) so the driver's window converts local-only
-# verification into hard driver signal.  Everything else keeps its original
-# registration order after the priority block; nothing is removed.
+# round.  Cumulative driver coverage after r1-r5: 109/229; 114 registered
+# queries (103 with full oracles) have never been driver-checked.  Round-6
+# window (slots 1-50): the two covariance queries whose contract was made
+# integer-exact this round (they FAILED the r5 driver hash and must
+# re-verify), then 48 never-driver-verified full-oracle queries — all of
+# TPC-H q1-q22, mart1-7 (+SCD2/PIT twins), dd7b-dd12, s6/s7/s9/s10(+lsh),
+# t13/t19, pipe1, h6.  Slots 51-100 queue the rest of the never-verified
+# backlog for round 7.  Everything else keeps registration order; nothing
+# is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # --- round-5q/5p additions (newest, least-verified; lead the window) ---
-    "t38_tfidf_keywords",
-    "h18_incremental_join",
-    "dq7_k_anonymity",
-    "w7_session_conversion",
-    "g3_link_prediction",
-    "h17_incremental_rolling_active",
-    "a10_orc_roundtrip",
-    "t37_sentiment",
-    "r31_rolling_active",
-    # --- round-5o additions ---
-    "w6_windowed_funnel",
-    "g2_triangles",
-    "mart14_funnel",
-    "mart15_retention",
-    "h16_incremental_retention",
-    # --- round-5k..5g additions ---
-    "r30_debounce",
-    "t36_langid_confusion",
-    "r29_exact_percentiles",
-    "dq5_erasure_audit",
-    "pipe9_campaign_report",
-    "mart13_rfm",
-    "h15_incremental_baskets",
-    "a9_jsonl_scan",
-    "h14_incremental_scd2",
-    "mart12_top_paths",
-    "pipe8_entity_resolution",
-    "h13_incremental_reach",
-    "mart11_audience_overlap",
-    # --- round-5f additions (registered in corpus_r5f) ---
-    "pipe7_propensity_training_set",
-    "r28_cumulative_reach",
-    # --- round-5e additions (registered in corpus_r5e) ---
-    "fe1_pit_features",
-    "s14_negative_sampling",
-    "r27_unpivot",
-    "mart10_basket_affinity",
-    # --- round-5d additions (registered in corpus_r5d) ---
-    "r22_asof_join",
-    "r23_campaign_range_join",
-    "r24_cube",
-    "r25_pivot",
-    "r26_group_linreg",
-    "t31_classifier_auc",
+    # === round-6 window, slots 1-50 ===
+    # -- r5 driver FAILs, contract hardened this round (must re-verify) --
     "s12_covariance",
     "s12b_covariance_arrow",
-    "g1_pagerank_copurchase",
-    # --- round-5c additions (registered in corpus_r5c) ---
-    "t30_countmin",
-    "h12_incremental_histogram",
-    "mart9_transition_matrix",
-    "r21_order_streaks",
-    "s11_mips_topk",
-    "dd13_bloom_prefilter",
-    "w5_click_purchase_join",
-    # --- round-5b additions (registered in corpus_r5b) ---
-    "mart8_time_decay_attribution",
-    "dq3_referential_integrity",
-    "t28_stratified_sample",
-    "t29_quality_classifier",
-    "w4_late_data_admission",
-    "s10_knn_graph",
-    "s10b_knn_graph_lsh",
-    "h11_incremental_topk",
-    "dq4_source_freshness",
-    # --- round-5 additions (never checked, registered in corpus_r5) ---
-    "pipe5_export_e2e",
-    "t23_domain_cap",
-    "t24_curriculum_bins",
-    "dd12_keep_best_per_cluster",
-    "r20_gap_fill",
-    "h9_merge_upsert",
-    "mart7_cohort_ltv",
-    "dq2_rolling_zscore",
-    "t27_heavy_hitters",
-    "s9_hard_negatives",
-    "s9b_hard_negatives_ivf",
-    "pipe6_tokenize_pack",
-    "h10_incremental_cohort",
-    # --- TPC-H completions (round 4, never driver-checked) ---
+    # -- TPC-H (never driver-checked) --
+    "q1_pricing_summary",
     "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
     "q9_product_profit",
-    "q20_potential_promotion",
+    "q10_returned_items",
     "q11_important_stock",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
     "q16_supplier_relationship",
-    # --- dedup / decontamination ---
-    "dd8_substring_window",
-    "dd8b_substring_window_skew",
-    "dd9_decontaminate",
-    "dd9b_contamination_overlap",
-    "dd10_incremental_dedup",
-    "dd11_paragraph_dedup",
-    "dd7b_dup_clusters_star",
-    # --- similarity ---
-    "s6_semdedup",
-    "s7_sq8_topk",
-    # --- text / training-data prep ---
-    "t13_gopher_filter",
-    "t14_bpe_pairs",
-    "t15_url_filter",
-    "t16_mixture_weights",
-    "t17_ngram_lm_score",
-    "t18_dsir_importance",
-    "t19_bm25",
-    "t19b_bm25_materialized",
-    "t20_weighted_sample",
-    "t21_length_buckets",
-    "t22_source_drift",
-    # --- marts / SCD2 / attribution ---
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # -- marts / SCD2 / PIT (never driver-checked) --
     "mart1_funnel",
     "mart2_retention",
     "mart3_last_touch",
@@ -158,30 +79,87 @@ _WINDOW_PRIORITY = [
     "mart5_linear_attribution",
     "mart6_pit_join",
     "mart6b_pit_window",
-    # --- incremental view maintenance ---
-    "h6_incremental_agg",
-    "h8_snapshot_diff",
-    # --- composed pipelines ---
+    "mart7_cohort_ltv",
+    # -- dedup / decontamination (never driver-checked) --
+    "dd7b_dup_clusters_star",
+    "dd8_substring_window",
+    "dd8b_substring_window_skew",
+    "dd9_decontaminate",
+    "dd9b_contamination_overlap",
+    "dd10_incremental_dedup",
+    "dd11_paragraph_dedup",
+    "dd12_keep_best_per_cluster",
+    # -- similarity (never driver-checked, full-oracle forms) --
+    "s6_semdedup",
+    "s7_sq8_topk",
+    "s9_hard_negatives",
+    "s10_knn_graph",
+    "s10b_knn_graph_lsh",
+    # -- text / pipelines / IVM picks --
+    "t13_gopher_filter",
+    "t19_bm25",
     "pipe1_training_prep",
+    "h6_incremental_agg",
+    # === round-7 queue, slots 51+ (new round-6 work first, then the
+    # remaining never-driver-verified backlog) ===
+    "g2b_triangles_support2",
+    "s15_label_centroids",
+    "h19_incremental_covariance",
+    "t14_bpe_pairs",
+    "t15_url_filter",
+    "t16_mixture_weights",
+    "t17_ngram_lm_score",
+    "t18_dsir_importance",
+    "t19b_bm25_materialized",
+    "t20_weighted_sample",
+    "t21_length_buckets",
+    "t22_source_drift",
+    "t23_domain_cap",
+    "t24_curriculum_bins",
+    "t27_heavy_hitters",
+    "t28_stratified_sample",
+    "t29_quality_classifier",
+    "t6_tfidf",
+    "t7_rolling_fingerprint",
     "pipe2_scale_prep",
     "pipe3_mixture_resample",
     "pipe4_leakage_safe_split",
-    # --- layout / DQ / relational fill-ins ---
-    # NOTE (round 6): the 12 round-5 names above push the tail of this
-    # block past the driver's 50-slot window — as of round 5 the entries
-    # from ~z1 down are the remaining never-driver-checked set (all
-    # local-oracle-verified). Rotate them to the top next round.
-    "z1_zorder_key",
+    "pipe5_export_e2e",
+    "h8_snapshot_diff",
+    "h9_merge_upsert",
+    "h10_incremental_cohort",
+    "h11_incremental_topk",
+    "mm1_media_meta",
+    "mm2_media_features",
+    "mm3_binary_ingest",
+    "mm4_resize",
+    "mm5_frame_sample",
+    "mm6_phash_near_dup",
     "dq1_constraint_check",
+    "dq2_rolling_zscore",
+    "dq3_referential_integrity",
+    "dq4_source_freshness",
+    "w4_late_data_admission",
+    "z1_zorder_key",
+    "r7_range_join",
+    "r4b_cube",
+    "r8_percentiles",
+    "r9_pivot",
+    "r10_running_window",
+    "r11_grouping_sets",
+    "r12_exists_subquery",
+    "r13_lead_lag",
+    "r14_json_map",
+    "r15_time_range_frame",
+    "r16_winsorize",
     "r17_fuzzy_join",
     "r18_mad_outliers",
     "r19_histogram",
-    "mm6_phash_near_dup",
-    "mm1_media_meta",
-    "mm2_media_features",
-    "t6_tfidf",
+    "r20_gap_fill",
     "f12_standardize",
     "dp1_profile_customer",
+    "a4_conf_read",
+    "a5_csv_scan",
 ]
 
 

@@ -444,18 +444,42 @@ def t31_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detection need before IVF/PQ indexing at scale.
 # =============================================================================
 
+# Integer-exact contract (round-6 hardening of the r5 driver hash-fail):
+# quantize each value to floor(x*10^6 + 0.5) — pure IEEE double ops, no
+# .5-tie round() ambiguity — accumulate exact integer moments, and round
+# the covariance with integer half-up division.  Every intermediate is an
+# associative integer sum or a deterministic function of identical
+# integers, so the output doubles are bit-identical across engines,
+# partitionings, and summation orders.  Mirrors
+# operators/linalg.py:_exact_cov_from_moments.
 _S12_ORACLE = """
     WITH e AS (
         SELECT vec_id,
                CAST(i AS INTEGER) - 1 AS dim,
-               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+               CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS xq
         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    mo AS (
+        SELECT a.dim AS i, b.dim AS j,
+               count(*) AS n,
+               sum(CAST(a.xq AS HUGEINT) * b.xq) AS sxy,
+               sum(CAST(a.xq AS HUGEINT)) AS sx,
+               sum(CAST(b.xq AS HUGEINT)) AS sy
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ),
+    fin AS (
+        SELECT i, j,
+               (CAST(n AS HUGEINT) * sxy - sx * sy) * 100000 AS num,
+               CAST(n AS HUGEINT) * n * 1000000000000 AS den
+        FROM mo
     )
-    SELECT a.dim AS i, b.dim AS j,
-           round(sum(a.x * b.x) / count(*)
-                 - (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 5) AS cov
-    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-    GROUP BY 1, 2
+    SELECT i, j,
+           CAST(CASE WHEN num >= 0 THEN (2*num + den) // (2*den)
+                     ELSE -((-2*num + den) // (2*den)) END AS DOUBLE)
+           / 100000.0 AS cov
+    FROM fin
 """
 
 

@@ -15,8 +15,10 @@ Registers into the shared QUERIES/ORACLE dicts at import time.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,15 +27,25 @@ from martech_pipelines_spark.sources import load_table
 from martech_pipelines_spark.sources.readers import read_orc
 
 
+_ORC_WRITTEN: set[str] = set()
+
+
 def write_customer_orc(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the deterministic ORC copy of customer.  Path keyed
     by full dataset path + pid (same hygiene as a9's jsonl log: no
-    cross-sf aliasing, no concurrent-session overwrite races)."""
+    cross-sf aliasing, no concurrent-session overwrite races).  Written
+    once per (sf_dir, process) — bench repeats reuse the first write —
+    and removed at interpreter exit so /tmp does not accumulate a
+    directory per process."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out_dir = os.path.join("/tmp", f"mp_spark_orc_{tag}_{os.getpid()}")
+    if out_dir in _ORC_WRITTEN:
+        return out_dir
     load_table(spark, sf_dir, "customer").coalesce(4).write.mode(
         "overwrite"
     ).orc(out_dir)
+    _ORC_WRITTEN.add(out_dir)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     return out_dir
 
 

@@ -233,6 +233,9 @@ def test_auc_plan_has_no_global_row_sort(spark):
 
 
 def test_covariance_arrow_equals_exact(spark):
+    """Integer-exact contract: the Arrow Gram-partial twin must be
+    BIT-identical to the exact form (both accumulate the same exact
+    integer moments), not merely within a float tolerance."""
     emb = load_table(spark, SF, "embeddings")
     a = {
         (r["i"], r["j"]): r["cov"]
@@ -242,9 +245,33 @@ def test_covariance_arrow_equals_exact(spark):
         (r["i"], r["j"]): r["cov"]
         for r in LA.embedding_covariance_arrow(emb, round_dp=5).collect()
     }
-    assert set(a) == set(b)
-    for k in a:
-        assert abs(a[k] - b[k]) <= 1e-5, (k, a[k], b[k])
+    assert a == b
+
+
+def test_covariance_partition_invariant(spark):
+    """The r5 driver hash-fail mode: double sums differing by ~1 ulp
+    across summation orders near a 5-dp rounding boundary.  The
+    quantized-integer contract must produce bit-identical cells for ANY
+    partitioning of the input, for both forms."""
+    emb = load_table(spark, SF, "embeddings")
+    baseline = sorted(
+        tuple(r) for r in LA.embedding_covariance(
+            emb, round_dp=5, id_col="vec_id"
+        ).collect()
+    )
+    for nparts in (1, 7, 32):
+        ex = sorted(
+            tuple(r) for r in LA.embedding_covariance(
+                emb.repartition(nparts), round_dp=5, id_col="vec_id"
+            ).collect()
+        )
+        ar = sorted(
+            tuple(r) for r in LA.embedding_covariance_arrow(
+                emb.repartition(nparts), round_dp=5
+            ).collect()
+        )
+        assert ex == baseline, nparts
+        assert ar == baseline, nparts
 
 
 def test_covariance_diagonal_is_variance(spark):
