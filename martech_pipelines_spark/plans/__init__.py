@@ -105,6 +105,10 @@ _WINDOW_PRIORITY = [
     "g2b_triangles_support2",
     "s15_label_centroids",
     "h19_incremental_covariance",
+    "s17_centroid_distances",
+    "mart17_churn",
+    "dq8_profile_drift",
+    "r32_ntile_deciles",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

@@ -137,6 +137,343 @@ def s15_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 
 
+# =============================================================================
+# mart17: week-over-week churn — the retention complement (mart15 counts
+# who RETURNS per cohort; this counts who LEAVES per calendar week).
+# =============================================================================
+
+_MART17_ORACLE = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) / 7.0)
+                    AS INTEGER) AS week
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev.week + 1 AS week,
+               count(*) AS prev_active,
+               count(cur.user_id) AS retained
+        FROM uw prev
+        LEFT JOIN uw cur ON cur.user_id = prev.user_id
+                        AND cur.week = prev.week + 1
+        GROUP BY 1
+    )
+    SELECT week, prev_active, retained,
+           prev_active - retained AS churned,
+           round(CAST(prev_active - retained AS DOUBLE) / prev_active, 4)
+               AS churn_rate
+    FROM pairs
+    WHERE week <= (SELECT max(week) FROM uw)
+    ORDER BY week
+"""
+
+
+@q("mart17_churn", _MART17_ORACLE)
+def mart17_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: of the users active in week w-1, how many
+    came back in week w (retained) vs disappeared (churned).  Plan: ONE
+    distinct over (user, week) — the same reduced activity state mart15
+    and r31 fold — then a self-equi-join on (user, week+1): keyed
+    shuffles only, sized by |user-weeks|, never by raw events.  The
+    churn_rate is a single integer-ratio division (deterministic,
+    audit-safe).  The final week is excluded: week max(week)+1 has no
+    observation window, so its churn is not a fact."""
+    ev = load_table(spark, sf_dir, "events")
+    # explicit floor on BOTH engines: DuckDB CAST(double AS INTEGER)
+    # rounds-to-nearest while Spark .cast("int") truncates — day 25
+    # (25/7 = 3.57) must land in week 3 everywhere
+    uw = ev.select(
+        "user_id",
+        F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / F.lit(7.0))
+        .cast("int")
+        .alias("week"),
+    ).distinct()
+    cur = uw.select(F.col("user_id").alias("u2"), F.col("week").alias("w2"))
+    max_week = uw.agg(F.max("week").alias("mw"))
+    pairs = (
+        uw.join(
+            cur,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("w2") == F.col("week") + 1),
+            "left",
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(
+            F.count("*").alias("prev_active"),
+            F.count("u2").alias("retained"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(max_week), pairs.week <= F.col("mw"))
+        .select(
+            "week",
+            "prev_active",
+            "retained",
+            (F.col("prev_active") - F.col("retained")).alias("churned"),
+            F.round(
+                (F.col("prev_active") - F.col("retained")).cast("double")
+                / F.col("prev_active"),
+                4,
+            ).alias("churn_rate"),
+        )
+        .orderBy("week")
+    )
+
+
+# =============================================================================
+# dq8: profile drift between two deterministic halves of the events
+# stream — the schema/statistics drift monitor a pipeline runs before
+# trusting a new data drop (complements dq4's freshness and dp1's
+# one-shot profile).
+# =============================================================================
+
+_DQ8_Q = 10**6  # value quantization for exact mean comparison
+
+_DQ8_ORACLE = f"""
+    WITH halves AS (
+        SELECT event_type,
+               event_id % 2 AS half,
+               value,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE CAST(floor(value * {_DQ8_Q}.0 + 0.5) AS BIGINT)
+               END AS vq
+        FROM events
+    ),
+    prof AS (
+        SELECT event_type, half,
+               count(*) AS n,
+               count(value) AS n_nonnull,
+               sum(CAST(vq AS HUGEINT)) AS svq
+        FROM halves GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               round(CAST(a.n - a.n_nonnull AS DOUBLE) / a.n, 4) AS null_rate_a,
+               round(CAST(b.n - b.n_nonnull AS DOUBLE) / b.n, 4) AS null_rate_b,
+               CAST(CASE WHEN a.svq >= 0
+                         THEN (2*a.svq*{10**4} + a.n_nonnull*{_DQ8_Q})
+                              // (2*a.n_nonnull*{_DQ8_Q})
+                         ELSE -((-2*a.svq*{10**4} + a.n_nonnull*{_DQ8_Q})
+                              // (2*a.n_nonnull*{_DQ8_Q})) END AS DOUBLE)
+                   / {10**4}.0 AS mean_a,
+               CAST(CASE WHEN b.svq >= 0
+                         THEN (2*b.svq*{10**4} + b.n_nonnull*{_DQ8_Q})
+                              // (2*b.n_nonnull*{_DQ8_Q})
+                         ELSE -((-2*b.svq*{10**4} + b.n_nonnull*{_DQ8_Q})
+                              // (2*b.n_nonnull*{_DQ8_Q})) END AS DOUBLE)
+                   / {10**4}.0 AS mean_b
+        FROM prof a JOIN prof b
+          ON a.event_type = b.event_type AND a.half = 0 AND b.half = 1
+    )
+    SELECT event_type, n_a, n_b, null_rate_a, null_rate_b, mean_a, mean_b,
+           round(abs(mean_a - mean_b), 4) AS mean_shift
+    FROM wide
+    ORDER BY event_type
+"""
+
+
+@q("dq8_profile_drift", _DQ8_ORACLE)
+def dq8_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type statistical profile of two deterministic halves
+    (event_id parity — engine-identical split) with the drift between
+    them: row counts, null rates, and value means.  Means use the
+    round-6 integer-exact discipline (quantized BIGINT sums, integer
+    half-up division at 4 dp) so the profile is bit-stable across
+    engines — a drift monitor whose own numbers drift would page people
+    for nothing.  One keyed aggregation over (type, half); output is
+    |event_types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    vq = F.when(
+        F.col("value").isNull(), F.lit(None).cast("long")
+    ).otherwise(F.floor(F.col("value") * F.lit(float(_DQ8_Q)) + F.lit(0.5)))
+    prof = (
+        ev.select(
+            "event_type",
+            (F.col("event_id") % 2).alias("half"),
+            "value",
+            vq.alias("vq"),
+        )
+        .groupBy("event_type", "half")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("value").alias("n_nonnull"),
+            F.sum(F.col("vq").cast("decimal(38,0)")).alias("svq"),
+        )
+    )
+    def _mean(side: str):
+        half_up = F.when(
+            F.col(f"{side}.svq") >= 0,
+            F.expr(
+                f"(2*{side}.svq*{10**4} + {side}.n_nonnull*{_DQ8_Q}) div "
+                f"(2*{side}.n_nonnull*{_DQ8_Q})"
+            ),
+        ).otherwise(
+            -F.expr(
+                f"(-2*{side}.svq*{10**4} + {side}.n_nonnull*{_DQ8_Q}) div "
+                f"(2*{side}.n_nonnull*{_DQ8_Q})"
+            )
+        )
+        return (half_up.cast("double") / F.lit(float(10**4)))
+
+    a = prof.where(F.col("half") == 0).alias("a")
+    b = prof.where(F.col("half") == 1).alias("b")
+    wide = a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(
+            (F.col("a.n") - F.col("a.n_nonnull")).cast("double") / F.col("a.n"), 4
+        ).alias("null_rate_a"),
+        F.round(
+            (F.col("b.n") - F.col("b.n_nonnull")).cast("double") / F.col("b.n"), 4
+        ).alias("null_rate_b"),
+        _mean("a").alias("mean_a"),
+        _mean("b").alias("mean_b"),
+    )
+    return wide.select(
+        "*", F.round(F.abs(F.col("mean_a") - F.col("mean_b")), 4).alias("mean_shift")
+    ).orderBy("event_type")
+
+
+# =============================================================================
+# r32: revenue deciles via ntile — the windowed bucketing fill-in
+# (percent_rank/cume_dist's sibling; r10/r29 cover running windows and
+# exact percentiles, nothing covered ntile).
+# =============================================================================
+
+_R32_ORACLE = """
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    tiled AS (
+        SELECT custkey, revenue,
+               ntile(10) OVER (ORDER BY revenue DESC, custkey) AS decile
+        FROM rev
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           CAST(min(revenue) AS DOUBLE) AS min_revenue,
+           CAST(max(revenue) AS DOUBLE) AS max_revenue,
+           CAST(sum(revenue) AS DOUBLE) AS total_revenue
+    FROM tiled GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("r32_ntile_deciles", _R32_ORACLE)
+def r32_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue deciles: per-customer DECIMAL revenue sums,
+    ntile(10) over a TOTAL order (revenue DESC, custkey tiebreak — an
+    ambiguous ntile order would make the bucket boundaries
+    engine-dependent), then per-decile stats.  The window sorts the
+    AGGREGATED per-customer rows (|customers|, not |orders|); money
+    stays DECIMAL until the final double cast."""
+    od = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    rev = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("custkey"))
+    tiled = rev.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("revenue").cast("double").alias("min_revenue"),
+            F.max("revenue").cast("double").alias("max_revenue"),
+            F.sum("revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+# =============================================================================
+# s17: pairwise label-centroid separation — the class-geometry report
+# (which labels are embedding-confusable) built on s15's exact centroids.
+# =============================================================================
+
+_S17_ORACLE = """
+    WITH e AS (
+        SELECT label,
+               CAST(i AS INTEGER) - 1 AS dim,
+               CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS xq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    mo AS (
+        SELECT label, dim,
+               sum(CAST(xq AS HUGEINT)) * 1000000 AS num,
+               CAST(count(*) AS HUGEINT) * 1000000 AS den
+        FROM e GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT label, dim,
+               CASE WHEN num >= 0 THEN (2*num + den) // (2*den)
+                    ELSE -((-2*num + den) // (2*den)) END AS cq
+        FROM mo
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS DOUBLE)
+           / 1000000000000.0 AS dist2
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@q("s17_centroid_distances", _S17_ORACLE)
+def s17_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared L2 distance between label centroids, computed
+    ENTIRELY in quantized-integer space: s15's centroid cells are exact
+    rationals cq/10^6, so (cq_a - cq_b)^2 sums are exact integers and
+    the output doubles are bit-identical across engines.  The pair join
+    runs over labels*d centroid cells (catalog-bound — row-count
+    independent); this is the confusability matrix that tells a
+    training pipeline which class pairs need contrastive mining
+    (s9's hard negatives) before the expensive per-row work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = LA.embedding_label_centroids(emb, "label", "embedding", round_dp=6)
+    # recover the exact integer: centroid IS cq/10^6, so one floor
+    # round-trips it (same IEEE expression both engines)
+    c = cent.select(
+        "label",
+        "dim",
+        F.floor(F.col("centroid") * F.lit(1e6) + F.lit(0.5)).alias("cq"),
+    )
+    a = c.alias("a")
+    b = c.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("cq").alias("cq_b"),
+    )
+    diff = F.col("cq") - F.col("cq_b")
+    return (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label") < F.col("label_b")),
+        )
+        .groupBy(F.col("label").alias("label_a"), "label_b")
+        .agg(
+            (
+                F.sum((diff * diff).cast("decimal(38,0)")).cast("double")
+                / F.lit(1e12)
+            ).alias("dist2")
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# =============================================================================
+# h19: incremental covariance via mergeable integer moment frames.
+# Shares s12's oracle: incremental == full recompute, BIT-identical.
+# =============================================================================
+
+
 @q("h19_incremental_covariance", _S12_ORACLE)
 def h19_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance maintained incrementally over three delta batches

@@ -105,3 +105,111 @@ def test_g2b_runs_and_clustering_bounded(spark):
     for r in out:
         assert r["triangles"] >= 1
         assert 0.0 <= r["clustering"] <= 1.0
+
+
+# --- mart17 churn ------------------------------------------------------------
+
+
+def test_churn_arithmetic_on_micro_history(spark):
+    import datetime as dt
+
+    def e(i, u, day):
+        return (i, dt.datetime(2024, 1, day, 12), u, "view", 1.0, "{}")
+
+    # week 0 (Jan 1-7): users 1,2,3; week 1 (Jan 8-14): users 2,3,4;
+    # week 2 (Jan 15-21): user 4 only
+    rows = [
+        e(1, 1, 2), e(2, 2, 3), e(3, 3, 4),
+        e(4, 2, 9), e(5, 3, 10), e(6, 4, 11),
+        e(7, 4, 16),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("__mart17_micro")
+    import martech_pipelines_spark.plans.corpus_r6 as r6
+    from unittest import mock
+
+    with mock.patch.object(r6, "load_table", lambda s, d, t: df):
+        out = {r["week"]: r for r in r6.mart17_churn(spark, "x").collect()}
+    # week 1: of {1,2,3}, {2,3} retained -> churn 1/3
+    assert out[1]["prev_active"] == 3 and out[1]["retained"] == 2
+    assert out[1]["churned"] == 1 and abs(out[1]["churn_rate"] - 0.3333) < 1e-9
+    # week 2: of {2,3,4}, {4} retained -> churn 2/3
+    assert out[2]["prev_active"] == 3 and out[2]["retained"] == 1
+    # week 3 excluded: no observation window beyond the last active week
+    assert 3 not in out
+
+
+# --- dq8 profile drift -------------------------------------------------------
+
+
+def test_profile_drift_null_branch(spark):
+    """The sf0.01 events table has zero nulls, so the oracle never
+    exercises the null-rate path — synthetic check that nulls are
+    excluded from the mean and counted in the rate."""
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "a", 2.0, "{}"),   # half 0
+        (2, dt.datetime(2024, 1, 1), 1, "a", None, "{}"),  # half 0, null
+        (1, dt.datetime(2024, 1, 1), 1, "a", 4.0, "{}"),   # half 1
+        (3, dt.datetime(2024, 1, 1), 1, "a", 6.0, "{}"),   # half 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    import martech_pipelines_spark.plans.corpus_r6 as r6
+    from unittest import mock
+
+    with mock.patch.object(r6, "load_table", lambda s, d, t: df):
+        out = r6.dq8_profile_drift(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert abs(r["null_rate_a"] - 0.5) < 1e-9 and r["null_rate_b"] == 0.0
+    assert abs(r["mean_a"] - 2.0) < 1e-9   # null excluded, not zero-filled
+    assert abs(r["mean_b"] - 5.0) < 1e-9
+    assert abs(r["mean_shift"] - 3.0) < 1e-9
+
+
+# --- r32 ntile ---------------------------------------------------------------
+
+
+def test_ntile_deciles_partition_counts_and_ordering(spark):
+    out = QUERIES["r32_ntile_deciles"](spark, SF).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    sizes = [r["n_customers"] for r in out]
+    # ntile: sizes differ by at most 1, earlier tiles get the extras
+    assert max(sizes) - min(sizes) <= 1
+    assert sorted(sizes, reverse=True) == sizes
+    # revenue DESC ordering: decile 1 holds the richest customers
+    assert out[0]["min_revenue"] >= out[-1]["max_revenue"]
+
+
+# --- s17 centroid distances --------------------------------------------------
+
+
+def test_centroid_distances_match_numpy(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    cents = {
+        lb: np.asarray(v, dtype="float64").mean(axis=0)
+        for lb, v in by_label.items()
+    }
+    got = {
+        (r["label_a"], r["label_b"]): r["dist2"]
+        for r in QUERIES["s17_centroid_distances"](spark, SF).collect()
+    }
+    assert len(got) == len(cents) * (len(cents) - 1) // 2
+    for (a, b), d2 in got.items():
+        ref = float(((cents[a] - cents[b]) ** 2).sum())
+        # quantization error per dim <= 1e-6 on each centroid
+        assert abs(d2 - ref) < 1e-3, (a, b, d2, ref)
