@@ -722,3 +722,71 @@ def streaming_reach_maintenance(
         .outputMode("update")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming covariance maintenance (h19's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def apply_covariance_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One fold of ``streaming_covariance_maintenance``: reduce the
+    micro-batch to its d*(d+1)/2-cell integer moment frame and write it
+    to the state table's ``batch_id={N}`` partition with OVERWRITE.
+
+    Moment sums are NOT idempotent under union (unlike the reach
+    state's distinct-merge), so at-least-once replays must not
+    double-count — keying the write by batch_id makes the fold
+    effectively exactly-once: a replayed batch overwrites its own
+    partition with identical content instead of adding to it."""
+    from martech_pipelines_spark.operators.linalg import covariance_moments
+
+    moments = covariance_moments(batch_df)
+    moments.write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_covariance_maintenance(
+    vectors_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain embedding-covariance state from a vector
+    stream — the streaming twin of h19_incremental_covariance: each
+    micro-batch lands as one integer moment frame (d^2 cells, batch-
+    size independent) and ``read_covariance_state`` renders cells on
+    demand.  Because the moments are exact integers, the streamed
+    state is BIT-identical to a batch recompute over the same rows —
+    pinned in test_streaming."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_covariance_batch(batch_df, batch_id, state_path)
+
+    return (
+        vectors_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_covariance_state(
+    spark: SparkSession, state_path: str, round_dp: int = 5
+) -> DataFrame:
+    """Render (i, j, cov) from the per-batch moment partitions: one
+    keyed sum over batches*d^2 cells, then the same integer half-up
+    projection as the batch forms."""
+    from martech_pipelines_spark.operators.linalg import (
+        covariance_from_moments,
+    )
+    from pyspark.sql import functions as F2
+
+    parts = spark.read.parquet(state_path)
+    merged = parts.groupBy("i", "j").agg(
+        F2.sum("n").alias("n"),
+        F2.sum("sxy").alias("sxy"),
+        F2.sum("sx").alias("sx"),
+        F2.sum("sy").alias("sy"),
+    )
+    return covariance_from_moments(merged, round_dp=round_dp)

@@ -729,3 +729,65 @@ def test_streaming_reach_maintenance_matches_batch(spark, tmp_path):
     apply_reach_batch(ev.where(F.col("event_id") % 3 == 0), state)
     again = {tuple(r) for r in reach_curve(spark.read.parquet(state)).collect()}
     assert again == want
+
+
+def test_streaming_covariance_equals_batch(spark, tmp_path):
+    """h19's streaming twin: per-batch integer moment partitions merged
+    at read time are BIT-identical to the batch s12 computation over
+    the same rows — and re-applying a batch (at-least-once replay)
+    changes nothing because the write is keyed by batch_id."""
+    from martech_pipelines_spark.plans import QUERIES
+    from martech_pipelines_spark.sources import load_table
+    from martech_pipelines_spark.streaming.stream import (
+        apply_covariance_batch,
+        read_covariance_state,
+        streaming_covariance_maintenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    # shard the table into 3 single-file batches for the file stream
+    src = tmp_path / "vecs_in"
+    emb.repartition(3).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "cov_state")
+    q = streaming_covariance_maintenance(
+        stream, state, str(tmp_path / "ckpt_cov")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r) for r in read_covariance_state(spark, state).collect()
+    )
+    want = sorted(
+        tuple(r) for r in QUERIES["s12_covariance"](spark, sf).collect()
+    )
+    assert got == want
+
+    # at-least-once replay: drive the folds manually on a second state
+    # dir (file->batch_id order in the real stream is not guaranteed, so
+    # replay there can't be simulated deterministically), then re-apply
+    # one batch — overwrite-by-batch_id must leave the state unchanged
+    import glob
+
+    state2 = str(tmp_path / "cov_state_manual")
+    shards = sorted(glob.glob(str(src / "part-*")))
+    for i, f in enumerate(shards):
+        apply_covariance_batch(spark.read.parquet(f), i, state2)
+    once = sorted(
+        tuple(r) for r in read_covariance_state(spark, state2).collect()
+    )
+    assert once == want
+    apply_covariance_batch(spark.read.parquet(shards[1]), 1, state2)
+    again = sorted(
+        tuple(r) for r in read_covariance_state(spark, state2).collect()
+    )
+    assert again == want
