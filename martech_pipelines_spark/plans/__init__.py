@@ -109,6 +109,7 @@ _WINDOW_PRIORITY = [
     "mart17_churn",
     "dq8_profile_drift",
     "r32_ntile_deciles",
+    "a11_schema_evolution",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

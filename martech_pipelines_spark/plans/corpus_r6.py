@@ -491,3 +491,75 @@ def h19_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = LA.covariance_moments(emb.where(F.col("vec_id") % 3 == r))
         state = LA.merge_covariance_moments(state, delta)
     return LA.covariance_from_moments(state, round_dp=5)
+
+
+# =============================================================================
+# a11: schema-evolved parquet scan — promotes read_evolving_parquet
+# (sources/readers.py, previously pytest-only) into the oracle-checked
+# corpus.  A 100-TB lake's history is written under many schema
+# versions; the scan must union footers, not trust a sample file.
+# =============================================================================
+
+_A11_WRITTEN: set[str] = set()
+
+
+def write_evolved_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-generation event log: generation 1 (event_id %
+    10 == 1) predates the `value_c` column; generation 2 (% 10 == 2)
+    carries it.  Written once per (sf_dir, process), removed at exit —
+    same hygiene as the ORC/JSONL corpus artifacts."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out_dir = os.path.join("/tmp", f"mp_spark_evolve_{tag}_{os.getpid()}")
+    if out_dir in _A11_WRITTEN:
+        return out_dir
+    ev = load_table(spark, sf_dir, "events")
+    g1 = ev.where(F.col("event_id") % 10 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    g2 = ev.where(F.col("event_id") % 10 == 2).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 2).alias("value_c"),
+    )
+    g1.coalesce(2).write.mode("overwrite").parquet(os.path.join(out_dir, "g1"))
+    g2.coalesce(2).write.mode("overwrite").parquet(os.path.join(out_dir, "g2"))
+    _A11_WRITTEN.add(out_dir)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    return out_dir
+
+
+@q(
+    "a11_schema_evolution",
+    """
+    SELECT event_id, user_id, event_type, NULL AS value_c
+    FROM events WHERE event_id % 10 = 1
+    UNION ALL
+    SELECT event_id, user_id, event_type, round(value, 2) AS value_c
+    FROM events WHERE event_id % 10 = 2
+    """,
+)
+def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a parquet log written under two schema generations through
+    ``read_evolving_parquet`` (mergeSchema): generation-1 rows surface
+    the late-added ``value_c`` column as typed NULLs, generation-2 rows
+    carry real values — value-identical to the relational union the
+    oracle spells.  Footer merging is driver-side metadata work; data
+    IO still prunes per file (a file without the column contributes
+    constant nulls, not reads)."""
+    from martech_pipelines_spark.sources.readers import read_evolving_parquet
+    from pyspark.sql import types as T
+
+    path = write_evolved_events(spark, sf_dir)
+    expected = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_c", T.DoubleType()),
+        ]
+    )
+    return read_evolving_parquet(spark, f"{path}/*", expected)

@@ -213,3 +213,43 @@ def test_centroid_distances_match_numpy(spark):
         ref = float(((cents[a] - cents[b]) ** 2).sum())
         # quantization error per dim <= 1e-6 on each centroid
         assert abs(d2 - ref) < 1e-3, (a, b, d2, ref)
+
+
+# --- a11 schema evolution ----------------------------------------------------
+
+
+def test_schema_evolution_scan_null_fills_and_prunes(spark):
+    from martech_pipelines_spark.plans.corpus_r6 import a11_schema_evolution
+
+    out = a11_schema_evolution(spark, SF)
+    rows = out.collect()
+    g1 = [r for r in rows if r["event_id"] % 10 == 1]
+    g2 = [r for r in rows if r["event_id"] % 10 == 2]
+    assert g1 and g2
+    assert all(r["value_c"] is None for r in g1)   # late column -> typed NULL
+    assert all(r["value_c"] is not None for r in g2)
+    # stable conformed schema regardless of which generation a row is from
+    assert [f.name for f in out.schema.fields] == [
+        "event_id", "user_id", "event_type", "value_c",
+    ]
+
+
+# --- determinism audits ------------------------------------------------------
+
+
+def test_limit_tie_audit_clean():
+    """Every trailing ORDER BY ... LIMIT oracle has a deterministic cut
+    (no key tie at ranks N/N+1) — the second cross-engine fragility
+    class after rounding boundaries.  Runs the real tool so new corpus
+    entries are gated automatically."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "tools/audit_limit_ties.py", SF],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
