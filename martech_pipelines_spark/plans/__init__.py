@@ -110,6 +110,7 @@ _WINDOW_PRIORITY = [
     "dq8_profile_drift",
     "r32_ntile_deciles",
     "a11_schema_evolution",
+    "h20_incremental_percentiles",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

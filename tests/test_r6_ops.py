@@ -253,3 +253,42 @@ def test_limit_tie_audit_clean():
         timeout=600,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+# --- h20 incremental percentiles ---------------------------------------------
+
+
+def test_incremental_percentiles_equal_full(spark):
+    """Histogram-state maintenance: merged per-batch value histograms
+    render the same exact percentiles as the one-pass r29 computation
+    (integer counts — equality is exact, no tolerance)."""
+    full = sorted(
+        tuple(r) for r in QUERIES["r29_exact_percentiles"](spark, SF).collect()
+    )
+    inc = sorted(
+        tuple(r)
+        for r in QUERIES["h20_incremental_percentiles"](spark, SF).collect()
+    )
+    assert inc == full
+
+
+def test_histogram_merge_handles_disjoint_and_overlapping_values(spark):
+    from martech_pipelines_spark.plans.corpus_r6 import (
+        _merge_histograms,
+        _value_histogram,
+    )
+    import datetime as dt
+
+    def ev(i, t, v):
+        return (i, dt.datetime(2024, 1, 1), 1, t, v, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    b1 = spark.createDataFrame([ev(1, "a", 1.0), ev(2, "a", 2.0)], schema)
+    b2 = spark.createDataFrame([ev(3, "a", 2.0), ev(4, "b", 9.0)], schema)
+    merged = _merge_histograms(_value_histogram(b1), _value_histogram(b2))
+    got = {(r["event_type"], r["y"]): r["cnt"] for r in merged.collect()}
+    # overlapping value (a, 200) sums; disjoint entries pass through
+    assert got == {("a", 100): 1, ("a", 200): 2, ("b", 900): 1}
