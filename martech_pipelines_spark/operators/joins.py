@@ -108,6 +108,97 @@ def asof_join(
     return out
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    *,
+    tolerance: Column | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-direction as-of join: for each left row, the right row
+    whose timestamp is CLOSEST in either direction (pandas
+    ``merge_asof(direction="nearest")``).
+
+    Same join-free shape as ``asof_join``: one union, ONE hash exchange
+    on ``on``, one sort feeding TWO window frames over the identical
+    ordering (backward carry ``last IGNORE NULLS`` + forward carry
+    ``first IGNORE NULLS``) — no per-key fan-out join, skew-proof.
+
+    Deterministic tie rules (mirrored verbatim in the SQL oracle):
+    - equal backward/forward distance -> BACKWARD wins;
+    - a right row AT the left timestamp is a distance-0 backward match
+      (inclusive), so forward effectively means strictly-after;
+    - multiple right rows at one timestamp: backward keeps the one
+      ordered LAST by payload (pass a unique id first), forward the one
+      ordered FIRST — both artifacts of the single shared sort order.
+    - ``tolerance`` (interval Column) bounds the chosen match's
+      distance; beyond it the left row gets NULLs.
+    """
+    lcols = left.columns
+    r_side = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("__match_ts"),
+            *[F.col(c) for c in right_payload],
+        ).alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in on],
+    )
+    l_side = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_side.schema["__r"].dataType).alias("__r"),
+        *[F.col(c) for c in lcols if c not in on],
+    )
+    order = [F.col("__ts"), F.col("__side"), F.col("__r")]
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        r_side.unionByName(l_side)
+        .withColumn("__mb", F.last("__r", ignorenulls=True).over(w_back))
+        .withColumn("__mf", F.first("__r", ignorenulls=True).over(w_fwd))
+        .filter(F.col("__side") == 1)
+    )
+    db = F.col("__ts") - F.col("__mb.__match_ts")
+    df_ = F.col("__mf.__match_ts") - F.col("__ts")
+    chosen = (
+        F.when(F.col("__mb").isNull(), F.col("__mf"))
+        .when(F.col("__mf").isNull(), F.col("__mb"))
+        .when(db <= df_, F.col("__mb"))
+        .otherwise(F.col("__mf"))
+    )
+    carried = carried.withColumn("__m", chosen)
+    match = F.col("__m")
+    if tolerance is not None:
+        dist = F.when(
+            F.col("__m.__match_ts") <= F.col("__ts"),
+            F.col("__ts") - F.col("__m.__match_ts"),
+        ).otherwise(F.col("__m.__match_ts") - F.col("__ts"))
+        match = F.when(dist <= tolerance, F.col("__m"))
+    return carried.select(
+        *[F.col(c) for c in on],
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols if c not in on and c != left_ts],
+        match.getField("__match_ts").alias(right_ts + suffix),
+        *[match.getField(c).alias(c + suffix) for c in right_payload],
+    )
+
+
 def range_join(
     events: DataFrame,
     intervals: DataFrame,

@@ -111,6 +111,7 @@ _WINDOW_PRIORITY = [
     "r32_ntile_deciles",
     "a11_schema_evolution",
     "h20_incremental_percentiles",
+    "r33_asof_nearest",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

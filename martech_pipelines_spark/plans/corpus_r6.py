@@ -647,3 +647,103 @@ def h20_incremental_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             state, _value_histogram(ev.where(F.col("event_id") % 3 == r))
         )
     return _percentiles_from_histogram(state)
+
+
+# =============================================================================
+# r33: nearest-direction AS-OF join — completes the temporal-join family
+# (r22 backward, r23 interval/range).  pandas merge_asof
+# direction="nearest" parity; Spark has no primitive for any of them.
+# =============================================================================
+
+_R33_ORACLE = """
+    WITH u AS (
+        SELECT user_id, ts, 0 AS side, event_id AS v_id,
+               CAST(NULL AS BIGINT) AS p_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, 1, NULL, event_id
+        FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+        SELECT user_id, ts, side, p_id,
+               last_value(v_id IGNORE NULLS) OVER wb AS b_id,
+               last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                   OVER wb AS b_ts,
+               first_value(v_id IGNORE NULLS) OVER wf AS f_id,
+               first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                   OVER wf AS f_ts
+        FROM u
+        WINDOW wb AS (
+            PARTITION BY user_id
+            ORDER BY ts, side, v_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), wf AS (
+            PARTITION BY user_id
+            ORDER BY ts, side, v_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        )
+    ), picked AS (
+        SELECT user_id, ts, p_id,
+               CASE WHEN b_ts IS NULL THEN f_id
+                    WHEN f_ts IS NULL THEN b_id
+                    WHEN ts - b_ts <= f_ts - ts THEN b_id
+                    ELSE f_id END AS m_id,
+               CASE WHEN b_ts IS NULL THEN f_ts
+                    WHEN f_ts IS NULL THEN b_ts
+                    WHEN ts - b_ts <= f_ts - ts THEN b_ts
+                    ELSE f_ts END AS m_ts
+        FROM carried WHERE side = 1
+    )
+    SELECT user_id,
+           p_id AS purchase_id,
+           CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts))
+                     <= CAST(48 AS BIGINT) * 3600 * 1000000 THEN m_id END AS view_id,
+           CASE WHEN abs(epoch_us(m_ts) - epoch_us(ts))
+                     <= CAST(48 AS BIGINT) * 3600 * 1000000 THEN
+               abs(epoch_us(m_ts) - epoch_us(ts)) // 60000000
+           END AS gap_min
+    FROM picked
+"""
+
+
+@q("r33_asof_nearest", _R33_ORACLE)
+def r33_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase picks up the user's CLOSEST view in either
+    direction (<=48h) — attribution when the influencing touch can
+    follow the conversion event (delayed ingestion, post-purchase
+    confirmation views).  Same join-free single-exchange plan as r22,
+    with one shared sort feeding backward AND forward carry windows;
+    the oracle spells both windows and the identical pick/tie rules
+    (equal distance -> backward) in ANSI SQL.  gap_min is integer
+    microsecond arithmetic — engine-exact."""
+    from martech_pipelines_spark.operators import joins as J
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = J.asof_join_nearest(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        right_payload=["event_id"],
+        tolerance=F.expr("INTERVAL 48 HOURS"),
+    )
+    # |gap| <= 48h = 1.7e11 us << 2^53, so the double division is exact
+    # before floor; integer-identical to the oracle's epoch_us // math
+    gap_us = F.abs(
+        F.unix_micros(F.col("view_ts_asof")) - F.unix_micros(F.col("ts"))
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.col("event_id_asof").alias("view_id"),
+        F.when(
+            F.col("view_ts_asof").isNotNull(),
+            F.floor(gap_us / F.lit(60000000.0)).cast("long"),
+        ).alias("gap_min"),
+    )

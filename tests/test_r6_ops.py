@@ -292,3 +292,68 @@ def test_histogram_merge_handles_disjoint_and_overlapping_values(spark):
     got = {(r["event_type"], r["y"]): r["cnt"] for r in merged.collect()}
     # overlapping value (a, 200) sums; disjoint entries pass through
     assert got == {("a", 100): 1, ("a", 200): 2, ("b", 900): 1}
+
+
+# --- r33 nearest as-of -------------------------------------------------------
+
+
+def test_asof_nearest_semantics_micro(spark):
+    """Pick rules on a hand-built history: closer-forward wins, equal
+    distance prefers backward, tolerance nulls out far matches, and a
+    right row AT the left ts is a distance-0 backward match."""
+    import datetime as dt
+
+    from martech_pipelines_spark.operators.joins import asof_join_nearest
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts(0), 100),    # right at -10 and +5 -> forward closer
+            (2, ts(0), 200),    # right at -5 and +5  -> tie, backward wins
+            (3, ts(0), 300),    # only right at +300 -> beyond tolerance
+            (4, ts(0), 400),    # right exactly AT ts -> distance 0 backward
+            (5, ts(0), 500),    # no right rows at all -> NULLs
+        ],
+        "user_id long, ts timestamp, purchase_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(-10), 11), (1, ts(5), 12),
+            (2, ts(-5), 21), (2, ts(5), 22),
+            (3, ts(300), 31),
+            (4, ts(0), 41),
+        ],
+        "user_id long, view_ts timestamp, event_id long",
+    )
+    out = {
+        r["user_id"]: r
+        for r in asof_join_nearest(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="view_ts",
+            right_payload=["event_id"],
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    assert out[1]["event_id_asof"] == 12      # +5 beats -10
+    assert out[2]["event_id_asof"] == 21      # tie -> backward
+    assert out[3]["event_id_asof"] is None    # 300min > 1h tolerance
+    assert out[4]["event_id_asof"] == 41      # distance-0 inclusive
+    assert out[5]["event_id_asof"] is None
+    assert len(out) == 5                       # left-outer: every left row
+
+
+def test_asof_nearest_single_exchange_plan(spark):
+    """The nearest form must keep r22's join-free shape: one hash
+    exchange on the key, zero join nodes."""
+    from martech_pipelines_spark.plans import QUERIES
+
+    plan = QUERIES["r33_asof_nearest"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # one + possible AQE reuse
