@@ -790,3 +790,90 @@ def read_covariance_state(
         F2.sum("sy").alias("sy"),
     )
     return covariance_from_moments(merged, round_dp=round_dp)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered funnel (mart14/w6's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def streaming_funnel_state(
+    events: DataFrame,
+    steps: list[str],
+    within_s: int | None = None,
+) -> DataFrame:
+    """Continuously-maintained per-user funnel progress — the streaming
+    twin of ``transforms.ordered_funnel`` (greedy min-chain, first-touch
+    anchored, optional per-step window).
+
+    The batch fold over a time-sorted event array is an ONLINE
+    algorithm: processing events in time order, step ``i``'s reach time
+    pins to the first event of ``steps[i]`` strictly after step
+    ``i-1``'s reach (and within its window).  State is k longs per user
+    (reach micros, NULL = not reached); each trigger emits users whose
+    furthest step changed.  Equality with the batch fold is pinned in
+    test_streaming under in-order delivery; out-of-order late data
+    needs upstream watermark replay (the h17 pattern) — same caveat
+    every funnel product documents.
+
+    Scale: state O(users * k) longs, per-trigger work O(batch step
+    events); the grouping hash-partitions by user exactly like the
+    batch form's single shuffle.
+    """
+    import pandas as pd
+
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    within_us = None if within_s is None else within_s * 1_000_000
+    out_schema = "user_id long, furthest int, reach_us long"
+    state_schema = ", ".join(f"s{i} long" for i in range(k))
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        reach = list(state.get) if state.exists else [None] * k
+        before = sum(1 for r in reach if r is not None)
+        rows = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rows.append(
+                    (
+                        int(row.ts.value // 1_000),  # pandas ns -> us
+                        int(row.event_id),
+                        row.event_type,
+                    )
+                )
+        rows.sort()
+        for t, _tb, typ in rows:
+            i = step_idx.get(typ)
+            if i is None or reach[i] is not None:
+                continue
+            if i == 0:
+                reach[0] = t
+                continue
+            prev = reach[i - 1]
+            if prev is None or t <= prev:
+                continue
+            if within_us is not None and t > prev + within_us:
+                continue
+            reach[i] = t
+        after = sum(1 for r in reach if r is not None)
+        if after != before or not state.exists:
+            state.update(tuple(reach))
+            furthest = after - 1
+            yield pd.DataFrame(
+                [(key[0], furthest, None if furthest < 0 else reach[furthest])],
+                columns=["user_id", "furthest", "reach_us"],
+            )
+
+    return (
+        events.where(F.col("event_type").isin(list(steps)))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -791,3 +791,70 @@ def test_streaming_covariance_equals_batch(spark, tmp_path):
         tuple(r) for r in read_covariance_state(spark, state2).collect()
     )
     assert again == want
+
+
+def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
+    """mart14/w6's streaming twin: per-user funnel state driven through
+    three time-ordered micro-batches must reproduce the batch greedy
+    min-chain's per-step user counts (windowed form, 48h)."""
+    import os
+
+    from martech_pipelines_spark.operators.transforms import ordered_funnel
+    from martech_pipelines_spark.sources import load_table
+    from martech_pipelines_spark.streaming.stream import streaming_funnel_state
+
+    sf = "/root/testdata/sf0.001"
+    steps = ["view", "click", "purchase"]
+    within_s = 48 * 3600
+    ev = load_table(spark, sf, "events")
+
+    # three sequential time slices, written as one file each and fed in
+    # order (mtimes staggered so the file source preserves the order)
+    src = tmp_path / "funnel_in"
+    src.mkdir()
+    bounds = ev.selectExpr(
+        "percentile_approx(ts, 0.33) AS a", "percentile_approx(ts, 0.66) AS b"
+    ).first()
+    slices = [
+        ev.where(F.col("ts") <= bounds["a"]),
+        ev.where((F.col("ts") > bounds["a"]) & (F.col("ts") <= bounds["b"])),
+        ev.where(F.col("ts") > bounds["b"]),
+    ]
+    for i, sl in enumerate(slices):
+        p = str(src / f"slice_{i}.parquet")
+        sl.coalesce(1).write.parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    out = streaming_funnel_state(stream, steps, within_s=within_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql(
+        "SELECT user_id, max(furthest) AS furthest FROM funnel_stream GROUP BY user_id"
+    ).collect()
+    got_counts = [
+        sum(1 for r in emitted if r["furthest"] >= i) for i in range(len(steps))
+    ]
+    want = {
+        r["step_idx"]: r["users"]
+        for r in ordered_funnel(ev, steps, within_s=within_s).collect()
+    }
+    want_counts = [want.get(i, 0) for i in range(len(steps))]
+    assert got_counts == want_counts

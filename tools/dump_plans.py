@@ -218,6 +218,31 @@ SHOWCASE = [
         "origin-flag report days — shuffle volume independent of raw "
         "event count",
     ),
+    (
+        "s12b_covariance_arrow",
+        "integer-exact covariance, scale form: one Arrow Gram-partial "
+        "kernel per partition (int64 X.T@X), DECIMAL(38,0) reduce of "
+        "partitions*d^2 cells, integer half-up projection — "
+        "bit-deterministic under any partitioning",
+    ),
+    (
+        "r33_asof_nearest",
+        "nearest as-of: ONE hash exchange, one shared sort feeding "
+        "backward AND forward carry windows, zero join nodes — the "
+        "skew-proof two-direction temporal match",
+    ),
+    (
+        "g2b_triangles_support2",
+        "production-density triangles: support>=2 filter rides the "
+        "existing pair aggregation (HAVING on the same keyed agg) — "
+        "same plan as g2, 3.3x cheaper on the thresholded graph",
+    ),
+    (
+        "mart17_churn",
+        "week-over-week churn: one distinct (user, week) state, keyed "
+        "self-join on (user, week+1), 1-row broadcast max-week bound — "
+        "shuffles sized by |user-weeks|, never raw events",
+    ),
 ]
 
 
