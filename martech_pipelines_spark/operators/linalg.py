@@ -50,7 +50,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _exact_cov_from_moments(moments: DataFrame, round_dp: int, quantize: int) -> DataFrame:
+def _exact_cov_from_moments(
+    moments: DataFrame,
+    round_dp: int,
+    quantize: int,
+    as_scaled_int: bool = False,
+) -> DataFrame:
     """(i, j, n, sxy, sx, sy) integer moments -> bit-deterministic cov.
 
     m = n*sxy - sx*sy is the covariance numerator at scale n^2 * 10^(2q);
@@ -60,6 +65,11 @@ def _exact_cov_from_moments(moments: DataFrame, round_dp: int, quantize: int) ->
     one IEEE division by 10^round_dp.  Every step is either associative
     integer arithmetic or a deterministic function of identical integers,
     so Spark and DuckDB produce bit-identical doubles.
+
+    ``as_scaled_int=True`` returns the cell as the exact BIGINT
+    ``cov * 10^round_dp`` instead of a double — for consumers that keep
+    computing in integer space (e.g. the s18 drift distance, whose sum
+    of squared cell differences stays exact that way).
     """
     nd = F.col("n").cast("decimal(38,0)")
     m = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("m")
@@ -71,6 +81,8 @@ def _exact_cov_from_moments(moments: DataFrame, round_dp: int, quantize: int) ->
         "CASE WHEN num >= 0 THEN (2*num + den) div (2*den) "
         "ELSE -((-2*num + den) div (2*den)) END"
     )
+    if as_scaled_int:
+        return scaled.select("i", "j", half_up.alias("cov_scaled"))
     return scaled.select(
         "i",
         "j",
@@ -424,3 +436,64 @@ def pca_project(
         for comp in components
     ]
     return df.withColumn(out_col, F.array(*projections))
+
+
+def covariance_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 5,
+    quantize: int = 6,
+) -> DataFrame:
+    """Embedding-distribution drift between two populations: the
+    Frobenius distance between their covariance matrices, plus the
+    worst-drifting cell — the monitor that tells a training pipeline
+    "this week's crawl no longer looks like the corpus the model was
+    tuned on" BEFORE any model is run.
+
+    Fully integer-exact: each population's cells come out of
+    ``_exact_cov_from_moments`` as exact BIGINT ``cov * 10^round_dp``;
+    cell differences and their squared sum stay in integer space
+    (DECIMAL(38,0)), so the reported distance is bit-identical across
+    engines and partitionings — a drift monitor whose own numbers
+    drift would page people for nothing.
+
+    Output (1 row): n_cells, frob2 (sum of squared cell differences),
+    max_abs_diff, worst_i, worst_j.  Shuffles: one keyed moment
+    aggregation per side (d*(d+1)/2 cells each) + one tiny cell join.
+    """
+    a = _exact_cov_from_moments(
+        covariance_moments(df_a, vec_col, id_col, quantize),
+        round_dp, quantize, as_scaled_int=True,
+    ).withColumnRenamed("cov_scaled", "ca")
+    b = _exact_cov_from_moments(
+        covariance_moments(df_b, vec_col, id_col, quantize),
+        round_dp, quantize, as_scaled_int=True,
+    ).withColumnRenamed("cov_scaled", "cb")
+    cells = a.join(b, ["i", "j"]).select(
+        "i", "j", (F.col("ca") - F.col("cb")).alias("d")
+    )
+    scale2 = float(10 ** (2 * round_dp))
+    scale1 = float(10 ** round_dp)
+    # deterministic worst cell: max (|d|, then smallest (i, j)) via one
+    # max_by over a fully-ordered struct — no ties possible
+    worst = F.max(
+        F.struct(
+            F.abs(F.col("d")).alias("ad"),
+            (-F.col("i")).alias("ni"),
+            (-F.col("j")).alias("nj"),
+        )
+    )
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        (
+            F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)"))
+            .cast("double") / F.lit(scale2)
+        ).alias("frob2"),
+        (worst.getField("ad").cast("double") / F.lit(scale1)).alias(
+            "max_abs_diff"
+        ),
+        (-worst.getField("ni")).alias("worst_i"),
+        (-worst.getField("nj")).alias("worst_j"),
+    )

@@ -112,6 +112,7 @@ _WINDOW_PRIORITY = [
     "a11_schema_evolution",
     "h20_incremental_percentiles",
     "r33_asof_nearest",
+    "s18_covariance_drift",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

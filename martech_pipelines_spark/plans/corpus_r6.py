@@ -747,3 +747,84 @@ def r33_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(gap_us / F.lit(60000000.0)).cast("long"),
         ).alias("gap_min"),
     )
+
+
+# =============================================================================
+# s18: embedding-distribution drift — Frobenius distance between the
+# covariance matrices of two populations, fully integer-exact (built on
+# the round-6 scaled-integer cell machinery).
+# =============================================================================
+
+
+def _s18_cov_cte(name: str, pred: str) -> str:
+    """One population's scaled-integer covariance cells (cov * 10^5),
+    mirroring operators/linalg._exact_cov_from_moments."""
+    return f"""
+    {name}_e AS (
+        SELECT vec_id,
+               CAST(i AS INTEGER) - 1 AS dim,
+               CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS xq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        WHERE {pred}
+    ),
+    {name}_mo AS (
+        SELECT a.dim AS i, b.dim AS j,
+               count(*) AS n,
+               sum(CAST(a.xq AS HUGEINT) * b.xq) AS sxy,
+               sum(CAST(a.xq AS HUGEINT)) AS sx,
+               sum(CAST(b.xq AS HUGEINT)) AS sy
+        FROM {name}_e a JOIN {name}_e b
+          ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ),
+    {name} AS (
+        SELECT i, j,
+               CASE WHEN num >= 0 THEN (2*num + den) // (2*den)
+                    ELSE -((-2*num + den) // (2*den)) END AS cs
+        FROM (
+            SELECT i, j,
+                   (CAST(n AS HUGEINT) * sxy - sx * sy) * 100000 AS num,
+                   CAST(n AS HUGEINT) * n * 1000000000000 AS den
+            FROM {name}_mo
+        )
+    )"""
+
+
+_S18_ORACLE = f"""
+    WITH {_s18_cov_cte('ca', 'vec_id % 2 = 0')},
+    {_s18_cov_cte('cb', 'vec_id % 2 = 1')},
+    cells AS (
+        SELECT ca.i, ca.j, ca.cs - cb.cs AS d
+        FROM ca JOIN cb ON ca.i = cb.i AND ca.j = cb.j
+    ),
+    agg AS (
+        SELECT count(*) AS n_cells,
+               CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                   / 10000000000.0 AS frob2
+        FROM cells
+    ),
+    w AS (
+        SELECT CAST(abs(d) AS DOUBLE) / 100000.0 AS max_abs_diff,
+               i AS worst_i, j AS worst_j
+        FROM cells ORDER BY abs(d) DESC, i, j LIMIT 1
+    )
+    SELECT n_cells, frob2, max_abs_diff, worst_i, worst_j FROM agg, w
+"""
+
+
+@q("s18_covariance_drift", _S18_ORACLE)
+def s18_covariance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two embedding populations (vec_id
+    parity split): Frobenius distance between their covariance matrices
+    plus the worst-drifting cell — the "this week's crawl no longer
+    looks like the tuned corpus" monitor, run BEFORE any model.  Every
+    number is computed in integer space (scaled-integer cells, exact
+    DECIMAL squared sums), so the monitor's own output can never drift
+    across engines or partitionings.  Two keyed moment aggregations +
+    one d^2-cell join; output is ONE row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return LA.covariance_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )

@@ -357,3 +357,29 @@ def test_asof_nearest_single_exchange_plan(spark):
     plan = QUERIES["r33_asof_nearest"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # one + possible AQE reuse
+
+
+# --- s18 covariance drift ----------------------------------------------------
+
+
+def test_covariance_drift_zero_on_identical_populations(spark):
+    emb = load_table(spark, SF, "embeddings")
+    r = LA.covariance_drift(emb, emb).first()
+    assert r["frob2"] == 0.0 and r["max_abs_diff"] == 0.0
+    assert r["n_cells"] == 64 * 65 // 2
+
+
+def test_covariance_drift_detects_scaled_population(spark):
+    """Scaling one population's vectors by 2 multiplies its covariance
+    by 4 — the drift must be decisively nonzero and the result
+    partition-invariant."""
+    emb = load_table(spark, SF, "embeddings")
+    scaled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(2.0))
+    )
+    r = LA.covariance_drift(emb, scaled).first()
+    assert r["frob2"] > 0.0 and r["max_abs_diff"] > 0.0
+    r7 = LA.covariance_drift(
+        emb.repartition(7), scaled.repartition(7)
+    ).first()
+    assert tuple(r7) == tuple(r)
