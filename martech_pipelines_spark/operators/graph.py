@@ -28,25 +28,31 @@ from martech_pipelines_spark import caching
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Directed co-purchase edges: (p1 -> p2) whenever parts p1 != p2 ship
-    in the same order.  Both directions are emitted; duplicates from
-    multi-line orders collapse with DISTINCT.
+    in the same order.  Both directions are emitted, duplicates collapsed.
 
-    One self-equi-join on the order key (keyed shuffle — never a
-    cartesian) followed by a distinct.  Line-count skew per order is
-    bounded (orders have few lines), so the self-join fan-out is small
-    and constant per order.
+    Round-6 plan: dedupe the (order, part) projection FIRST (an order
+    listing a part on several lineitems contributes once), self-join ONE
+    canonical projection with ``src < dst`` IN the join (ReuseExchange
+    materializes the distinct's shuffle once for both inputs), dedupe the
+    HALF-side pair set, and mirror it — the mirrored union is
+    duplicate-free by construction, so the expensive distinct runs over
+    half the rows of the old both-directions form and the second distinct
+    disappears entirely.  Same keyed-shuffle discipline as
+    ``copurchase_edges_undirected`` (never a cartesian); line-count skew
+    per order stays bounded.
     """
-    a = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
-    )
-    b = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
-    return (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+    lp = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    half = (
+        lp.alias("a")
+        .join(lp.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
+    )
+    return half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -55,6 +61,7 @@ def pagerank(
     *,
     iterations: int = 3,
     damping: float = 0.85,
+    assume_no_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
 
@@ -62,6 +69,14 @@ def pagerank(
     outgoing edges (dangling) contribute their mass uniformly — on a
     symmetric edge list (like co-purchase) there are none, and the
     uniform term folds into the teleport constant only when present.
+
+    ``assume_no_dangling=True`` skips the per-iteration linked-mass
+    aggregate + broadcast entirely: on a SYMMETRIC edge list every node
+    that exists has out-degree >= 1, so the dangling mass is exactly 0
+    by construction — the aggregate was measuring a constant.  Callers
+    must only pass it when the edge list is mirrored (both directions
+    present), as ``copurchase_edges`` guarantees; the generic default
+    keeps the full Pregel-style redistribution.
 
     Returns (node, rank).  Ranks sum to 1 (up to float round-off) every
     iteration.  Deterministic up to floating-point summation order —
@@ -92,35 +107,49 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # Dangling mass: rank held by nodes with no outgoing edges is
-        # redistributed uniformly.  Computed as 1 - sum(rank of nodes
-        # WITH outdegree); on symmetric graphs this is exactly 0.
-        linked_mass = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_semi")
-            .agg(F.sum("rank").alias("m"))
-        )
-        # localCheckpoint each iteration: ranks_k feeds BOTH the contribs
-        # join and the linked-mass aggregate of iteration k+1 — left lazy,
-        # the doubly-referenced subtree re-evaluates 2^iterations times
-        # (measured 1.75x wall-clock at 3 iterations on the sf0.1 graph).
-        # Eager checkpoint materializes each rank table once and truncates
-        # lineage, the same discipline as dedup.dup_clusters.
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(linked_mass))
-            .select(
+        if assume_no_dangling:
+            # symmetric edge list: dangling mass is exactly 0 by
+            # construction (every node has out-degree >= 1) — no
+            # linked-mass job, no broadcast
+            updated = nodes.join(contribs, "node", "left").select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + (F.lit(1.0) - F.col("m")) / n
-                    )
+                    * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            # Dangling mass: rank held by nodes with no outgoing edges is
+            # redistributed uniformly.  Computed as 1 - sum(rank of nodes
+            # WITH outdegree); on symmetric graphs this is exactly 0.
+            linked_mass = (
+                ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_semi")
+                .agg(F.sum("rank").alias("m"))
+            )
+            updated = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(linked_mass))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("inflow"), F.lit(0.0))
+                            + (F.lit(1.0) - F.col("m")) / n
+                        )
+                    ).alias("rank"),
+                )
+            )
+        # localCheckpoint each iteration: ranks_k feeds BOTH the contribs
+        # join and (generic path) the linked-mass aggregate of iteration
+        # k+1 — left lazy, the doubly-referenced subtree re-evaluates
+        # 2^iterations times (measured 1.75x wall-clock at 3 iterations
+        # on the sf0.1 graph).  Eager checkpoint materializes each rank
+        # table once and truncates lineage, the same discipline as
+        # dedup.dup_clusters.
+        ranks = updated.localCheckpoint(eager=True)
     # ranks is checkpointed (materialized, lineage-free), so the cached
     # inputs can be released — without this every pagerank() call leaks
     # a node set + degree-annotated edge list into executor storage for

@@ -598,13 +598,17 @@ def g1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian); each iteration is one ranks⋈edges join + one keyed sum —
     the per-iteration shuffle carries only (node, contribution) pairs,
     and the degree-annotated edge list is persisted once and reused.
-    The oracle unrolls the identical three iterations, including the
-    dangling-mass term computed exactly as the implementation does (rank
-    mass held by out-degree-bearing nodes; identically zero on this
-    symmetric graph, live on graphs with sinks), so the iterative
+    The oracle unrolls the identical three iterations; the dangling-mass
+    term is identically ZERO here by construction (mirrored edge list ⇒
+    every node has out-degree >= 1), so the engine runs the
+    ``assume_no_dangling`` fast path — no per-iteration linked-mass job
+    or broadcast — while graphs with sinks keep the generic
+    redistribution (pinned separately in test_r5d_ops).  The iterative
     distributed loop is value-checked against closed SQL, not just
     self-consistent."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = G.copurchase_edges(li)
-    ranks = G.pagerank(edges, iterations=3, damping=0.85)
+    ranks = G.pagerank(
+        edges, iterations=3, damping=0.85, assume_no_dangling=True
+    )
     return ranks.select("node", F.round("rank", 8).alias("rank"))

@@ -383,3 +383,25 @@ def test_covariance_drift_detects_scaled_population(spark):
         emb.repartition(7), scaled.repartition(7)
     ).first()
     assert tuple(r7) == tuple(r)
+
+
+# --- pagerank no-dangling fast path ------------------------------------------
+
+
+def test_pagerank_fast_path_equals_generic_on_symmetric_graph(spark):
+    """assume_no_dangling skips the per-iteration linked-mass job; on a
+    mirrored edge list the dangling mass is exactly 0, so both paths
+    must agree to rounding (the generic path's (1-m)/n term is a float
+    ~1e-16 of zero)."""
+    li = load_table(spark, SF, "lineitem")
+    edges = G.copurchase_edges(li)
+    fast = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, iterations=3, assume_no_dangling=True).collect()
+    }
+    generic = {
+        r["node"]: r["rank"] for r in G.pagerank(edges, iterations=3).collect()
+    }
+    assert set(fast) == set(generic)
+    for k in fast:
+        assert abs(fast[k] - generic[k]) < 1e-12, k
