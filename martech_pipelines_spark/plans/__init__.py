@@ -113,6 +113,7 @@ _WINDOW_PRIORITY = [
     "h20_incremental_percentiles",
     "r33_asof_nearest",
     "s18_covariance_drift",
+    "fe2_multiwindow_features",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

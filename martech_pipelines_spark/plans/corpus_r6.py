@@ -828,3 +828,75 @@ def s18_covariance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 2 == 0),
         emb.where(F.col("vec_id") % 2 == 1),
     )
+
+
+# =============================================================================
+# fe2: multi-horizon feature snapshot — the daily feature-store job
+# (fe1 extracts features per LABEL EVENT for training; this materializes
+# the per-user snapshot AT A CUTOFF that online inference reads).
+# =============================================================================
+
+_FE2_CUTOFF = "2024-01-29 00:00:00"
+
+_FE2_ORACLE = f"""
+    WITH pre AS (
+        SELECT user_id, ts, event_type, value,
+               epoch_us(TIMESTAMP '{_FE2_CUTOFF}') - epoch_us(ts) AS age_us
+        FROM events
+        WHERE ts < TIMESTAMP '{_FE2_CUTOFF}'
+    )
+    SELECT user_id,
+           sum(CASE WHEN age_us <= CAST(3 AS BIGINT)*86400*1000000
+                    THEN 1 ELSE 0 END) AS events_3d,
+           sum(CASE WHEN age_us <= CAST(7 AS BIGINT)*86400*1000000
+                    THEN 1 ELSE 0 END) AS events_7d,
+           count(*) AS events_28d,
+           sum(CASE WHEN event_type = 'view'
+                    AND age_us <= CAST(7 AS BIGINT)*86400*1000000
+                    THEN 1 ELSE 0 END) AS views_7d,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100) AS BIGINT)
+                    ELSE 0 END) AS spend_paise_28d,
+           min(age_us) // 60000000 AS last_event_gap_min
+    FROM pre
+    GROUP BY user_id
+"""
+
+
+@q("fe2_multiwindow_features", _FE2_ORACLE)
+def fe2_multiwindow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature snapshot at a fixed cutoff: event counts over
+    3/7/28-day trailing horizons, 7-day view count, 28-day spend
+    (integer paise), and recency — ALL from one keyed aggregation pass
+    (conditional sums over the event age, never one join per horizon —
+    the multi-pass form is the classic feature-store anti-pattern
+    that re-scans the fact table per feature).  All outputs are integer
+    arithmetic on microsecond ages — engine-exact.  The events span
+    ~30 days, so the 28d horizon doubles as the lifetime window at this
+    data range; at production range the cutoff filter bounds the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_us = F.unix_micros(F.lit(_FE2_CUTOFF).cast("timestamp"))
+    day_us = 86400 * 1000000
+    pre = ev.where(F.col("ts") < F.lit(_FE2_CUTOFF).cast("timestamp")).select(
+        "user_id",
+        "event_type",
+        "value",
+        (cutoff_us - F.unix_micros("ts")).alias("age_us"),
+    )
+    in_h = lambda d: (F.col("age_us") <= F.lit(d * day_us)).cast("long")  # noqa: E731
+    return pre.groupBy("user_id").agg(
+        F.sum(in_h(3)).alias("events_3d"),
+        F.sum(in_h(7)).alias("events_7d"),
+        F.count("*").alias("events_28d"),
+        F.sum(
+            ((F.col("event_type") == "view") & (F.col("age_us") <= F.lit(7 * day_us)))
+            .cast("long")
+        ).alias("views_7d"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("spend_paise_28d"),
+        F.expr("min(age_us) div 60000000").alias("last_event_gap_min"),
+    )

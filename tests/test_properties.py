@@ -513,3 +513,67 @@ def test_ordered_funnel_matches_python_model(spark, events, within):
         within_s=within,
     )
     assert got == want
+
+
+# --- nearest as-of join ------------------------------------------------------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=500),   # minutes offset
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(lefts=_asof_events, rights=_asof_events)
+@SLOW
+def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
+    """Property: for random small histories (with timestamp collisions),
+    asof_join_nearest picks exactly the brute-force nearest right row —
+    backward on distance ties, max-id among equal backward timestamps,
+    min-id among equal forward timestamps, strictly-after forward."""
+    import datetime as dt
+
+    from martech_pipelines_spark.operators.joins import asof_join_nearest
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left_rows = [(k, ts(m), i) for i, (k, m) in enumerate(lefts)]
+    right_rows = [(k, ts(m), 100 + i) for i, (k, m) in enumerate(rights)]
+    if not left_rows:
+        return
+    left = spark.createDataFrame(
+        left_rows, "user_id long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id long, rts timestamp, rid long"
+    )
+    got = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join_nearest(
+            left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+            right_payload=["rid"],
+        ).collect()
+    }
+
+    def brute(k, t):
+        back = [(rt, rid) for (rk, rt, rid) in right_rows if rk == k and rt <= t]
+        fwd = [(rt, rid) for (rk, rt, rid) in right_rows if rk == k and rt > t]
+        b = max(back) if back else None            # latest ts, max id
+        f = min(fwd) if fwd else None              # earliest ts, min id
+        if b is None and f is None:
+            return None
+        if b is None:
+            return f[1]
+        if f is None:
+            return b[1]
+        return b[1] if (t - b[0]) <= (f[0] - t) else f[1]
+
+    assert len(got) == len(left_rows)
+    for (k, t, lid) in left_rows:
+        assert got[lid] == brute(k, t), (k, t, lid, got[lid], brute(k, t))
