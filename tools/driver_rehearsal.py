@@ -8,7 +8,7 @@ partitions, arrow flags, ...) fails HERE instead of in the round's
 CORRECTNESS_r{N}.json.  Round 6 ran this on the full 50-slot window:
 50/50 PASS.
 
-Usage:  python tools/driver_rehearsal.py [n_queries]
+Usage:  python tools/driver_rehearsal.py [n_queries] [offset]
 """
 import sys
 sys.path.insert(0, "/root/repo")
@@ -28,7 +28,8 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 qs, oracles = e.queries(), e.oracle_sql()
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-names = list(qs)[:n]
+off = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+names = [x for x in list(qs)[off:off + n] if x in oracles]
 fails = []
 for name in names:
     try:
