@@ -114,6 +114,7 @@ _WINDOW_PRIORITY = [
     "r33_asof_nearest",
     "s18_covariance_drift",
     "fe2_multiwindow_features",
+    "pipe10_prep_funnel",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

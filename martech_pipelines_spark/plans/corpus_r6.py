@@ -900,3 +900,131 @@ def fe2_multiwindow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spend_paise_28d"),
         F.expr("min(age_us) div 60000000").alias("last_event_gap_min"),
     )
+
+
+# =============================================================================
+# pipe10: corpus-prep funnel report — the per-stage row accounting every
+# data-ops dashboard shows for the training-data pipeline (pipe1/pipe2
+# RUN the chains; this reports what each stage kept).
+# =============================================================================
+
+
+def _pipe10_oracle() -> str:
+    from martech_pipelines_spark.operators import text as TX
+    from martech_pipelines_spark.plans.corpus_extended import (
+        _DUCK_NORM,
+        _DUCK_TOKENS,
+        _lang_score_sql,
+    )
+
+    toks = _DUCK_TOKENS.format(col="text")
+    norm = _DUCK_NORM.format(col="text")
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    lang_case = f"""CASE
+        WHEN greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) = 0 THEN 'und'
+        WHEN {_lang_score_sql('de')} = greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) THEN 'de'
+        WHEN {_lang_score_sql('en')} = greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) THEN 'en'
+        WHEN {_lang_score_sql('es')} = greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                      {_lang_score_sql('es')}, {_lang_score_sql('fr')}) THEN 'es'
+        ELSE 'fr' END"""
+    quality = f"""round((least(len({toks}) / 20.0, 1.0)
+        + (1.0 - least(round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                             / length(text), 4) * 5, 1.0))
+        + least(round(len(list_filter({toks}, x -> x IN ({stop})))::DOUBLE / len({toks}), 4) * 4, 1.0)) / 3, 4)"""
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) > 0 AND len({toks}) > 0
+          AND ({lang_case}) = 'en'
+          AND ({quality}) >= 0.4
+    ), ranked AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+        FROM kept
+    ), deduped AS (
+        SELECT doc_id, text FROM ranked WHERE rn = 1
+    ), train AS (
+        SELECT doc_id, text FROM deduped WHERE doc_id % 10 <> 3
+    ), train_toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex({norm}, '[^a-z0-9'']+'),
+                           x -> x <> '') AS t
+        FROM train
+    ), train_win AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h
+        FROM train_toks, unnest(range(1, len(t) - 6)) u(i)
+        WHERE len(t) >= 8
+    ), eval_toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex({norm}, '[^a-z0-9'']+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE doc_id % 10 = 3
+    ), eval_h AS (
+        SELECT DISTINCT md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h
+        FROM eval_toks, unnest(range(1, len(t) - 6)) u(i)
+        WHERE len(t) >= 8
+    ), contaminated AS (
+        SELECT DISTINCT w.doc_id FROM train_win w
+        WHERE w.h IN (SELECT h FROM eval_h)
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage,
+           (SELECT count(*) FROM documents) AS docs
+    UNION ALL SELECT 1, 'quality_lang', (SELECT count(*) FROM kept)
+    UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM deduped)
+    UNION ALL SELECT 3, 'train_split', (SELECT count(*) FROM train)
+    UNION ALL SELECT 4, 'decontaminated',
+        (SELECT count(*) FROM train) - (SELECT count(*) FROM contaminated)
+    """
+
+
+@q("pipe10_prep_funnel", _pipe10_oracle())
+def pipe10_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts of the training-data prep funnel: raw ->
+    quality+language filter -> exact dedup -> train/eval split ->
+    8-gram decontamination.  The report every corpus-prep dashboard
+    shows — where did the documents go, stage by stage.  The quality-
+    filtered base is persisted via the caching registry (four stage
+    counts reuse it; re-scanning raw text per stage is the 100-TB waste
+    a pipeline checkpoint avoids); each stage count is a 1-row
+    aggregate, unioned into the 5-row report.  Stage operators are the
+    engine's own (pipe1/dd9 composition), so the funnel numbers are
+    engine-checked against the oracle's CTE re-spelling."""
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.operators import dedup as DD
+    from martech_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(
+        (F.length("text") > 0)
+        & (TX.token_count(F.col("text")) > 0)
+        & (TX.lang_id(F.col("text")) == "en")
+        & (TX.quality_score(F.col("text")) >= 0.4)
+    ).select("doc_id", "text")
+    kept = caching.register(kept.persist())
+    deduped = caching.register(DD.exact_dedup(kept).persist())
+    train = deduped.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+    clean = DD.decontaminate(train, eval_docs, w=8).where(
+        ~F.col("contaminated")
+    )
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("docs"),
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "quality_lang", kept))
+        .unionByName(stage(2, "exact_dedup", deduped))
+        .unionByName(stage(3, "train_split", train))
+        .unionByName(stage(4, "decontaminated", clean))
+    )
