@@ -76,6 +76,9 @@ HEADLINE = [
     "r31_rolling_active",
     # round-6 additions
     "g2b_triangles_support2",
+    "pipe10_prep_funnel",
+    "r33_asof_nearest",
+    "s18_covariance_drift",
 ]
 
 
