@@ -115,6 +115,8 @@ _WINDOW_PRIORITY = [
     "s18_covariance_drift",
     "fe2_multiwindow_features",
     "pipe10_prep_funnel",
+    "r34_latest_n_per_key",
+    "mart18_revenue_share",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

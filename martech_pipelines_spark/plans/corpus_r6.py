@@ -1028,3 +1028,107 @@ def pipe10_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "train_split", train))
         .unionByName(stage(4, "decontaminated", clean))
     )
+
+
+# =============================================================================
+# r34: latest-N per key — the flagship's generalization (CDC compaction
+# keeps 1 row per key; activity feeds/debug views keep the last N).
+# =============================================================================
+
+_R34_N = 3
+
+_R34_ORACLE = f"""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, rn, event_id, event_type, ts_s
+    FROM ranked WHERE rn <= {_R34_N}
+"""
+
+
+@q("r34_latest_n_per_key", _R34_ORACLE)
+def r34_latest_n_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last {N}=3 events per user, newest first — the activity-feed /
+    debugging view generalizing the flagship's latest-1 compaction.
+    Same scale shape: ONE hash exchange with a WindowGroupLimit partial
+    top-N BEFORE the shuffle (each map task forwards at most N rows per
+    key it sees, so the exchange carries O(keys*N*tasks) rows, not the
+    event volume); (ts, event_id) DESC is a total order, so the cut is
+    engine-stable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _R34_N)
+        .select(
+            "user_id",
+            "rn",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+# =============================================================================
+# mart18: revenue share by nation — the ratio-to-report pattern (every
+# exec dashboard's "share of total" column) with exact-DECIMAL inputs.
+# =============================================================================
+
+_MART18_ORACLE = """
+    WITH nat_rev AS (
+        SELECT n.n_name AS nation,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    )
+    SELECT nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST((SELECT sum(rev) FROM nat_rev) AS DOUBLE), 6)
+               AS share
+    FROM nat_rev
+    ORDER BY nation
+"""
+
+
+@q("mart18_revenue_share", _MART18_ORACLE)
+def mart18_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue and share-of-total: money summed in exact
+    DECIMAL (order-invariant), the grand total derived from the SAME
+    aggregate via an unpartitioned window over the |nations|-row result
+    (25 rows — the "window over the aggregate, never the facts"
+    discipline), and the share divided as doubles from identical exact
+    inputs — deterministic across engines.  Facts shuffle once on the
+    join key; nation broadcasts."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    nat_rev = (
+        od.join(cust, od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    return nat_rev.select(
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / total.cast("double"), 6
+        ).alias("share"),
+    ).orderBy("nation")
