@@ -877,3 +877,65 @@ def streaming_funnel_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming latest-N per key (r34's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def streaming_latest_n_per_key(events: DataFrame, n: int = 3) -> DataFrame:
+    """Continuously-maintained newest-N-events-per-user state — the
+    streaming twin of r34_latest_n_per_key (generalizes
+    ``streaming_latest_per_key``'s N=1).
+
+    State per key is a bounded list of the N best (ts, event_id) rows
+    (total (ts, id) DESC order, same as the batch window), so the state
+    store holds O(keys * n) rows regardless of stream volume.  Each
+    trigger emits the key's full refreshed top-N whenever it changed —
+    'update' semantics at the key level, so a downstream materializer
+    overwrites per key (the upsert-sink pattern)."""
+    import pandas as pd
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        # state is stored columns-of-arrays (stateStructType above);
+        # zip(*) turns it back into row tuples
+        best: list = list(zip(*state.get)) if state.exists else []
+        before = list(best)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                best.append(
+                    (
+                        int(row.ts.value // 1_000),
+                        int(row.event_id),
+                        row.event_type,
+                        float(row.value),
+                    )
+                )
+        best.sort(reverse=True)  # (us, id) DESC — batch window's order
+        best = best[:n]
+        if best != before:
+            state.update(tuple(list(c) for c in zip(*best)))
+            yield pd.DataFrame(
+                [
+                    (key[0], i + 1, us, eid, typ, val)
+                    for i, (us, eid, typ, val) in enumerate(best)
+                ],
+                columns=["user_id", "rn", "ts_us", "event_id", "event_type", "value"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, rn int, ts_us long, event_id long, "
+            "event_type string, value double"
+        ),
+        stateStructType=(
+            "ts_us array<long>, event_id array<long>, "
+            "event_type array<string>, value array<double>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -858,3 +858,33 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
     }
     want_counts = [want.get(i, 0) for i in range(len(steps))]
     assert got_counts == want_counts
+
+
+def test_streaming_latest_n_matches_batch_window(spark, tmp_path):
+    """r34's streaming twin: after draining the full event log through
+    micro-batches, each user's final emitted top-3 must equal the batch
+    window's rows (same (ts, event_id) DESC total order)."""
+    from martech_pipelines_spark.plans import QUERIES
+    from martech_pipelines_spark.streaming.stream import (
+        streaming_latest_n_per_key,
+    )
+
+    d = tmp_path / "r34_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    stream = stream_events_source(spark, str(d), max_files_per_trigger=1)
+    out = streaming_latest_n_per_key(stream, n=3)
+    q = run_stream_to_memory(out, "r34_mem", "update", str(tmp_path / "ck_r34"))
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["rn"]): (r["event_id"],)
+            for r in spark.sql("SELECT * FROM r34_mem").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["rn"]): (r["event_id"],)
+        for r in QUERIES["r34_latest_n_per_key"](spark, SF).collect()
+    }
+    assert got == want
