@@ -117,6 +117,7 @@ _WINDOW_PRIORITY = [
     "pipe10_prep_funnel",
     "r34_latest_n_per_key",
     "mart18_revenue_share",
+    "s19_recall_report",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

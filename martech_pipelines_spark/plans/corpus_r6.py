@@ -1132,3 +1132,70 @@ def mart18_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / total.cast("double"), 6
         ).alias("share"),
     ).orderBy("nation")
+
+
+# =============================================================================
+# s19: ANN recall report — index-quality EVALUATION as a first-class
+# query ("measure, don't guess" turned into an operator: the recall
+# check the pytest gates and BENCH_sf1 run, expressed as a corpus query
+# with a full oracle, so the driver value-checks the evaluation itself).
+# =============================================================================
+
+
+def _s19_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import (
+        _S1_ORACLE,
+        _S2_ORACLE,
+    )
+
+    # both component oracles are complete WITH...SELECT statements;
+    # nesting them as subqueries keeps their CTE namespaces separate
+    return f"""
+    WITH ex AS (SELECT query_id, vec_id FROM ({_S1_ORACLE}) t),
+         ap AS (SELECT query_id, vec_id FROM ({_S2_ORACLE}) t)
+    SELECT ex.query_id,
+           CAST(count(ap.vec_id) AS BIGINT) AS hits,
+           round(count(ap.vec_id) / 5.0, 4) AS recall_at_5
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@q("s19_recall_report", _s19_oracle())
+def s19_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the LSH index (s2) against exact ground
+    truth (s1): the index-quality monitor a production ANN deployment
+    runs after every rebuild.  Both sides are deterministic engine
+    pipelines with their own oracles, so the EVALUATION is value-checked
+    end to end — hits are integer counts, recall a single integer-ratio
+    division.  Cost is one exact pass + one LSH pass over the query set;
+    at 100 TB the exact side runs on a SAMPLE of queries (the standard
+    recall-estimation protocol) — the report shape is unchanged."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(queries, emb, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = SIM.lsh_topk(queries, emb, dim=64, k=5).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vid").alias("hits"),
+            F.round(F.count("a_vid") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
