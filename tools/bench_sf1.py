@@ -69,6 +69,15 @@ HEAVY = [
     "mart14_funnel",
     "g2_triangles",
     "r31_rolling_active",
+    # round-6: the corpus-prep funnel (quality scan + dedup window +
+    # decon windows over the 10x document corpus), the join-free
+    # two-direction as-of over 10x events, week-over-week churn from
+    # the reduced user-week state, and the production-density triangle
+    # twin (support>=2 — the form a 100x deployment runs)
+    "pipe10_prep_funnel",
+    "r33_asof_nearest",
+    "mart17_churn",
+    "g2b_triangles_support2",
 ]
 N_RUNS = 2
 
