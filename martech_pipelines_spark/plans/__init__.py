@@ -118,6 +118,7 @@ _WINDOW_PRIORITY = [
     "r34_latest_n_per_key",
     "mart18_revenue_share",
     "s19_recall_report",
+    "r35_sessionize",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

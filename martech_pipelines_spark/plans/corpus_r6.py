@@ -1199,3 +1199,61 @@ def s19_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# =============================================================================
+# r35: sessionization as ENRICHMENT — label every event with its session
+# id (w3/mart counts sessions; downstream per-session features need the
+# assignment itself).
+# =============================================================================
+
+_R35_GAP_S = 30 * 60
+
+_R35_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > CAST({_R35_GAP_S} AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_seq
+    FROM flagged
+"""
+
+
+@q("r35_sessionize", _R35_ORACLE)
+def r35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each event its per-user session sequence number (new
+    session after a 30-minute silence) — the enrichment w3's session
+    windows aggregate over, needed row-level whenever per-session
+    features join back to events.  ONE hash exchange on user_id feeds
+    both the lag flag and the running sum (same sort order, fused into
+    one Window pass); gap comparison in integer microseconds and the
+    (ts, event_id) total order keep the labels engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col("ts")) - prev_us > _R35_GAP_S * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.sum(new_sess).over(run).cast("long").alias("session_seq"),
+    )
