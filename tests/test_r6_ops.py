@@ -405,3 +405,56 @@ def test_pagerank_fast_path_equals_generic_on_symmetric_graph(spark):
     assert set(fast) == set(generic)
     for k in fast:
         assert abs(fast[k] - generic[k]) < 1e-12, k
+
+
+# --- r35 sessionize ----------------------------------------------------------
+
+
+def test_sessionize_gap_arithmetic_micro(spark):
+    import datetime as dt
+
+    import martech_pipelines_spark.plans.corpus_r6 as r6
+    from unittest import mock
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def e(i, mins):
+        return (i, t0 + dt.timedelta(minutes=mins), 1, "view", 1.0, "{}")
+
+    # session 1: 0, 29; session 2: 60 (31-min gap), 89;
+    # boundary: exactly 30:00 gap is NOT a new session (> rule)
+    rows = [e(1, 0), e(2, 29), e(3, 59), e(4, 60), e(5, 89)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    with mock.patch.object(r6, "load_table", lambda s, d, t: df):
+        out = {r["event_id"]: r["session_seq"]
+               for r in r6.r35_sessionize(spark, "x").collect()}
+    # 29 -> 59 is exactly 30:00 -> same session; 59 -> 60 is 1 min
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    rows2 = [e(1, 0), e(2, 31), e(3, 62)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string"
+    )
+    with mock.patch.object(r6, "load_table", lambda s, d, t: df2):
+        out2 = {r["event_id"]: r["session_seq"]
+                for r in r6.r35_sessionize(spark, "x").collect()}
+    assert out2 == {1: 1, 2: 2, 3: 3}
+
+
+# --- s19 recall report -------------------------------------------------------
+
+
+def test_recall_report_bounds_and_perfect_on_exact_vs_exact(spark):
+    out = QUERIES["s19_recall_report"](spark, SF).collect()
+    assert len(out) == 50  # every 10th of 500 vectors
+    for r in out:
+        assert 0 <= r["hits"] <= 5
+        assert abs(r["recall_at_5"] - r["hits"] / 5.0) < 1e-12
+    # mean recall must clear the declared LSH gate (0.5 at sf0.01; the
+    # 1.0 recalls in BENCH_sf1 are the re-tuned sf1 geometry)
+    mean = sum(r["recall_at_5"] for r in out) / len(out)
+    assert mean >= 0.5, mean
+    assert any(r["hits"] == 5 for r in out)  # perfect queries exist
