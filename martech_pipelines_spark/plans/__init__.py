@@ -119,6 +119,7 @@ _WINDOW_PRIORITY = [
     "mart18_revenue_share",
     "s19_recall_report",
     "r35_sessionize",
+    "r36_interval_overlap",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

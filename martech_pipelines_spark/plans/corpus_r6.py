@@ -1257,3 +1257,92 @@ def r35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.sum(new_sess).over(run).cast("long").alias("session_seq"),
     )
+
+
+# =============================================================================
+# r36: interval-interval overlap join — the remaining interval-algebra
+# primitive (r23 matches POINTS into intervals; this matches intervals
+# to each other: concurrent-campaign exposure, shift overlap, SLA
+# windows).
+# =============================================================================
+
+_R36_ORACLE = """
+    WITH c AS (
+        SELECT i AS campaign_id,
+               TIMESTAMP '2024-01-01' + INTERVAL 18 HOUR * i AS start_ts,
+               TIMESTAMP '2024-01-01' + INTERVAL 18 HOUR * i
+                   + INTERVAL 12 HOUR * ((i % 3) + 1) AS end_ts
+        FROM (SELECT unnest(range(40)) AS i)
+    )
+    SELECT a.campaign_id AS c1, b.campaign_id AS c2,
+           CAST((epoch_us(least(a.end_ts, b.end_ts))
+                 - epoch_us(greatest(a.start_ts, b.start_ts)))
+                // 1000000 AS BIGINT) AS overlap_s
+    FROM c a JOIN c b ON a.campaign_id < b.campaign_id
+    WHERE a.start_ts < b.end_ts AND b.start_ts < a.end_ts
+    ORDER BY c1, c2
+"""
+
+
+@q("r36_interval_overlap", _R36_ORACLE)
+def r36_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap seconds between the r23 campaign windows — the
+    interval-interval join.  Same bucketing discipline as range_join:
+    each interval explodes to its 12h buckets, pairs come from bucket
+    collisions (equi-join, never a cartesian), duplicates from pairs
+    sharing several buckets collapse with one distinct, and the exact
+    overlap predicate/arithmetic runs on the deduped pairs in integer
+    seconds.  At 100 TB (think: every user's session intervals vs
+    campaign flights) the bucket join is what keeps candidate pairs
+    near-linear; the 40-interval corpus form exercises the identical
+    plan.  [start, end) semantics: touching intervals (end == start)
+    do NOT overlap."""
+    anchor = 1704067200
+    camp = spark.range(40).select(
+        F.col("id").alias("campaign_id"),
+        (anchor + F.col("id") * 64800).alias("start_s"),
+        (anchor + F.col("id") * 64800 + ((F.col("id") % 3) + 1) * 43200)
+        .alias("end_s"),
+    )
+    bucket = 43200
+    exploded = camp.select(
+        "campaign_id",
+        "start_s",
+        "end_s",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / bucket),
+                F.floor((F.col("end_s") - 1) / bucket),
+            )
+        ).alias("bkt"),
+    )
+    b = exploded.select(
+        F.col("campaign_id").alias("c2"),
+        F.col("start_s").alias("start2"),
+        F.col("end_s").alias("end2"),
+        F.col("bkt").alias("bkt2"),
+    )
+    pairs = (
+        exploded.join(
+            b,
+            (F.col("bkt") == F.col("bkt2"))
+            & (F.col("campaign_id") < F.col("c2")),
+        )
+        .select("campaign_id", "start_s", "end_s", "c2", "start2", "end2")
+        .distinct()
+    )
+    overlap = F.least(F.col("end_s"), F.col("end2")) - F.greatest(
+        F.col("start_s"), F.col("start2")
+    )
+    return (
+        pairs.where(
+            (F.col("start_s") < F.col("end2"))
+            & (F.col("start2") < F.col("end_s"))
+        )
+        .select(
+            F.col("campaign_id").alias("c1"),
+            "c2",
+            overlap.cast("long").alias("overlap_s"),
+        )
+        .orderBy("c1", "c2")
+    )
