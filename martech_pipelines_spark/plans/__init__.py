@@ -120,6 +120,7 @@ _WINDOW_PRIORITY = [
     "s19_recall_report",
     "r35_sessionize",
     "r36_interval_overlap",
+    "mart19_abc_analysis",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

@@ -1346,3 +1346,93 @@ def r36_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c1", "c2")
     )
+
+
+# =============================================================================
+# mart19: ABC (Pareto) classification — the inventory/revenue-mix mart
+# (which parts are the A-class 80% of revenue).
+# =============================================================================
+
+_MART19_ORACLE = """
+    WITH part_rev AS (
+        SELECT l_partkey AS partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT partkey, rev,
+               sum(rev) OVER (
+                   ORDER BY rev DESC, partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_rev,
+               sum(rev) OVER () AS total_rev
+        FROM part_rev
+    ), classed AS (
+        SELECT partkey,
+               CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                         <= 0.8 THEN 'A'
+                    WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                         <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               rev
+        FROM ranked
+    )
+    SELECT abc,
+           count(*) AS n_parts,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           round(CAST(sum(rev) AS DOUBLE)
+                 / CAST((SELECT sum(rev) FROM part_rev) AS DOUBLE), 4)
+               AS rev_share
+    FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("mart19_abc_analysis", _MART19_ORACLE)
+def mart19_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue: cumulative
+    revenue share over the (rev DESC, partkey) total order cuts classes
+    at 80%/95%.  Money stays exact DECIMAL through the cumulative
+    window; the class boundary ratio divides identical exact inputs as
+    doubles (deterministic).  The window sorts the PER-PART aggregate
+    (catalog-bound, |parts| rows), never lineitems — the same
+    window-over-the-aggregate discipline as r32/mart18; the final
+    report is 3 rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    part_rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev")
+    )
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = part_rev.select(
+        "partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    classed = ranked.select(
+        "partkey",
+        "rev",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+    )
+    total = part_rev.agg(F.sum("rev").alias("t"))
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "abc",
+            "n_parts",
+            "revenue",
+            F.round(F.col("revenue") / F.col("t").cast("double"), 4).alias("rev_share"),
+        )
+        .orderBy("abc")
+    )
