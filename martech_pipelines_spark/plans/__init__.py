@@ -121,6 +121,7 @@ _WINDOW_PRIORITY = [
     "r35_sessionize",
     "r36_interval_overlap",
     "mart19_abc_analysis",
+    "mart20_first_touch",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

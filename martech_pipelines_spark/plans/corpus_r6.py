@@ -1436,3 +1436,76 @@ def mart19_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# =============================================================================
+# mart20: first-touch attribution — completes the attribution family
+# (mart3 last-touch-in-window, mart5 linear, mart8 time-decay; the
+# journey-origin model was the missing convention).
+# =============================================================================
+
+_MART20_ORACLE = """
+    WITH ann AS (
+        SELECT event_id, user_id, event_type, ts,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                                THEN event_id END IGNORE NULLS)
+                   OVER w AS touch_id,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                                THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                                THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+           CAST(epoch_us(ts) - touch_us AS BIGINT) AS gap_us
+    FROM ann
+    WHERE event_type = 'purchase' AND touch_us IS NOT NULL
+"""
+
+
+@q("mart20_first_touch", _MART20_ORACLE)
+def mart20_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the user's FIRST
+    view/click ever before it (the journey-origin model — acquisition
+    channels get the credit; mart3's last-touch is the conversion-
+    channel view).  Identical single-exchange carry window as mart3,
+    with ``first IGNORE NULLS`` instead of ``last``; integer-microsecond
+    gaps, (ts, event_id) total order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ann = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.first(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_id"),
+        F.first(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.first(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    return (
+        ann.where(
+            (F.col("event_type") == "purchase") & F.col("touch_us").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "touch_id",
+            "touch_type",
+            (F.unix_micros("ts") - F.col("touch_us")).alias("gap_us"),
+        )
+    )
