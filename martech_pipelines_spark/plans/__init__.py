@@ -122,6 +122,7 @@ _WINDOW_PRIORITY = [
     "r36_interval_overlap",
     "mart19_abc_analysis",
     "mart20_first_touch",
+    "t39_tokenizer_fertility",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

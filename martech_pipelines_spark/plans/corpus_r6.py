@@ -1509,3 +1509,63 @@ def mart20_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.col("touch_us")).alias("gap_us"),
         )
     )
+
+
+# =============================================================================
+# t39: tokenizer fertility by language — tokens-per-100-chars, the
+# tokenizer-efficiency diagnostic multilingual corpus work tracks (a
+# language whose fertility drifts is being segmented differently, which
+# shifts its EFFECTIVE mixture weight in token-budgeted training).
+# =============================================================================
+
+
+def _t39_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import _DUCK_TOKENS
+
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS tokens,
+           sum(n_chars) AS chars,
+           round(CAST(sum(n_tokens) * 100 AS DOUBLE) / sum(n_chars), 4)
+               AS fertility_per_100_chars
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """
+
+
+@q("t39_tokenizer_fertility", _t39_oracle())
+def t39_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens per 100 characters by language: integer token/char sums in
+    one keyed pass (codegen tokenizer expression, no Python), the
+    fertility ratio a single division of exact integers.  |langs| output
+    rows — the per-language segmentation-efficiency monitor that guards
+    token-budgeted mixture weights (t16) against tokenizer drift."""
+    from martech_pipelines_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    per = docs.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.round(
+                (F.sum("n_tokens") * F.lit(100)).cast("double")
+                / F.sum("n_chars"),
+                4,
+            ).alias("fertility_per_100_chars"),
+        )
+        .orderBy("lang")
+    )
