@@ -123,6 +123,7 @@ _WINDOW_PRIORITY = [
     "mart19_abc_analysis",
     "mart20_first_touch",
     "t39_tokenizer_fertility",
+    "w9_conversion_latency",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

@@ -1569,3 +1569,94 @@ def t39_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# =============================================================================
+# w9: conversion-latency percentiles — time from first signup to first
+# subsequent purchase, summarized with the r29 exact-histogram
+# discipline (latencies are integer seconds — a discrete domain).
+# =============================================================================
+
+_W9_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS su_ts
+        FROM events GROUP BY 1
+    ), conv AS (
+        SELECT f.user_id,
+               (epoch_us(min(e.ts)) - epoch_us(f.su_ts)) // 1000000
+                   AS latency_s
+        FROM firsts f
+        JOIN events e
+          ON e.user_id = f.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > f.su_ts
+        WHERE f.su_ts IS NOT NULL
+        GROUP BY f.user_id, f.su_ts
+    ), hist AS (
+        SELECT latency_s AS y, count(*) AS cnt FROM conv GROUP BY 1
+    ), cum AS (
+        SELECT y, cnt,
+               sum(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(cnt) OVER () AS n
+        FROM hist
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           min(CASE WHEN c >= ceil(n * 0.50) THEN y END) AS p50_s,
+           min(CASE WHEN c >= ceil(n * 0.90) THEN y END) AS p90_s
+    FROM cum
+"""
+
+
+@q("w9_conversion_latency", _W9_ORACLE)
+def w9_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency p50/p90: per-user firsts reduce
+    the event stream to one row per converting user (keyed aggregates,
+    strictly-after join predicate), then the exact-percentile selection
+    runs over the latency HISTOGRAM (distinct integer seconds), never a
+    global row sort — r29's discipline applied to a funnel-latency
+    metric.  All integer arithmetic; engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("su_ts")
+    ).where(F.col("su_ts").isNotNull())
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(
+            pur,
+            (F.col("p_uid") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("su_ts")),
+        )
+        .groupBy("user_id", "su_ts")
+        .agg(
+            F.expr(
+                "(unix_micros(min(p_ts)) - unix_micros(su_ts)) div 1000000"
+            ).alias("latency_s")
+        )
+    )
+    hist = conv.groupBy(F.col("latency_s").alias("y")).agg(
+        F.count("*").alias("cnt")
+    )
+    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy()
+    cum = hist.select(
+        "y",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").alias("n_converted"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * 0.50), F.col("y"))
+        ).alias("p50_s"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * 0.90), F.col("y"))
+        ).alias("p90_s"),
+    )
