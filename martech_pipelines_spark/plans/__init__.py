@@ -124,6 +124,7 @@ _WINDOW_PRIORITY = [
     "mart20_first_touch",
     "t39_tokenizer_fertility",
     "w9_conversion_latency",
+    "t41_vocab_coverage",
     "t14_bpe_pairs",
     "t15_url_filter",
     "t16_mixture_weights",

@@ -1660,3 +1660,93 @@ def w9_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c") >= F.ceil(F.col("n") * 0.90), F.col("y"))
         ).alias("p90_s"),
     )
+
+
+# =============================================================================
+# t41: vocabulary coverage@K — what fraction of corpus token MASS the
+# top-K token types cover (the OOV-rate curve that sizes a vocabulary
+# before BPE training; complements t14/t26's BPE induction+encode).
+# =============================================================================
+
+_T41_KS = (100, 500, 2000)
+
+
+def _t41_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import _DUCK_TOKENS
+
+    toks = _DUCK_TOKENS.format(col="text")
+    ks = ", ".join(str(k) for k in _T41_KS)
+    return f"""
+    WITH tf AS (
+        SELECT t AS token, count(*) AS cnt
+        FROM (SELECT unnest({toks}) AS t FROM documents)
+        GROUP BY 1
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rnk,
+               sum(cnt) OVER () AS total
+        FROM tf
+    )
+    SELECT k AS vocab_size,
+           CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS DOUBLE)
+                 / max(total), 6) AS coverage
+    FROM ranked CROSS JOIN (SELECT unnest([{ks}]) AS k)
+    GROUP BY k ORDER BY k
+"""
+
+
+@q("t41_vocab_coverage", _t41_oracle())
+def t41_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-K token types for K in {100, 500,
+    2000} — the vocabulary-sizing curve (1 - coverage = OOV rate at
+    that vocab size).  One vocab-keyed count shuffle; ranking and the
+    coverage sums run over the DISTINCT-TOKEN table (vocab-bound, not
+    corpus-bound); the K fan-out is a 3-row broadcast.  Counts are
+    integers, coverage a single division of exact integers — engine-
+    exact.  (count DESC, token) is a total order, so every K cut is
+    deterministic."""
+    from pyspark.sql import Window
+
+    from martech_pipelines_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    w_all = Window.partitionBy()
+    ranked = tf.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _T41_KS], "k int")
+    return (
+        ranked.join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rnk") <= F.col("k"), F.col("cnt")).otherwise(0)
+                ).cast("double")
+                / F.max("total"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("k").alias("vocab_size"),
+            "covered_tokens",
+            "total_tokens",
+            "coverage",
+        )
+        .orderBy("vocab_size")
+    )
