@@ -297,16 +297,35 @@ def embedding_covariance_arrow(
     """
     import numpy as np
 
+    _INT64_MAX = 2**63 - 1
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gram = None
         sums = None
         count = 0
+        max_abs = 0  # running max |quantized element|, exact Python int
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             if quantize is not None:
                 x = np.floor(x * float(10 ** quantize) + 0.5).astype("int64")
+                # Overflow guard (ADVICE r6): numpy int64 matmul WRAPS
+                # silently.  Every Gram cell (and any prefix partial sum
+                # of it) is bounded by max|xq|^2 * rows-so-far, so if
+                # that bound fits int64 nothing wrapped.  The documented
+                # ~9e6-rows headroom assumed |x|<=1 — this check makes
+                # out-of-envelope data fail loudly instead of silently
+                # corrupting the "bit-exact" contract.
+                max_abs = max(max_abs, int(np.abs(x).max()))
+                if max_abs * max_abs * (count + len(pdf)) > _INT64_MAX:
+                    raise OverflowError(
+                        "embedding_covariance_arrow: int64 Gram partial "
+                        f"would overflow (max|xq|={max_abs}, rows="
+                        f"{count + len(pdf)}, quantize={quantize}). "
+                        "Lower `quantize`, shrink partitions, or use the "
+                        "exact DECIMAL form embedding_covariance()."
+                    )
             g = x.T @ x
             gram = g if gram is None else gram + g
             s = x.sum(axis=0)

@@ -29,79 +29,22 @@ from martech_pipelines_spark.plans import corpus_r5s  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r6  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering (round 6 rotation — VERDICT r5 "Next round" #2).
+# Driver-window ordering (round 7 rotation — VERDICT r6 "Next round" #1).
 #
 # The correctness driver hashes only the FIRST 50 entries of queries() each
-# round.  Cumulative driver coverage after r1-r5: 109/229; 114 registered
-# queries (103 with full oracles) have never been driver-checked.  Round-6
-# window (slots 1-50): the two covariance queries whose contract was made
-# integer-exact this round (they FAILED the r5 driver hash and must
-# re-verify), then 48 never-driver-verified full-oracle queries — all of
-# TPC-H q1-q22, mart1-7 (+SCD2/PIT twins), dd7b-dd12, s6/s7/s9/s10(+lsh),
-# t13/t19, pipe1, h6.  Slots 51-100 queue the rest of the never-verified
-# backlog for round 7.  Everything else keeps registration order; nothing
-# is removed.
+# round.  Cumulative driver coverage after r1-r6: 159/252; 93 registered
+# queries have never been driver-checked.  Round-7 window (slots 1-50): the
+# round-6 queue promoted verbatim — the 23 round-6 additions (g2b, s15-s19,
+# h19/h20, mart17-20, dq8, r32-r36, a11, fe2, pipe10, t39/t41, w9), then
+# t14-t29, t6/t7, pipe2-5, h8-h11, mm1-mm3.  Every entry was triple-verified
+# in round 6 (check_oracle, 7-vs-32-partition stability sweep, bare-session
+# driver rehearsal).  Slots 51+ queue the round-7 additions (pipe10b + the
+# ANN candidate-generation component oracles) and the remaining backlog for
+# round 8.  Everything else keeps registration order; nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # === round-6 window, slots 1-50 ===
-    # -- r5 driver FAILs, contract hardened this round (must re-verify) --
-    "s12_covariance",
-    "s12b_covariance_arrow",
-    # -- TPC-H (never driver-checked) --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_relationship",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # -- marts / SCD2 / PIT (never driver-checked) --
-    "mart1_funnel",
-    "mart2_retention",
-    "mart3_last_touch",
-    "mart4_scd2",
-    "mart4b_scd2_snapshot",
-    "mart5_linear_attribution",
-    "mart6_pit_join",
-    "mart6b_pit_window",
-    "mart7_cohort_ltv",
-    # -- dedup / decontamination (never driver-checked) --
-    "dd7b_dup_clusters_star",
-    "dd8_substring_window",
-    "dd8b_substring_window_skew",
-    "dd9_decontaminate",
-    "dd9b_contamination_overlap",
-    "dd10_incremental_dedup",
-    "dd11_paragraph_dedup",
-    "dd12_keep_best_per_cluster",
-    # -- similarity (never driver-checked, full-oracle forms) --
-    "s6_semdedup",
-    "s7_sq8_topk",
-    "s9_hard_negatives",
-    "s10_knn_graph",
-    "s10b_knn_graph_lsh",
-    # -- text / pipelines / IVM picks --
-    "t13_gopher_filter",
-    "t19_bm25",
-    "pipe1_training_prep",
-    "h6_incremental_agg",
-    # === round-7 queue, slots 51+ (new round-6 work first, then the
-    # remaining never-driver-verified backlog) ===
+    # === round-7 window, slots 1-50 (all never driver-checked) ===
+    # -- round-6 additions --
     "g2b_triangles_support2",
     "s15_label_centroids",
     "h19_incremental_covariance",
@@ -152,6 +95,8 @@ _WINDOW_PRIORITY = [
     "mm1_media_meta",
     "mm2_media_features",
     "mm3_binary_ingest",
+    # === round-8 queue, slots 51+ (round-7 additions first, then the
+    # remaining never-driver-verified backlog) ===
     "mm4_resize",
     "mm5_frame_sample",
     "mm6_phash_near_dup",
@@ -184,7 +129,13 @@ _WINDOW_PRIORITY = [
 
 
 def _reorder_registry() -> None:
-    ordered = {n: QUERIES[n] for n in _WINDOW_PRIORITY if n in QUERIES}
+    # Fail fast on a typo/renamed query: a silently-skipped name would shift
+    # the driver's 50-slot verification window (ADVICE r6).
+    missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, f"_WINDOW_PRIORITY names absent from QUERIES: {missing}"
+    dupes = {n for n in _WINDOW_PRIORITY if _WINDOW_PRIORITY.count(n) > 1}
+    assert not dupes, f"_WINDOW_PRIORITY duplicate names: {sorted(dupes)}"
+    ordered = {n: QUERIES[n] for n in _WINDOW_PRIORITY}
     for name, fn in list(QUERIES.items()):
         if name not in ordered:
             ordered[name] = fn

@@ -823,7 +823,12 @@ def streaming_funnel_state(
     import pandas as pd
 
     k = len(steps)
-    step_idx = {s: i for i, s in enumerate(steps)}
+    # Positions per event type (a funnel may repeat a type, e.g.
+    # ['view','click','view'] — a {type: index} map would collapse the
+    # repeats and the funnel could never complete; ADVICE r6).
+    step_positions: dict[str, list[int]] = {}
+    for _i, _s in enumerate(steps):
+        step_positions.setdefault(_s, []).append(_i)
     within_us = None if within_s is None else within_s * 1_000_000
     out_schema = "user_id long, furthest int, reach_us long"
     state_schema = ", ".join(f"s{i} long" for i in range(k))
@@ -845,18 +850,23 @@ def streaming_funnel_state(
                 )
         rows.sort()
         for t, _tb, typ in rows:
-            i = step_idx.get(typ)
-            if i is None or reach[i] is not None:
-                continue
-            if i == 0:
-                reach[0] = t
-                continue
-            prev = reach[i - 1]
-            if prev is None or t <= prev:
-                continue
-            if within_us is not None and t > prev + within_us:
-                continue
-            reach[i] = t
+            # Mirror the batch fold exactly: every step position of this
+            # event's type is evaluated against the PRE-event state (the
+            # batch F.struct computes all k fields from `acc`), so one
+            # event can anchor step i but never i and i+1 together.
+            hits = []
+            for i in step_positions.get(typ, ()):
+                if reach[i] is not None:
+                    continue
+                if i > 0:
+                    prev = reach[i - 1]
+                    if prev is None or t <= prev:
+                        continue
+                    if within_us is not None and t > prev + within_us:
+                        continue
+                hits.append(i)
+            for i in hits:
+                reach[i] = t
         after = sum(1 for r in reach if r is not None)
         if after != before or not state.exists:
             state.update(tuple(reach))

@@ -274,6 +274,21 @@ def test_covariance_partition_invariant(spark):
         assert ar == baseline, nparts
 
 
+def test_covariance_arrow_overflow_fails_loudly(spark):
+    """ADVICE r6: out-of-envelope magnitudes (the documented ~9e6-row
+    headroom assumes |x|<=1) must raise OverflowError from the int64
+    Gram kernel instead of silently wrapping and corrupting the
+    'bit-exact' result."""
+    import pytest as _pytest
+
+    big = spark.range(4).selectExpr(
+        "id AS vec_id", "array(1.0e7, -1.0e7) AS embedding"
+    )
+    with _pytest.raises(Exception) as exc:
+        LA.embedding_covariance_arrow(big, round_dp=5).collect()
+    assert "OverflowError" in str(exc.value) or "overflow" in str(exc.value)
+
+
 def test_covariance_diagonal_is_variance(spark):
     import numpy as np
 

@@ -860,6 +860,51 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
     assert got_counts == want_counts
 
 
+def test_streaming_funnel_repeated_step_type(spark, tmp_path):
+    """A funnel may repeat an event type (['view','click','view'] =
+    're-engagement'); the streaming twin must chain the second 'view'
+    exactly like the batch fold does (ADVICE r6: a {type: index} map
+    collapsed the repeats so such funnels could never complete)."""
+    from martech_pipelines_spark.operators.transforms import ordered_funnel
+    from martech_pipelines_spark.streaming.stream import streaming_funnel_state
+
+    steps = ["view", "click", "view"]
+    ev = load_table(spark, SF, "events")
+    d = tmp_path / "funnel_rep"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = streaming_funnel_state(stream, steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_rep")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rep"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql(
+        "SELECT user_id, max(furthest) AS furthest FROM funnel_rep GROUP BY user_id"
+    ).collect()
+    got_counts = [
+        sum(1 for r in emitted if r["furthest"] >= i) for i in range(len(steps))
+    ]
+    want = {
+        r["step_idx"]: r["users"] for r in ordered_funnel(ev, steps).collect()
+    }
+    want_counts = [want.get(i, 0) for i in range(len(steps))]
+    assert got_counts == want_counts
+    # the repeated third step must actually be reachable
+    assert want_counts[2] > 0
+
+
 def test_streaming_latest_n_matches_batch_window(spark, tmp_path):
     """r34's streaming twin: after draining the full event log through
     micro-batches, each user's final emitted top-3 must equal the batch
