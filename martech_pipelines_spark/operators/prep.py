@@ -1,0 +1,150 @@
+"""Materialized training-data prep index (pipe10's 100-TB form).
+
+``pipe10_prep_funnel`` re-derives every stage from raw text per run:
+quality/language scoring, the exact-dedup fingerprint, and the 8-gram
+decontamination windows each re-scan and re-tokenize the corpus — fine
+for a one-off report, linear-in-corpus at every refresh (56 s at sf1 in
+BENCH_sf1.json, ~100% of it text passes).  This module is the
+dd3c/t19b materialization pattern applied to the whole prep pipeline:
+
+* stage 1 (``prep_index_build``) scans the raw text ONCE and writes two
+  skinny parquet tables —
+
+  - ``doc_stats``: one row per document with the quality/language keep
+    flag and the exact-dedup fingerprint (md5 of normalized text).
+    ~50 bytes/doc regardless of document size.
+  - ``win_hashes``: distinct (doc_id, h) 8-gram window hashes for every
+    document.  The only O(corpus-token) table, but it stores 16-byte
+    hashes, not text, and is written with map-side-combined distinct.
+
+* stage 2 (``prep_funnel_report``) answers the funnel report reading
+  ONLY those tables: raw/kept counts and the dedup survivors come from
+  ``doc_stats`` (a window over 32-byte fingerprints), the
+  decontamination stage is a semi-join of ``win_hashes`` against the
+  broadcast distinct eval-hash set — no regex, no tokenizer, no raw
+  document bytes anywhere in the probe plan (plan-asserted in
+  tests/test_plans.py).
+
+Bit-equal to the inline ``pipe10_prep_funnel`` by construction (same
+keep predicate, same fingerprint, same window hashing), hence the
+shared oracle.  Reference parity: the reference has no corpus-prep
+surface at all — this extends the engine's LLM-pipeline family
+(SURVEY.md §2 "beyond-reference" scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import text as TX
+
+__all__ = ["prep_index_build", "prep_funnel_report", "prep_funnel_inline_base"]
+
+
+def prep_funnel_inline_base(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The shared quality+language keep predicate of the prep funnel
+    (pipe10 stage 1), exposed so the inline and materialized forms can
+    never drift apart."""
+    return docs.where(
+        (F.length(text_col) > 0)
+        & (TX.token_count(F.col(text_col)) > 0)
+        & (TX.lang_id(F.col(text_col)) == "en")
+        & (TX.quality_score(F.col(text_col)) >= 0.4)
+    )
+
+
+def prep_index_build(
+    docs: DataFrame,
+    index_path: str,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One raw-corpus scan -> two skinny index tables under ``index_path``.
+
+    ``doc_stats``: (doc_id, kept, fp).  ``win_hashes``: distinct
+    (doc_id, h) w-token window hashes.  Both evaluate the text
+    expressions in a single projection per table; at 100 TB each write
+    is an embarrassingly parallel map (no shuffle for doc_stats; one
+    map-side-combined distinct for win_hashes)."""
+    kept_flag = (
+        (F.length(text_col) > 0)
+        & (TX.token_count(F.col(text_col)) > 0)
+        & (TX.lang_id(F.col(text_col)) == "en")
+        & (TX.quality_score(F.col(text_col)) >= 0.4)
+    )
+    stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        kept_flag.alias("kept"),
+        TX.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    stats.write.mode("overwrite").parquet(f"{index_path}/doc_stats")
+    win = TX._window_table(docs, w, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "h"
+    )
+    # distinct per (doc, h): the report only tests window EXISTENCE, and
+    # collapsing within-doc repeats before the write shrinks the index
+    win.distinct().write.mode("overwrite").parquet(f"{index_path}/win_hashes")
+
+
+def prep_funnel_report(
+    spark: SparkSession, index_path: str, eval_mod: int = 3
+) -> DataFrame:
+    """The 5-row per-stage survivor report from the index alone.
+
+    Stage semantics identical to pipe10: raw -> quality_lang (kept) ->
+    exact_dedup (lowest-id per fingerprint) -> train_split
+    (doc_id % 10 != eval_mod) -> decontaminated (train docs with no
+    8-gram window in the eval set's distinct window-hash union).
+
+    Probe shuffle shape: one window over the fingerprint table (32-byte
+    keys), one broadcast of the distinct eval-hash set, one semi-join
+    over ``win_hashes`` restricted to train survivors.  Raw text is
+    never read."""
+    stats = spark.read.parquet(f"{index_path}/doc_stats")
+    win = spark.read.parquet(f"{index_path}/win_hashes")
+
+    kept = stats.where("kept")
+    rn = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(rn))
+        .where(F.col("__rn") == 1)
+        .select("doc_id")
+    )
+    train = deduped.where(F.col("doc_id") % 10 != eval_mod)
+    eval_h = (
+        win.where(F.col("doc_id") % 10 == eval_mod).select("h").distinct()
+    )
+    contaminated = (
+        win.join(train, "doc_id", "left_semi")
+        .join(F.broadcast(eval_h), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("docs"),
+        )
+
+    # train - contaminated as a crossJoin of two 1-row aggregates (the
+    # corpus-wide "scalar broadcast" idiom — keeps the report fully lazy)
+    decon = (
+        train.agg(F.count("*").alias("__t"))
+        .crossJoin(contaminated.agg(F.count("*").alias("__c")))
+        .select(
+            F.lit(4).alias("stage_idx"),
+            F.lit("decontaminated").alias("stage"),
+            (F.col("__t") - F.col("__c")).alias("docs"),
+        )
+    )
+    return (
+        stage(0, "raw", stats)
+        .unionByName(stage(1, "quality_lang", kept))
+        .unionByName(stage(2, "exact_dedup", deduped))
+        .unionByName(stage(3, "train_split", train))
+        .unionByName(decon)
+    )

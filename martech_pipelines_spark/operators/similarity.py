@@ -463,6 +463,229 @@ def label_centroids(
     )
 
 
+# --- integer-exact candidate generation (the deterministic component of
+# --- the IVF/PQ indexes, oracle-checkable on its own: VERDICT r6 #8) --------
+
+
+def quantized_vec(col: Column, quantize: int = 6) -> Column:
+    """Vector quantized to integer-valued doubles: floor(x*10^q + 0.5).
+
+    Products and partial sums of these stay integers below 2^53 (|x|~1,
+    dim<=64 => |sum| <= 64*10^12), where double addition is EXACT and
+    order-independent — the same determinism trick as the covariance
+    family's BIGINT moments, kept in doubles so both engines' list/array
+    kernels apply directly."""
+    scale = float(10**quantize)
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5))
+    )
+
+
+def quantized_sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two quantized vectors,
+    via |a|^2 + |b|^2 - 2ab (three fold dot-products — every term an
+    integer < 2^53, so the double arithmetic is exact)."""
+    return (dot(a, a) + dot(b, b) - F.lit(2.0) * dot(a, b)).cast("long")
+
+
+def modular_representatives(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid table (cell, centroid): the lowest-id
+    vector of each ``id % nlist`` class.  A data-derived, engine-exact
+    stand-in for a trained coarse quantizer — the assignment/probe
+    GEOMETRY downstream is identical whichever table is plugged in, so
+    this is what lets the candidate-generation stage carry a full DuckDB
+    oracle while KMeans centroids stay behind the recall gates.  One
+    tiny agg on a derived key + a broadcast-sized join back."""
+    reps = corpus.groupBy(
+        (F.col(id_col) % nlist).cast("int").alias("cell")
+    ).agg(F.min(id_col).alias("__rid"))
+    return (
+        reps.join(corpus, reps["__rid"] == corpus[id_col])
+        .select("cell", _as_double(F.col(vec_col)).alias("centroid"))
+    )
+
+
+def quantized_cell_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    quantize: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF cell assignment — the deterministic stage of the IVF index
+    (what ``ivf_build_index`` computes per corpus vector before writing
+    the inverted lists): nearest centroid by EXACT integer squared
+    distance, ties to the lowest cell id.  Output (id, cell, d2q).
+
+    Scale shape: centroids broadcast (nlist x dim), the corpus is
+    scanned once producing nlist skinny candidate rows per vector that
+    collapse map-side via min(struct(d2q, cell)) — one keyed exchange
+    of pre-combined rows, corpus text/vectors never shuffled."""
+    cq = centroids.select(
+        F.col("cell"), quantized_vec(F.col("centroid"), quantize).alias("__cq")
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col), quantized_vec(F.col(vec_col), quantize).alias("__xq")
+        )
+        .crossJoin(F.broadcast(cq))
+        .select(
+            id_col,
+            "cell",
+            quantized_sqdist(F.col("__xq"), F.col("__cq")).alias("d2q"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("d2q", "cell")).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.cell").alias("cell"),
+        F.col("__b.d2q").alias("d2q"),
+    )
+
+
+def quantized_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 4,
+    quantize: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query probe set — the partition-pruning decision an IVF index
+    makes before any ranking (``ivf_probe_topk``'s first stage): the
+    ``nprobe`` nearest cells by exact integer distance, rank ties to the
+    lowest cell id.  Output (id, probe_rank, cell, d2q).  Queries are
+    small by construction, so the queries x nlist candidate table and
+    its per-query window are trivial at any corpus scale."""
+    cq = centroids.select(
+        F.col("cell"), quantized_vec(F.col("centroid"), quantize).alias("__cq")
+    )
+    scored = (
+        queries.select(
+            F.col(id_col), quantized_vec(F.col(vec_col), quantize).alias("__xq")
+        )
+        .crossJoin(F.broadcast(cq))
+        .select(
+            id_col,
+            "cell",
+            quantized_sqdist(F.col("__xq"), F.col("__cq")).alias("d2q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("d2q", "cell")
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(id_col, "probe_rank", "cell", "d2q")
+    )
+
+
+def quantized_pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    quantize: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization code assignment — the deterministic stage of
+    an IVFPQ index (what ``pq_encode_udf`` computes, argmin per
+    subspace) against an EXPLICIT codebook table (subspace, code,
+    codeword).  Exact integer distances on each dim/m-wide slice, ties
+    to the lowest code id.  Output (id, subspace, code, d2q) — m rows
+    per vector, the m-byte code table the index stores.
+
+    Scale shape: the codebook broadcasts (m x ksub rows); each corpus
+    vector fans out to m slice rows and ksub candidates per slice that
+    collapse map-side via min(struct) — one keyed exchange on
+    (id, subspace), vectors never shuffled."""
+    assert dim % m == 0
+    dsub = dim // m
+    cb = codebook.select(
+        "subspace",
+        "code",
+        quantized_vec(F.col("codeword"), quantize).alias("__cw"),
+    )
+    slices = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("subspace"),
+                        quantized_vec(
+                            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub),
+                            quantize,
+                        ).alias("__sq"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.subspace").alias("subspace"), F.col("__s.__sq").alias("__sq"))
+    scored = slices.join(F.broadcast(cb), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        quantized_sqdist(F.col("__sq"), F.col("__cw")).alias("d2q"),
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min(F.struct("d2q", "code")).alias("__b")
+    )
+    return best.select(
+        id_col,
+        "subspace",
+        F.col("__b.code").alias("code"),
+        F.col("__b.d2q").alias("d2q"),
+    )
+
+
+def modular_pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic PQ codebook (subspace, code, codeword): codeword
+    ``c`` of subspace ``j`` is the j-th slice of the lowest-id vector of
+    the ``id % ksub == c`` class — the same modular-representative trick
+    as the coarse-quantizer table, applied per subspace."""
+    assert dim % m == 0
+    dsub = dim // m
+    reps = modular_representatives(
+        corpus, nlist=ksub, vec_col=vec_col, id_col=id_col
+    ).withColumnRenamed("cell", "code")
+    return reps.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("subspace"),
+                        F.slice(F.col("centroid"), j * dsub + 1, dsub).alias(
+                            "codeword"
+                        ),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(
+        F.col("__s.subspace").alias("subspace"),
+        "code",
+        F.col("__s.codeword").alias("codeword"),
+    )
+
+
 def ivf_build_index(
     corpus: DataFrame,
     index_path: str,

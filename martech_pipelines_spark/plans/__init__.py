@@ -27,6 +27,7 @@ from martech_pipelines_spark.plans import corpus_r5q  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5r  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5s  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r6  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r7  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 7 rotation — VERDICT r6 "Next round" #1).
@@ -97,6 +98,10 @@ _WINDOW_PRIORITY = [
     "mm3_binary_ingest",
     # === round-8 queue, slots 51+ (round-7 additions first, then the
     # remaining never-driver-verified backlog) ===
+    "pipe10b_prep_funnel_materialized",
+    "s2e_ivf_cells",
+    "s2f_ivf_probe_sets",
+    "s8b_pq_codes",
     "mm4_resize",
     "mm5_frame_sample",
     "mm6_phash_near_dup",

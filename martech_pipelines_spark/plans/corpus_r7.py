@@ -1,0 +1,231 @@
+"""Round-7 corpus additions.
+
+``pipe10b_prep_funnel_materialized`` — pipe10's 100-TB form (VERDICT r6
+"Next round" #4): the prep-funnel report answered from a materialized
+index (one raw-text scan at build time; the report itself reads only
+skinny parquet — doc stats + window hashes).  Shares pipe10's oracle:
+the two forms are bit-equal by construction.
+
+ANN candidate-generation component oracles (VERDICT r6 #8): the
+rows-only IVF/PQ entries hide fully-deterministic integer stages behind
+their trained rankings.  These queries expose exactly those stages and
+give them full DuckDB oracles:
+
+``s2e_ivf_cells``    — IVF cell assignment histogram: every vector's
+                       nearest-centroid cell (argmin over a FIXED
+                       deterministic centroid table) + per-cell counts.
+``s2f_ivf_probe_sets`` — per-query probe set: the nprobe nearest cells
+                       per query vector against the same fixed
+                       centroids — the partition-pruning decision the
+                       IVF index makes before any trained ranking.
+``s8b_pq_codes``     — product-quantization code assignment: per
+                       (vector, subspace) nearest-codeword ids against
+                       a fixed codebook — the code table an IVFPQ index
+                       stores, before any distance-table ranking.
+
+All three spell argmin-over-L2 as deterministic arithmetic over the
+SAME parquet the engine reads; ties broken by lowest centroid/codeword
+id in BOTH engines (and verified tie-free on the testdata by the
+audit_limit_ties discipline: the argmin is strict on this corpus).
+
+Registers into the shared QUERIES/ORACLE dicts at import time.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES, q  # noqa: F401
+from martech_pipelines_spark.plans.corpus_r6 import _pipe10_oracle
+from martech_pipelines_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# pipe10b: materialized prep funnel
+# ---------------------------------------------------------------------------
+
+# Build-once-per-process index cache keyed by sf_dir: the first call per
+# (process, sf_dir) pays the single raw-corpus scan, every later call is
+# probe-only — exactly the steady-state refresh cost the materialized
+# form exists to measure (bench best-of-N reports the probe; the driver's
+# one-shot correctness run includes the build and is equally correct).
+_PIPE10B_INDEX: dict[str, str] = {}
+
+
+def _pipe10b_index(spark: SparkSession, sf_dir: str) -> str:
+    from martech_pipelines_spark.operators import prep
+
+    path = _PIPE10B_INDEX.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="prep_funnel_idx_")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        prep.prep_index_build(docs, path, w=8)
+        _PIPE10B_INDEX[sf_dir] = path
+    return path
+
+
+@q("pipe10b_prep_funnel_materialized", _pipe10_oracle())
+def pipe10b_prep_funnel_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pipe10 through the materialized two-stage form (dd3c/t19b pattern
+    applied to the whole prep pipeline): stage 1 writes doc-stats +
+    window-hash index tables once; stage 2 computes the 5-stage funnel
+    report reading ONLY the index — no tokenizer, no regex, no raw text
+    in the probe plan (plan-asserted in tests/test_plans.py).  Shares
+    pipe10's oracle — the forms are bit-equal.  At sf1 the inline form
+    is linear in corpus text (56 s, BENCH_sf1.json r6); the probe is
+    linear only in the window-hash INDEX (16-byte hashes), the 100-TB
+    refresh shape."""
+    from martech_pipelines_spark.operators import prep
+
+    return prep.prep_funnel_report(spark, _pipe10b_index(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ANN candidate-generation component oracles
+# ---------------------------------------------------------------------------
+
+_NLIST = 16
+_NPROBE = 4
+_PQ_M = 8
+_PQ_DSUB = 8  # dim 64 / m 8
+
+# Quantized-integer vector + deterministic modular-representative
+# centroids, shared by the three oracles.  All distance arithmetic is
+# integer-valued doubles < 2^53, where double addition is exact — the
+# covariance family's determinism contract applied to argmin geometry.
+_QVEC = "list_transform(CAST({col} AS DOUBLE[]), x -> floor(x*1000000 + 0.5))"
+
+_CENT_CTES = f"""
+    xq AS (
+        SELECT vec_id, {_QVEC.format(col='embedding')} AS q
+        FROM embeddings
+    ), reps AS (
+        SELECT CAST(vec_id % {_NLIST} AS INTEGER) AS cell,
+               min(vec_id) AS rid
+        FROM embeddings GROUP BY 1
+    ), cents AS (
+        SELECT r.cell, x.q AS cq
+        FROM reps r JOIN xq x ON x.vec_id = r.rid
+    )
+"""
+
+_S2E_ORACLE = f"""
+    WITH {_CENT_CTES}, scored AS (
+        SELECT x.vec_id, c.cell,
+               CAST(list_dot_product(x.q, x.q) + list_dot_product(c.cq, c.cq)
+                    - 2*list_dot_product(x.q, c.cq) AS BIGINT) AS d2q
+        FROM xq x CROSS JOIN cents c
+    )
+    SELECT vec_id, cell, d2q FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2q, cell
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+"""
+
+
+@q("s2e_ivf_cells", _S2E_ORACLE)
+def s2e_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment — the deterministic candidate-generation
+    stage hiding inside the rows-only s2b/s2c entries, surfaced with a
+    full oracle (VERDICT r6 #8): every corpus vector's nearest centroid
+    by EXACT integer squared distance against the deterministic
+    modular-representative centroid table.  The trained-KMeans variant
+    runs the SAME assignment kernel with a different table — this query
+    value-checks the geometry, the recall gates check the training.
+    Centroids broadcast; candidates collapse map-side via min(struct);
+    one keyed exchange of pre-combined rows."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.modular_representatives(emb, nlist=_NLIST)
+    return SIM.quantized_cell_assignments(emb, cents).select(
+        "vec_id", "cell", "d2q"
+    )
+
+
+_S2F_ORACLE = f"""
+    WITH {_CENT_CTES}, scored AS (
+        SELECT x.vec_id AS query_id, c.cell,
+               CAST(list_dot_product(x.q, x.q) + list_dot_product(c.cq, c.cq)
+                    - 2*list_dot_product(x.q, c.cq) AS BIGINT) AS d2q
+        FROM xq x CROSS JOIN cents c
+        WHERE x.vec_id % 10 = 0
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS probe_rank, cell, d2q FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY d2q, cell
+        ) AS rn FROM scored
+    ) WHERE rn <= {_NPROBE}
+"""
+
+
+@q("s2f_ivf_probe_sets", _S2F_ORACLE)
+def s2f_ivf_probe_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF probe set — the partition-pruning decision
+    ``ivf_probe_topk`` makes before any ranking (which cells' inverted
+    lists get read), value-checked end to end: the nprobe={_NPROBE}
+    nearest cells per query by exact integer distance, rank ties to the
+    lowest cell.  Query set = every 10th vector (the s1/s19
+    convention)."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.modular_representatives(emb, nlist=_NLIST)
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.quantized_probe_cells(queries, cents, nprobe=_NPROBE).select(
+        "query_id", "probe_rank", "cell", "d2q"
+    )
+
+
+_S8B_ORACLE = f"""
+    WITH {_CENT_CTES}, sub AS (
+        SELECT j FROM unnest(range(0, {_PQ_M})) u(j)
+    ), cb AS (
+        SELECT CAST(s.j AS INTEGER) AS subspace, c.cell AS code,
+               c.cq[CAST(s.j*{_PQ_DSUB}+1 AS INTEGER)
+                    :CAST(s.j*{_PQ_DSUB}+{_PQ_DSUB} AS INTEGER)] AS cw
+        FROM cents c CROSS JOIN sub s
+    ), xs AS (
+        SELECT x.vec_id, CAST(s.j AS INTEGER) AS subspace,
+               x.q[CAST(s.j*{_PQ_DSUB}+1 AS INTEGER)
+                   :CAST(s.j*{_PQ_DSUB}+{_PQ_DSUB} AS INTEGER)] AS sq
+        FROM xq x CROSS JOIN sub s
+    ), scored AS (
+        SELECT xs.vec_id, xs.subspace, cb.code,
+               CAST(list_dot_product(xs.sq, xs.sq)
+                    + list_dot_product(cb.cw, cb.cw)
+                    - 2*list_dot_product(xs.sq, cb.cw) AS BIGINT) AS d2q
+        FROM xs JOIN cb ON cb.subspace = xs.subspace
+    )
+    SELECT vec_id, subspace, code, d2q FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, subspace ORDER BY d2q, code
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+"""
+
+
+@q("s8b_pq_codes", _S8B_ORACLE)
+def s8b_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment — the deterministic stage of the rows-only
+    s8/s2d IVFPQ entries (what ``pq_encode_udf``'s argmin computes),
+    against the deterministic modular codebook: per (vector, subspace)
+    the nearest codeword by exact integer distance on the
+    {_PQ_DSUB}-dim slice.  The m-byte code table an IVFPQ index stores,
+    value-checked cell by cell; the trained-codebook variant reuses the
+    same argmin with Lloyd's output.  Codebook broadcasts; candidates
+    collapse map-side; one keyed exchange on (vec_id, subspace)."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.modular_pq_codebook(emb, m=_PQ_M, ksub=_NLIST, dim=64)
+    return SIM.quantized_pq_codes(emb, cb, m=_PQ_M, dim=64).select(
+        "vec_id", "subspace", "code", "d2q"
+    )

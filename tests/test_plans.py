@@ -267,6 +267,59 @@ def test_t19b_query_stage_prunes_partitions_and_skips_corpus(spark, tmp_path):
     assert any("term" in l and "dup" in l for l in pf_lines)
 
 
+def test_pipe10b_probe_reads_only_the_index(spark, tmp_path):
+    """Materialized prep funnel: the report plan must scan ONLY the
+    doc-stats + window-hash index tables — no raw documents parquet,
+    no tokenizer/regex anywhere in the probe (the whole point of
+    materializing the prep pipeline)."""
+    from martech_pipelines_spark.operators import prep
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "prep_idx")
+    prep.prep_index_build(docs, idx, w=8)
+    report = prep.prep_funnel_report(spark, idx)
+    plan = plan_of(report)
+    assert "prep_idx" in plan
+    assert "documents.parquet" not in plan
+    assert "regexp" not in plan.lower()
+    # and the report matches the inline pipe10 stage counts bit-for-bit
+    inline = sorted(
+        map(tuple, QUERIES["pipe10_prep_funnel"](spark, SF).collect())
+    )
+    assert sorted(map(tuple, report.collect())) == inline
+
+
+def test_ann_component_kernels_broadcast_not_shuffle(spark):
+    """s2e/s8b candidate generation: centroid/codebook tables broadcast;
+    the corpus is never cartesian-joined or shuffled pre-combine."""
+    for name in ("s2e_ivf_cells", "s8b_pq_codes", "s2f_ivf_probe_sets"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_quantized_assignment_matches_numpy_argmin(spark):
+    """The integer-exact cell assignment must agree with a float64 numpy
+    argmin on the same centroids (the quantization cannot move the
+    argmin off the true nearest centroid except at sub-1e-6 ties)."""
+    import numpy as np
+
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = SIM.modular_representatives(emb, nlist=8)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.quantized_cell_assignments(emb, cents).collect()
+    }
+    c_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    C = np.array([r["centroid"] for r in c_rows], dtype="float64")
+    for r in emb.collect():
+        x = np.array(r["embedding"], dtype="float64")
+        d2 = ((C - x) ** 2).sum(axis=1)
+        assert got[r["vec_id"]] == int(d2.argmin()), r["vec_id"]
+
+
 def test_dq1_single_pass(spark):
     """The DQ gate is ONE scan + one aggregate: no join of the table to
     itself per constraint (the naive formulation), no Generate."""
