@@ -130,6 +130,22 @@ _WINDOW_PRIORITY = [
     "dp1_profile_customer",
     "a4_conf_read",
     "a5_csv_scan",
+    # -- rows-only backlog (trained/approximate ops: the driver records
+    # the weaker rows-only check for these; queued last so the full-
+    # oracle backlog drains first) --
+    "s2b_ivf_topk",
+    "s2c_ivf_materialized",
+    "s2d_ivfpq_materialized",
+    "s8_pq_topk",
+    "s9b_hard_negatives_ivf",
+    "s13_pca_project",
+    "r3b_approx_distinct",
+    "r8b_approx_percentiles",
+    "r31b_rolling_active_hll",
+    "t14b_bpe_learn",
+    "t26_bpe_encode",
+    "h7_incremental_distinct",
+    "pipe6_tokenize_pack",
 ]
 
 

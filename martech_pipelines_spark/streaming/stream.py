@@ -949,3 +949,61 @@ def streaming_latest_n_per_key(events: DataFrame, n: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (r35's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def streaming_sessionize(events: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
+    """Continuously-maintained per-user session labels — the streaming
+    twin of ``r35_sessionize`` (new session after ``gap_s`` of silence,
+    events labeled with their session sequence number).
+
+    The batch form is a lag-flag + running sum over (ts, event_id)
+    order — an online fold: state per user is two longs (last event
+    micros, current session_seq), each event either continues the
+    session or increments the sequence.  Events inside a micro-batch
+    are sorted by (ts, event_id) before folding, so the labels equal
+    the batch window's under in-order micro-batch delivery (the same
+    contract as ``streaming_funnel_state``; late data needs upstream
+    watermark replay — the h17 pattern).
+
+    Scale: O(users * 2) longs of state, per-trigger work linear in the
+    batch; hash-partitioned by user exactly like the batch form's one
+    exchange.  Unlike ``F.session_window`` aggregations (w3), this twin
+    EMITS THE ASSIGNMENT itself — the enrichment downstream per-session
+    features join back to."""
+    import pandas as pd
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        last_us, seq = state.get if state.exists else (None, 0)
+        rows = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rows.append((int(row.ts.value // 1_000), int(row.event_id)))
+        rows.sort()
+        out = []
+        for t, eid in rows:
+            if last_us is None or t - last_us > gap_s * 1_000_000:
+                seq += 1
+            last_us = t
+            out.append((key[0], eid, t, seq))
+        if out:
+            state.update((last_us, seq))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts_us", "session_seq"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, ts_us long, session_seq long"
+        ),
+        stateStructType="last_us long, seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -56,3 +56,26 @@ def test_sf1_tables_match_expected_scale(spark):
     n_sf1 = load_table(spark, SF1_DIR, "embeddings").count()
     n_base = load_table(spark, "/root/testdata/sf0.1", "embeddings").count()
     assert n_sf1 == 10 * n_base
+
+
+def test_pipe10b_probe_sublinear_vs_inline_at_sf1(spark):
+    """The materialized prep funnel's whole reason to exist: at sf1 the
+    probe (index built once) must run well under the inline form's
+    linear-in-corpus-text cost, and produce the identical report."""
+    import tempfile
+    import time
+
+    from martech_pipelines_spark.operators import prep
+    from martech_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, SF1_DIR, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="prep_idx_sf1_")
+    prep.prep_index_build(docs, idx, w=8)
+    t0 = time.perf_counter()
+    report = prep.prep_funnel_report(spark, idx)
+    rows = sorted(map(tuple, report.collect()))
+    probe_s = time.perf_counter() - t0
+    # the r6 artifact put the inline form at ~55 s at sf1; a probe that
+    # takes even a quarter of that signals the index is being ignored
+    assert probe_s < 15.0, f"probe took {probe_s:.1f}s at sf1"
+    assert len(rows) == 5 and rows[0][1] == "raw"

@@ -905,6 +905,35 @@ def test_streaming_funnel_repeated_step_type(spark, tmp_path):
     assert want_counts[2] > 0
 
 
+def test_streaming_sessionize_matches_batch_labels(spark, tmp_path):
+    """r35's streaming twin: after draining the event log through
+    micro-batches, every event's session label must equal the batch
+    lag-flag + running-sum window's label."""
+    from martech_pipelines_spark.plans import QUERIES
+    from martech_pipelines_spark.streaming.stream import streaming_sessionize
+
+    d = tmp_path / "r35_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    stream = stream_events_source(spark, str(d), max_files_per_trigger=1)
+    out = streaming_sessionize(stream, gap_s=30 * 60)
+    q = run_stream_to_memory(out, "r35_mem", "append", str(tmp_path / "ck_r35"))
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_id"]): r["session_seq"]
+            for r in spark.sql("SELECT * FROM r35_mem").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["event_id"]): r["session_seq"]
+        for r in QUERIES["r35_sessionize"](spark, SF).collect()
+    }
+    assert got == want
+    assert max(got.values()) > 1  # the gap rule actually split sessions
+
+
 def test_streaming_latest_n_matches_batch_window(spark, tmp_path):
     """r34's streaming twin: after draining the full event log through
     micro-batches, each user's final emitted top-3 must equal the batch
