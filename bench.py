@@ -79,6 +79,12 @@ HEADLINE = [
     "pipe10_prep_funnel",
     "r33_asof_nearest",
     "s18_covariance_drift",
+    # round-7 addition: the materialized prep funnel — with the
+    # per-process index cache, run 1 of best-of-N pays the one-off build
+    # and the recorded min is the steady-state probe (the number the
+    # materialization exists to deliver; pipe10 above stays the
+    # rebuild-per-run cost)
+    "pipe10b_prep_funnel_materialized",
 ]
 
 

@@ -88,6 +88,39 @@ def prep_index_build(
     win.distinct().write.mode("overwrite").parquet(f"{index_path}/win_hashes")
 
 
+def prep_index_append(
+    new_docs: DataFrame,
+    index_path: str,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index maintenance (the dd10 pattern applied to the
+    prep index): scan ONLY the newly-ingested documents and append their
+    doc-stats and window-hash rows as new parquet files.  The nightly
+    100-TB job touches the day's delta, never the historical corpus;
+    ``prep_funnel_report`` reads the union transparently.  Caller
+    contract: ``new_docs`` ids are disjoint from already-indexed ids
+    (the ingest watermark guarantees this upstream — same contract as
+    ``dedup.minhash_incremental_dedup``'s new-batch input)."""
+    kept_flag = (
+        (F.length(text_col) > 0)
+        & (TX.token_count(F.col(text_col)) > 0)
+        & (TX.lang_id(F.col(text_col)) == "en")
+        & (TX.quality_score(F.col(text_col)) >= 0.4)
+    )
+    stats = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        kept_flag.alias("kept"),
+        TX.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    stats.write.mode("append").parquet(f"{index_path}/doc_stats")
+    win = TX._window_table(new_docs, w, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "h"
+    )
+    win.distinct().write.mode("append").parquet(f"{index_path}/win_hashes")
+
+
 def prep_funnel_report(
     spark: SparkSession, index_path: str, eval_mod: int = 3
 ) -> DataFrame:

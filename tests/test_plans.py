@@ -390,3 +390,21 @@ def test_s9_single_aggregation_no_join_back(spark):
     assert _hash_exchanges(plan) == 1
     assert "WindowGroupLimit" not in plan  # no window/top-n formulation
     assert "SortMergeJoin" not in plan  # no pos/neg join-back
+
+
+def test_prep_index_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental prep-index maintenance: building on half the corpus
+    then appending the other half must yield the identical funnel report
+    as a from-scratch build — incremental == full, the dd10 contract."""
+    from martech_pipelines_spark.operators import prep
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    full_idx = str(tmp_path / "full_idx")
+    prep.prep_index_build(docs, full_idx, w=8)
+    want = sorted(map(tuple, prep.prep_funnel_report(spark, full_idx).collect()))
+
+    inc_idx = str(tmp_path / "inc_idx")
+    prep.prep_index_build(docs.where(F.col("doc_id") % 2 == 0), inc_idx, w=8)
+    prep.prep_index_append(docs.where(F.col("doc_id") % 2 == 1), inc_idx, w=8)
+    got = sorted(map(tuple, prep.prep_funnel_report(spark, inc_idx).collect()))
+    assert got == want

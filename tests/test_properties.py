@@ -577,3 +577,105 @@ def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
     assert len(got) == len(left_rows)
     for (k, t, lid) in left_rows:
         assert got[lid] == brute(k, t), (k, t, lid, got[lid], brute(k, t))
+
+
+# --- round-7: integer-exact ANN candidate generation --------------------------
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=20,
+    ),
+    ncells=st.integers(2, 5),
+)
+def test_quantized_cells_match_python_argmin(spark, vecs, ncells):
+    """quantized_cell_assignments must equal a pure-Python integer-exact
+    argmin (quantize -> squared distance -> lowest-cell tie-break) on
+    ARBITRARY vectors, not just the testdata."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.modular_representatives(df, nlist=ncells)
+    got = {
+        r["vec_id"]: (r["cell"], r["d2q"])
+        for r in SIM.quantized_cell_assignments(df, cents).collect()
+    }
+
+    def quant(v):
+        import math
+
+        return [math.floor(float(x) * 1e6 + 0.5) for x in v]
+
+    # rebuild the centroid table the same way (min id per id%ncells)
+    reps = {}
+    for i, _v in rows:
+        c = i % ncells
+        if c not in reps or i < reps[c]:
+            reps[c] = i
+    cent_q = {c: quant(vecs[rid]) for c, rid in reps.items()}
+    for i, v in rows:
+        vq = quant(v)
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(vq, cq)), c)
+            for c, cq in cent_q.items()
+        )
+        assert got[i] == (best[1], best[0]), (i, got[i], best)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cdefg. hij!"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_prep_report_matches_inline_funnel(spark, tmp_path_factory, texts):
+    """The materialized prep report must equal the inline pipe10 stage
+    composition on ARBITRARY corpora (same keep predicate, fingerprint,
+    window semantics) — the bit-equal claim, property-tested."""
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.operators import dedup as DD
+    from martech_pipelines_spark.operators import prep
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idx = str(tmp_path_factory.mktemp("prep_prop"))
+    prep.prep_index_build(docs, idx, w=8)
+    got = sorted(
+        map(tuple, prep.prep_funnel_report(spark, idx).collect())
+    )
+
+    kept = prep.prep_funnel_inline_base(docs).select("doc_id", "text")
+    deduped = DD.exact_dedup(kept)
+    train = deduped.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+    clean = DD.decontaminate(train, eval_docs, w=8).where(
+        ~F.col("contaminated")
+    )
+    want = sorted(
+        [
+            (0, "raw", docs.count()),
+            (1, "quality_lang", kept.count()),
+            (2, "exact_dedup", deduped.count()),
+            (3, "train_split", train.count()),
+            (4, "decontaminated", clean.count()),
+        ]
+    )
+    caching.release()
+    assert got == want
