@@ -54,6 +54,35 @@ def prep_funnel_inline_base(docs: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+def _doc_stats_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, kept, fp) — the per-document index row (shared by the
+    batch build, the incremental append, and the streaming maintainer,
+    so the three paths can never drift)."""
+    kept_flag = (
+        (F.length(text_col) > 0)
+        & (TX.token_count(F.col(text_col)) > 0)
+        & (TX.lang_id(F.col(text_col)) == "en")
+        & (TX.quality_score(F.col(text_col)) >= 0.4)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        kept_flag.alias("kept"),
+        TX.fingerprint(F.col(text_col)).alias("fp"),
+    )
+
+
+def _win_hash_frame(
+    docs: DataFrame, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Distinct (doc_id, h) w-token window hashes.  Distinct per
+    (doc, h): the report only tests window EXISTENCE, and collapsing
+    within-doc repeats before the write shrinks the index."""
+    win = TX._window_table(docs, w, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "h"
+    )
+    return win.distinct()
+
+
 def prep_index_build(
     docs: DataFrame,
     index_path: str,
@@ -68,24 +97,12 @@ def prep_index_build(
     expressions in a single projection per table; at 100 TB each write
     is an embarrassingly parallel map (no shuffle for doc_stats; one
     map-side-combined distinct for win_hashes)."""
-    kept_flag = (
-        (F.length(text_col) > 0)
-        & (TX.token_count(F.col(text_col)) > 0)
-        & (TX.lang_id(F.col(text_col)) == "en")
-        & (TX.quality_score(F.col(text_col)) >= 0.4)
+    _doc_stats_frame(docs, text_col, id_col).write.mode("overwrite").parquet(
+        f"{index_path}/doc_stats"
     )
-    stats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        kept_flag.alias("kept"),
-        TX.fingerprint(F.col(text_col)).alias("fp"),
+    _win_hash_frame(docs, w, text_col, id_col).write.mode("overwrite").parquet(
+        f"{index_path}/win_hashes"
     )
-    stats.write.mode("overwrite").parquet(f"{index_path}/doc_stats")
-    win = TX._window_table(docs, w, text_col, id_col).select(
-        F.col(id_col).alias("doc_id"), "h"
-    )
-    # distinct per (doc, h): the report only tests window EXISTENCE, and
-    # collapsing within-doc repeats before the write shrinks the index
-    win.distinct().write.mode("overwrite").parquet(f"{index_path}/win_hashes")
 
 
 def prep_index_append(
@@ -103,22 +120,32 @@ def prep_index_append(
     contract: ``new_docs`` ids are disjoint from already-indexed ids
     (the ingest watermark guarantees this upstream — same contract as
     ``dedup.minhash_incremental_dedup``'s new-batch input)."""
-    kept_flag = (
-        (F.length(text_col) > 0)
-        & (TX.token_count(F.col(text_col)) > 0)
-        & (TX.lang_id(F.col(text_col)) == "en")
-        & (TX.quality_score(F.col(text_col)) >= 0.4)
+    _doc_stats_frame(new_docs, text_col, id_col).write.mode("append").parquet(
+        f"{index_path}/doc_stats"
     )
-    stats = new_docs.select(
-        F.col(id_col).alias("doc_id"),
-        kept_flag.alias("kept"),
-        TX.fingerprint(F.col(text_col)).alias("fp"),
+    _win_hash_frame(new_docs, w, text_col, id_col).write.mode("append").parquet(
+        f"{index_path}/win_hashes"
     )
-    stats.write.mode("append").parquet(f"{index_path}/doc_stats")
-    win = TX._window_table(new_docs, w, text_col, id_col).select(
-        F.col(id_col).alias("doc_id"), "h"
-    )
-    win.distinct().write.mode("append").parquet(f"{index_path}/win_hashes")
+
+
+def apply_prep_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One streaming micro-batch of new documents -> batch_id-keyed
+    index partitions.  OVERWRITE of the batch's own directories makes
+    at-least-once foreachBatch replays exactly-once (the covariance-
+    state pattern: re-running batch k rewrites the same files)."""
+    _doc_stats_frame(batch_df, text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/doc_stats/batch={batch_id}")
+    _win_hash_frame(batch_df, w, text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/win_hashes/batch={batch_id}")
 
 
 def prep_funnel_report(

@@ -1007,3 +1007,37 @@ def streaming_sessionize(events: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming prep-index maintenance (pipe10b's nightly job as a stream)
+# ---------------------------------------------------------------------------
+
+
+def streaming_prep_index_maintenance(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    w: int = 8,
+):
+    """Continuously maintain the materialized prep index (pipe10b) from
+    a document ingest stream: each micro-batch of new docs lands as
+    batch_id-keyed doc-stats + window-hash partitions via
+    ``prep.apply_prep_index_batch`` — overwrite of the batch's own
+    directory makes at-least-once replays exactly-once, the same
+    contract as ``streaming_covariance_maintenance``.  The funnel report
+    (``prep.prep_funnel_report``) reads the accumulating index
+    transparently, so 'how is today's corpus prep trending' is answered
+    by a probe, never a corpus rescan — the true 100-TB shape of
+    pipe10."""
+    from martech_pipelines_spark.operators.prep import apply_prep_index_batch
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_prep_index_batch(batch_df, batch_id, index_path, w=w)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

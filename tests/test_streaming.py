@@ -905,6 +905,63 @@ def test_streaming_funnel_repeated_step_type(spark, tmp_path):
     assert want_counts[2] > 0
 
 
+def test_streaming_prep_index_matches_batch_build(spark, tmp_path):
+    """pipe10b's streaming maintainer: documents drained through
+    micro-batches must leave an index whose funnel report is identical
+    to a one-shot batch build's, and replaying a batch (at-least-once
+    delivery) must change nothing."""
+    import glob
+    import os
+
+    from martech_pipelines_spark.operators import prep
+    from martech_pipelines_spark.streaming.stream import (
+        streaming_prep_index_maintenance,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    want_idx = str(tmp_path / "batch_idx")
+    prep.prep_index_build(docs, want_idx, w=8)
+    want = sorted(
+        map(tuple, prep.prep_funnel_report(spark, want_idx).collect())
+    )
+
+    # two doc slices as separate files, streamed one file per trigger
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    for i, p in enumerate(sorted(glob.glob(str(src / "*.parquet")))):
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    idx = str(tmp_path / "stream_idx")
+    q = streaming_prep_index_maintenance(
+        stream, idx, str(tmp_path / "ck_prep"), w=8
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, prep.prep_funnel_report(spark, idx).collect()))
+    assert got == want
+
+    # replay a batch manually: overwrite semantics => no double counting
+    prep.apply_prep_index_batch(
+        docs.where(F.col("doc_id") % 2 == 0), 0, idx, w=8
+    )
+    again = sorted(map(tuple, prep.prep_funnel_report(spark, idx).collect()))
+    assert again == want
+
+
 def test_streaming_sessionize_matches_batch_labels(spark, tmp_path):
     """r35's streaming twin: after draining the event log through
     micro-batches, every event's session label must equal the batch
