@@ -243,6 +243,18 @@ SHOWCASE = [
         "self-join on (user, week+1), 1-row broadcast max-week bound — "
         "shuffles sized by |user-weeks|, never raw events",
     ),
+    (
+        "pipe10b_prep_funnel_materialized",
+        "materialized prep funnel: the 5-stage report reads ONLY the "
+        "doc-stats + window-hash index parquet — no tokenizer, no "
+        "regex, no raw text anywhere in the probe plan",
+    ),
+    (
+        "s2e_ivf_cells",
+        "IVF cell assignment: centroid table broadcast, integer-exact "
+        "distances in codegen, candidates collapse map-side via "
+        "min(struct) — corpus vectors never shuffle",
+    ),
 ]
 
 
