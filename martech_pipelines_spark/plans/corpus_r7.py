@@ -229,3 +229,78 @@ def s8b_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_pq_codes(emb, cb, m=_PQ_M, dim=64).select(
         "vec_id", "subspace", "code", "d2q"
     )
+
+
+_S2G_ORACLE = f"""
+    WITH {_CENT_CTES}, assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT x.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT x.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+            WHERE x.vec_id % 10 = 0
+        ) WHERE rn <= {_NPROBE}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+    ), scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4) AS cos_sim
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 5
+"""
+
+
+@q("s2g_ivf_deterministic_topk", _S2G_ORACLE)
+def s2g_ivf_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END deterministic IVF search, fully value-checked — the
+    upgrade past the component oracles: coarse quantizer = modular
+    representatives, cell assignment + probe selection = integer-exact
+    argmin folded inline in the scan projection (zero shuffles, zero
+    joins before scoring — the literal centroid array IS the broadcast),
+    ranking = exact cosine within the probed cells under s1's
+    rounded-rank + id tie-break contract.  Every stage deterministic =>
+    the complete ANN query has a DuckDB oracle; the trained-KMeans
+    variants (s2b/s2c) swap only the centroid table and keep the recall
+    gates.  Query set = every 10th vector, k=5, nprobe={_NPROBE} of
+    {_NLIST} cells."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_deterministic_topk(
+        queries, emb, nlist=_NLIST, nprobe=_NPROBE, k=5
+    ).select("query_id", "vec_id", "cos_sim", "rnk")

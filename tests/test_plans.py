@@ -298,6 +298,57 @@ def test_ann_component_kernels_broadcast_not_shuffle(spark):
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
 
 
+def test_s2g_inline_argmin_equals_distributed_kernel(spark):
+    """The zero-shuffle literal-centroid argmin (array_min over (d2q,
+    cell) structs) must assign every vector the same cell as the
+    distributed crossJoin + min(struct) kernel — two formulations, one
+    contract."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    cents_df = SIM.modular_representatives(emb, nlist=16)
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.quantized_cell_assignments(emb, cents_df).collect()
+    }
+    cent_rows = cents_df.collect()
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            F.array_min(
+                SIM._quantized_cell_structs(
+                    SIM._as_double(F.col("embedding")), cent_rows
+                )
+            )["cell"].alias("cell"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_s2g_plan_and_recall(spark):
+    """s2g end-to-end IVF: no cartesian, queries broadcast (the corpus
+    never shuffles before scoring), and recall@5 vs the exact s1 top-k
+    clears the same 0.5 gate as the trained IVF."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    df = QUERIES["s2g_ivf_deterministic_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
 def test_quantized_assignment_matches_numpy_argmin(spark):
     """The integer-exact cell assignment must agree with a float64 numpy
     argmin on the same centroids (the quantization cannot move the
