@@ -21,6 +21,8 @@ mapped to [-1, 1) — reproducible across runs/engines with no RNG state.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -559,22 +561,37 @@ def _quantized_cell_structs(
     driver-side like ``ivf_probe_topk``'s control-plane load).  Sorting
     or array_min over the struct array gives argmin with the SAME
     (d2q, cell) tie-break as the distributed min(struct) form — pinned
-    equal in pytest."""
+    equal in pytest.
+
+    The whole centroid table is ONE SQL array literal parsed in a single
+    ``F.expr`` call and folded with ONE ``transform`` — building it as
+    nlist x dim separate ``F.lit`` nodes costs thousands of py4j round
+    trips and seconds of Catalyst analysis per query (measured: ~2.8 s
+    of driver time at nlist=16, d=64 — more than the query executes)."""
     scale = float(10**quantize)
+    parts = []
+    for r in sorted(cent_rows, key=lambda r: r["cell"]):
+        cq = [float(math.floor(c * scale + 0.5)) for c in r["centroid"]]
+        cc = float(sum(v * v for v in cq))
+        arr = ",".join(f"{v!r}D" for v in cq)
+        parts.append(
+            f"named_struct('cell',{int(r['cell'])},"
+            f"'cc',{cc!r}D,'cq',array({arr}))"
+        )
+    cent_lit = F.expr("array(" + ",".join(parts) + ")")
     xq = F.transform(
         vec, lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5))
     )
     xx = dot(xq, xq)
-    structs = []
-    for r in sorted(cent_rows, key=lambda r: r["cell"]):
-        cq = [float(__import__("math").floor(c * scale + 0.5)) for c in r["centroid"]]
-        lit_cq = F.array(*[F.lit(v) for v in cq])
-        cc = F.lit(float(sum(v * v for v in cq)))
-        d2 = (xx + cc - F.lit(2.0) * dot(xq, lit_cq)).cast("long")
-        structs.append(
-            F.struct(d2.alias("d2q"), F.lit(int(r["cell"])).alias("cell"))
-        )
-    return F.array(*structs)
+    return F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (xx + c["cc"] - F.lit(2.0) * dot(xq, c["cq"]))
+            .cast("long")
+            .alias("d2q"),
+            c["cell"].alias("cell"),
+        ),
+    )
 
 
 def ivf_deterministic_topk(
@@ -622,6 +639,14 @@ def ivf_deterministic_topk(
         _as_double(F.col(corpus_vec)).alias("__v"),
         F.array_min(cells)["cell"].alias("cell"),
     ).withColumn("__n", l2_norm(F.col("__v")))
+    # Persist the assigned projection: without the barrier, Catalyst
+    # collapses it INTO the scoring join and re-evaluates the argmin +
+    # norm per joined PAIR instead of per corpus row (measured 3x the
+    # whole query).  At scale this projection is what an IVF index
+    # materializes anyway (s2c's cell-partitioned layout).
+    from martech_pipelines_spark import caching
+
+    c = caching.register(c.persist())
 
     qcells = _quantized_cell_structs(
         _as_double(F.col(query_vec)), cent_rows, quantize
