@@ -680,6 +680,122 @@ def ivf_deterministic_topk(
     )
 
 
+def ivf_deterministic_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    quantize: int = 6,
+    round_dp: int = 4,
+) -> DataFrame:
+    """s2g's SCALE twin (the s1/s1b pattern applied to IVF): identical
+    result to ``ivf_deterministic_topk`` — SHARES its oracle — through
+    the Arrow map-side-top-k kernel.  Cell assignment runs as an int64
+    numpy argmin per corpus batch (bit-identical to the SQL kernels:
+    integer distances, first-occurrence argmin = lowest cell), the
+    per-query probe masks non-probed cells before one scoring matmul,
+    and each batch emits only its top-k per query — the exchange is
+    batches * |Q| * k rows and the per-pair cost is a matmul lane, not
+    an interpreted HOF fold (~50x at sf1).  The one collect is the
+    query matrix, small by construction (same contract as s1b)."""
+    import pandas as pd
+
+    id_type = dict(queries.dtypes)[query_id]
+    cid_type = dict(corpus.dtypes)[corpus_id]
+    cent_rows = modular_representatives(
+        corpus, nlist=nlist, vec_col=corpus_vec, id_col=corpus_id
+    ).collect()
+    scale = float(10**quantize)
+    C = np.array(
+        [
+            np.floor(
+                np.asarray(r["centroid"], dtype=np.float64) * scale + 0.5
+            ).astype(np.int64)
+            for r in sorted(cent_rows, key=lambda r: r["cell"])
+        ]
+    )
+    cells_of = sorted(int(r["cell"]) for r in cent_rows)
+
+    def assign(mat_q: np.ndarray) -> np.ndarray:
+        """int64 argmin cells for quantized row matrix (rows x d)."""
+        d2 = (
+            (mat_q * mat_q).sum(axis=1, keepdims=True)
+            + (C * C).sum(axis=1)
+            - 2 * (mat_q @ C.T)
+        )
+        return d2.argmin(axis=1)  # first occurrence = lowest cell id
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cos_sim double, rnk long"
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    qq = np.floor(q_mat * scale + 0.5).astype(np.int64)
+    qd2 = (
+        (qq * qq).sum(axis=1, keepdims=True)
+        + (C * C).sum(axis=1)
+        - 2 * (qq @ C.T)
+    )
+    # nprobe nearest cells per query, ties to lowest cell (stable argsort
+    # over (d2, cell) — cell IS the column index)
+    probe_idx = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((len(q_ids), len(cells_of)), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, probe_idx[qi]] = True
+
+    out_schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cos_sim double"
+
+    def kernel(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[corpus_id].to_numpy()
+            c_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]]
+            )
+            cq = np.floor(c_mat * scale + 0.5).astype(np.int64)
+            c_cell = assign(cq)  # (batch,)
+            keep = probe_mask[:, c_cell]  # (Q, batch)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            denom = np.outer(q_norm, c_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(
+                    keep & (denom > 0), (q_mat @ c_mat.T) / denom, np.nan
+                )
+            sims_r = np.round(np.nan_to_num(sims, nan=-2.0), round_dp)
+            kk = min(k, len(c_ids))
+            id_rank = np.argsort(np.argsort(c_ids))
+            id_keys = np.broadcast_to(id_rank, (len(q_ids), len(c_ids)))
+            order = np.lexsort((id_keys, -sims_r), axis=1)
+            rows = []
+            for qi in range(len(q_ids)):
+                for ci in order[qi, :kk]:
+                    s = sims[qi, ci]
+                    if not np.isnan(s):
+                        rows.append((q_ids[qi], c_ids[ci], float(s)))
+            yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
+
+    src = corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull())
+    cand = src.mapInPandas(kernel, out_schema)
+    scored = cand.select(
+        query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def quantized_probe_cells(
     queries: DataFrame,
     centroids: DataFrame,

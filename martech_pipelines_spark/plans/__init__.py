@@ -103,6 +103,7 @@ _WINDOW_PRIORITY = [
     "s2f_ivf_probe_sets",
     "s8b_pq_codes",
     "s2g_ivf_deterministic_topk",
+    "s2g2_ivf_deterministic_arrow",
     "mm4_resize",
     "mm5_frame_sample",
     "mm6_phash_near_dup",

@@ -304,3 +304,23 @@ def s2g_ivf_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_deterministic_topk(
         queries, emb, nlist=_NLIST, nprobe=_NPROBE, k=5
     ).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+@q("s2g2_ivf_deterministic_arrow", _S2G_ORACLE)  # SHARES s2g's oracle
+def s2g2_ivf_deterministic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2g through the Arrow map-side-top-k kernel (the s1/s1b twin
+    pattern applied to IVF): int64 numpy cell assignment per corpus
+    batch (bit-identical to the SQL argmin), probe-mask + one scoring
+    matmul, per-batch top-k emission — the exchange is batches*|Q|*k
+    rows and per-pair cost is a matmul lane, not an interpreted HOF
+    fold.  Sharing the oracle proves the two physical forms
+    interchangeable; this one is the 100-TB search path."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_deterministic_topk_arrow(
+        queries, emb, nlist=_NLIST, nprobe=_NPROBE, k=5
+    ).select("query_id", "vec_id", "cos_sim", "rnk")
