@@ -85,6 +85,9 @@ HEADLINE = [
     # materialization exists to deliver; pipe10 above stays the
     # rebuild-per-run cost)
     "pipe10b_prep_funnel_materialized",
+    # round-7: the fully-oracle-checked IVF search, Arrow scale form
+    # (s2g's SQL twin is the oracle anchor; this is the search path)
+    "s2g2_ivf_deterministic_arrow",
 ]
 
 

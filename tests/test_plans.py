@@ -349,6 +349,23 @@ def test_s2g_plan_and_recall(spark):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_s2g2_arrow_twin_equals_sql_form(spark):
+    """The Arrow map-side-top-k IVF (s2g2) must be row-identical to the
+    HOF/SQL form (s2g) — the s1/s1b interchangeable-forms contract: one
+    oracle, two physical plans.  Compared as exact multisets including
+    the rank column (the tie-break contract must match, not just the
+    candidate sets)."""
+    a = {
+        tuple(r)
+        for r in QUERIES["s2g_ivf_deterministic_topk"](spark, SF).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["s2g2_ivf_deterministic_arrow"](spark, SF).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_quantized_assignment_matches_numpy_argmin(spark):
     """The integer-exact cell assignment must agree with a float64 numpy
     argmin on the same centroids (the quantization cannot move the

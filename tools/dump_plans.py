@@ -255,6 +255,20 @@ SHOWCASE = [
         "distances in codegen, candidates collapse map-side via "
         "min(struct) — corpus vectors never shuffle",
     ),
+    (
+        "s2g_ivf_deterministic_topk",
+        "end-to-end deterministic IVF (the oracle anchor): literal-"
+        "centroid argmin folded INLINE in the scan projection (zero "
+        "joins before scoring), probe rows broadcast, per-query top-k "
+        "as WindowGroupLimit",
+    ),
+    (
+        "s2g2_ivf_deterministic_arrow",
+        "the IVF's 100-TB search path (shares s2g's oracle): one Arrow "
+        "kernel assigns cells + applies the probe mask + scores via a "
+        "single matmul per batch, emitting only batches*|Q|*k rows into "
+        "the final rank exchange",
+    ),
 ]
 
 
