@@ -96,6 +96,11 @@ HEAVY = [
     # steady-state refresh cost the materialization exists to deliver
     # (compare against pipe10's linear-in-text number)
     "pipe10b_prep_funnel_materialized",
+    # round-7 closing: the end-to-end deterministic IVF pair — the SQL
+    # oracle anchor vs its Arrow matmul twin on the same 10x corpus (the
+    # interchangeable-forms claim measured at scale, not just asserted)
+    "s2g_ivf_deterministic_topk",
+    "s2g2_ivf_deterministic_arrow",
 ]
 N_RUNS = 2
 
@@ -158,6 +163,9 @@ RECALL_QUERIES = {
     "s7_sq8_topk": 0.9,
     "s8_pq_topk": 0.5,
     "s2d_ivfpq_materialized": 0.5,
+    # deterministic IVF (s2g2 is bit-equal to s2g by the shared oracle —
+    # grading one grades both)
+    "s2g_ivf_deterministic_topk": 0.5,
 }
 
 
