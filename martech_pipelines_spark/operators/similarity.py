@@ -974,6 +974,65 @@ def ivf_build_index(
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
 
 
+def ivf_index_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance (the prep-index/postings pattern
+    applied to the ANN index): assign ONE batch of newly-ingested
+    vectors with the index's FROZEN coarse quantizer (standard inverted-
+    file practice — the quantizer retrains offline, assignment happens
+    online) and land them cell-partitioned under
+    ``{index_path}/corpus_delta/batch=<id>/cell=<c>``.
+
+    OVERWRITE of the batch's own directory makes at-least-once
+    foreachBatch replays exactly-once, and ``ivf_probe_topk`` reads
+    base + delta transparently with the same per-cell partition pruning
+    — the nightly 100-TB refresh touches the day's vectors, never the
+    historical corpus.  Caller contract: batch ids are disjoint from
+    already-indexed ids (the ingest watermark guarantees this upstream,
+    same as ``prep.prep_index_append``)."""
+    spark = batch_df.sparkSession
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])]
+    )
+    _, assign_cell = _centroid_kernels(centroids, nprobe=1)
+    (
+        batch_df.select(
+            F.col(corpus_id).alias("vec_id"),
+            _as_double(F.col(corpus_vec)).alias("v"),
+            assign_cell(F.col(corpus_vec)).alias("cell"),
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/corpus_delta/batch={int(batch_id)}")
+    )
+
+
+def _read_ivf_corpus(spark, index_path: str) -> DataFrame:
+    """Base inverted lists plus any streamed/appended delta batches —
+    one DataFrame, cell stays a partition column in BOTH layouts so a
+    probe's ``cell IN (...)`` prunes partitions on each side of the
+    union.  Local-FS existence probe mirrors the upsert-snapshot sink;
+    an object-store deployment would consult the catalog/manifest
+    instead (sources/objectstore.py)."""
+    import os
+
+    base = spark.read.parquet(f"{index_path}/corpus")
+    delta_root = f"{index_path}/corpus_delta"
+    if os.path.isdir(delta_root):
+        delta = spark.read.parquet(delta_root).select(
+            "vec_id", "v", "n", "cell"
+        )
+        base = base.select("vec_id", "v", "n", "cell").unionByName(delta)
+    return base
+
+
 def ivf_probe_topk(
     queries: DataFrame,
     index_path: str,
@@ -1009,7 +1068,7 @@ def ivf_probe_topk(
     # control-plane collect of the distinct probed cells (bounded by nlist)
     probed = sorted({r["cell"] for r in qrows.select("cell").distinct().collect()})
 
-    c = spark.read.parquet(f"{index_path}/corpus").where(
+    c = _read_ivf_corpus(spark, index_path).where(
         F.col("cell").isin([int(x) for x in probed])
     )
     denom = F.col("__qn") * F.col("n")

@@ -1014,6 +1014,46 @@ def streaming_sessionize(events: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def streaming_ivf_index_maintenance(
+    vector_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+):
+    """Continuously maintain a materialized IVF index (s2c's layout)
+    from a vector ingest stream: each micro-batch is assigned with the
+    index's FROZEN coarse quantizer and lands cell-partitioned under
+    ``corpus_delta/batch=<id>`` via
+    ``similarity.ivf_index_append_batch`` — overwrite of the batch's
+    own directory makes at-least-once replays exactly-once (the
+    covariance-state / prep-index contract).  ``ivf_probe_topk`` reads
+    base + delta transparently with per-cell partition pruning on both
+    sides, so ANN freshness at 100 TB is a per-batch assignment pass
+    over the day's vectors, never an index rebuild.  Quantizer retrain
+    (centroid drift) stays an offline batch job by design — the FAISS
+    operational split."""
+    from martech_pipelines_spark.operators.similarity import (
+        ivf_index_append_batch,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+        )
+
+    return (
+        vector_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def streaming_prep_index_maintenance(
     docs_stream: DataFrame,
     index_path: str,

@@ -962,6 +962,110 @@ def test_streaming_prep_index_matches_batch_build(spark, tmp_path):
     assert again == want
 
 
+def test_streaming_ivf_index_matches_batch_append(spark, tmp_path):
+    """The streaming IVF maintainer: new vectors drained through
+    micro-batches must leave exactly the cell assignments a one-shot
+    batch append with the same frozen quantizer produces (bit-equal —
+    assignment is deterministic given the centroid table), the probe
+    over base+delta must equal the probe over the batch-appended index,
+    partition pruning must hold on BOTH sides of the union, and
+    replaying a micro-batch must change nothing."""
+    import contextlib
+    import glob
+    import io
+    import os
+
+    from martech_pipelines_spark.operators import similarity as SIM
+    from martech_pipelines_spark.streaming.stream import (
+        streaming_ivf_index_maintenance,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    new = emb.where(F.col("vec_id") % 3 != 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # expected: batch build on base + one-shot batch append of the rest
+    want_idx = str(tmp_path / "want_idx")
+    SIM.ivf_build_index(base, want_idx, nlist=8)
+    SIM.ivf_index_append_batch(new, 0, want_idx)
+    want_rows = sorted(
+        map(tuple, SIM.ivf_probe_topk(queries, want_idx, k=5).collect())
+    )
+    want_cells = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{want_idx}/corpus_delta")
+            .select("vec_id", "cell")
+            .collect(),
+        )
+    )
+
+    # streamed: same base index, the new vectors drained two files ->
+    # two micro-batches
+    got_idx = str(tmp_path / "got_idx")
+    SIM.ivf_build_index(base, got_idx, nlist=8)
+    src = tmp_path / "vec_in"
+    src.mkdir()
+    new.where(F.col("vec_id") % 3 == 1).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    new.where(F.col("vec_id") % 3 == 2).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    for i, p in enumerate(sorted(glob.glob(str(src / "*.parquet")))):
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = streaming_ivf_index_maintenance(
+        stream, got_idx, str(tmp_path / "ck_ivf")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_cells = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{got_idx}/corpus_delta")
+            .select("vec_id", "cell")
+            .collect(),
+        )
+    )
+    assert got_cells == want_cells  # frozen-quantizer assignment, bit-equal
+    probe = SIM.ivf_probe_topk(queries, got_idx, k=5)
+    assert sorted(map(tuple, probe.collect())) == want_rows
+
+    # pruning survives the union: every corpus-side scan (base AND
+    # delta) carries a cell PartitionFilter
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    pf = [
+        ln
+        for ln in buf.getvalue().splitlines()
+        if "PartitionFilters" in ln and "cell" in ln
+    ]
+    assert len(pf) >= 2, buf.getvalue()
+
+    # at-least-once replay: re-land micro-batch 0's file -> overwrite,
+    # nothing double-counted
+    replay = spark.read.parquet(str(src / "a.parquet"))
+    SIM.ivf_index_append_batch(replay, 0, got_idx)
+    again = sorted(
+        map(tuple, SIM.ivf_probe_topk(queries, got_idx, k=5).collect())
+    )
+    assert again == want_rows
+
+
 def test_streaming_sessionize_matches_batch_labels(spark, tmp_path):
     """r35's streaming twin: after draining the event log through
     micro-batches, every event's session label must equal the batch
