@@ -1014,15 +1014,50 @@ def ivf_index_append_batch(
     )
 
 
+def _recover_ivf_compaction(index_path: str) -> None:
+    """Crash recovery for ``ivf_compact_index``'s swap protocol.  Every
+    crash point leaves a state this function rolls forward or back to a
+    consistent (no lost vectors, no double-counted vectors) layout:
+
+    - stale ``corpus.next`` (died mid-write): drop it — delta intact;
+    - no live ``corpus`` but ``corpus.old`` (died between the two swap
+      renames): restore the old base — delta intact, compaction reruns;
+    - live ``corpus`` AND ``corpus.old`` (died after the swap completed
+      but before cleanup — the live base already CONTAINS the compacted
+      delta): finish the cleanup, dropping ``.old`` and the consumed
+      ``.compacting`` staging dir;
+    - lone ``corpus_delta.compacting`` (died before the swap): its rows
+      are NOT in the base — rename it back to ``corpus_delta``."""
+    import os
+    import shutil
+
+    corpus = f"{index_path}/corpus"
+    nxt, old = corpus + ".next", corpus + ".old"
+    delta = f"{index_path}/corpus_delta"
+    staging = delta + ".compacting"
+    if os.path.isdir(nxt):
+        shutil.rmtree(nxt)
+    if not os.path.isdir(corpus) and os.path.isdir(old):
+        os.rename(old, corpus)
+    if os.path.isdir(corpus) and os.path.isdir(old):
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        shutil.rmtree(old)
+    elif os.path.isdir(staging):
+        os.rename(staging, delta)
+
+
 def _read_ivf_corpus(spark, index_path: str) -> DataFrame:
     """Base inverted lists plus any streamed/appended delta batches —
     one DataFrame, cell stays a partition column in BOTH layouts so a
     probe's ``cell IN (...)`` prunes partitions on each side of the
-    union.  Local-FS existence probe mirrors the upsert-snapshot sink;
-    an object-store deployment would consult the catalog/manifest
-    instead (sources/objectstore.py)."""
+    union.  Self-healing: an interrupted compaction is rolled to a
+    consistent state before the read plans.  Local-FS existence probe
+    mirrors the upsert-snapshot sink; an object-store deployment would
+    consult the catalog/manifest instead (sources/objectstore.py)."""
     import os
 
+    _recover_ivf_compaction(index_path)
     base = spark.read.parquet(f"{index_path}/corpus")
     delta_root = f"{index_path}/corpus_delta"
     if os.path.isdir(delta_root):
@@ -1031,6 +1066,46 @@ def _read_ivf_corpus(spark, index_path: str) -> DataFrame:
         )
         base = base.select("vec_id", "v", "n", "cell").unionByName(delta)
     return base
+
+
+def ivf_compact_index(spark, index_path: str) -> None:
+    """Fold the streamed/appended ``corpus_delta`` batches back into the
+    base inverted lists — the nightly compaction that keeps probe-side
+    file counts bounded (each micro-batch lands up-to-nlist small files;
+    this job rewrites them into one cell-partitioned base).  No-op when
+    no delta exists.
+
+    Offline-maintenance crash safety (the upsert sink's swap protocol,
+    partition-aware): the delta is first renamed to a ``.compacting``
+    staging dir (atomic), the merged base is written to ``corpus.next``,
+    the two swap renames run, then staging and ``.old`` are dropped.
+    ``_recover_ivf_compaction`` (invoked by every read) rolls any crash
+    point to a consistent layout, so no interleaving loses or
+    double-counts a vector.  Run with the ingest stream paused — the
+    same contract as any file-layout compaction."""
+    import os
+    import shutil
+
+    _recover_ivf_compaction(index_path)
+    corpus = f"{index_path}/corpus"
+    delta = f"{index_path}/corpus_delta"
+    staging = delta + ".compacting"
+    if not os.path.isdir(delta):
+        return
+    os.rename(delta, staging)
+    merged = (
+        spark.read.parquet(corpus)
+        .select("vec_id", "v", "n", "cell")
+        .unionByName(
+            spark.read.parquet(staging).select("vec_id", "v", "n", "cell")
+        )
+    )
+    nxt, old = corpus + ".next", corpus + ".old"
+    merged.write.mode("overwrite").partitionBy("cell").parquet(nxt)
+    os.rename(corpus, old)
+    os.rename(nxt, corpus)
+    shutil.rmtree(staging)
+    shutil.rmtree(old)
 
 
 def ivf_probe_topk(

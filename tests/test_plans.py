@@ -366,6 +366,65 @@ def test_s2g2_arrow_twin_equals_sql_form(spark):
     assert a == b and len(a) > 0
 
 
+def test_ivf_compaction_preserves_probe_and_recovers(spark, tmp_path):
+    """ivf_compact_index folds streamed delta batches into the base
+    inverted lists: the probe answer is invariant, the delta dir is
+    consumed, the base stays cell-partitioned — and every crash point
+    of the swap protocol recovers to the same answer (no lost, no
+    double-counted vectors)."""
+    import os
+    import shutil
+
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "idx")
+    SIM.ivf_build_index(base, idx, nlist=8)
+    SIM.ivf_index_append_batch(emb.where(F.col("vec_id") % 3 == 1), 0, idx)
+    SIM.ivf_index_append_batch(emb.where(F.col("vec_id") % 3 == 2), 1, idx)
+    want = sorted(map(tuple, SIM.ivf_probe_topk(queries, idx, k=5).collect()))
+
+    SIM.ivf_compact_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/corpus_delta")
+    assert any(
+        d.startswith("cell=") for d in os.listdir(f"{idx}/corpus")
+    )  # layout stays partition-prunable
+    got = sorted(map(tuple, SIM.ivf_probe_topk(queries, idx, k=5).collect()))
+    assert got == want
+
+    # crash point A: died between the two swap renames -> no live
+    # corpus, a complete .old, staging still holding the delta
+    crash = str(tmp_path / "crash_a")
+    SIM.ivf_build_index(base, crash, nlist=8)
+    SIM.ivf_index_append_batch(emb.where(F.col("vec_id") % 3 != 0), 0, crash)
+    want_c = sorted(
+        map(tuple, SIM.ivf_probe_topk(queries, crash, k=5).collect())
+    )
+    os.rename(f"{crash}/corpus_delta", f"{crash}/corpus_delta.compacting")
+    os.rename(f"{crash}/corpus", f"{crash}/corpus.old")
+    got_c = sorted(
+        map(tuple, SIM.ivf_probe_topk(queries, crash, k=5).collect())
+    )  # read path self-heals
+    assert got_c == want_c
+
+    # crash point B: died after the swap completed, before cleanup —
+    # the live base already CONTAINS the delta; lingering .old and
+    # .compacting must be dropped, never re-unioned (double count)
+    SIM.ivf_compact_index(spark, crash)
+    shutil.copytree(f"{crash}/corpus", f"{crash}/corpus.old")
+    os.makedirs(f"{crash}/corpus_delta.compacting", exist_ok=True)
+    got_b = sorted(
+        map(tuple, SIM.ivf_probe_topk(queries, crash, k=5).collect())
+    )
+    assert got_b == want_c
+    assert not os.path.isdir(f"{crash}/corpus.old")
+    assert not os.path.isdir(f"{crash}/corpus_delta.compacting")
+
+
 def test_quantized_assignment_matches_numpy_argmin(spark):
     """The integer-exact cell assignment must agree with a float64 numpy
     argmin on the same centroids (the quantization cannot move the
