@@ -310,6 +310,18 @@ def minhash_build_index(
     )
 
 
+def minhash_compact_index(spark: SparkSession, index_path: str) -> None:
+    """Nightly compaction of a stream-maintained MinHash index: folds
+    the per-micro-batch ``signatures/batch_id=N`` directories into one
+    ``batch_id=-1`` via ``sinks.compact_batch_dirs``'s crash-safe swap.
+    Probe answers (dd3c / dd10) are invariant — readers scan the parent
+    dir and treat batch_id as inert; what changes is the file count a
+    long-running ingest leaves behind."""
+    from martech_pipelines_spark.operators.sinks import compact_batch_dirs
+
+    compact_batch_dirs(spark, f"{index_path}/signatures")
+
+
 def minhash_index_near_duplicates(
     spark: SparkSession,
     index_path: str,
@@ -321,6 +333,9 @@ def minhash_index_near_duplicates(
     materialized signature table — zero raw-document scans (pinned by a
     plan assertion in tests/test_plans.py). Identical results to the
     inline ``minhash_near_duplicates`` (shared oracle, dd3c)."""
+    from martech_pipelines_spark.operators.sinks import recover_dir_swap
+
+    recover_dir_swap(f"{index_path}/signatures")  # self-heal compaction
     per_doc = spark.read.parquet(f"{index_path}/signatures")
     band_rows = per_doc.select(
         "id", F.posexplode(F.array(*_band_key_exprs(num_perm, bands))).alias(
@@ -374,6 +389,9 @@ def minhash_incremental_dedup(
 
     from martech_pipelines_spark import caching
 
+    from martech_pipelines_spark.operators.sinks import recover_dir_swap
+
+    recover_dir_swap(f"{index_path}/signatures")  # self-heal compaction
     idx = spark.read.parquet(f"{index_path}/signatures")
     new_sig = minhash_signature_table(new_docs, text_col, id_col, num_perm, shingle_n)
     new_sig = caching.register(new_sig.persist(StorageLevel.MEMORY_AND_DISK))

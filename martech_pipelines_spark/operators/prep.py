@@ -39,7 +39,14 @@ from pyspark.sql import functions as F
 
 from martech_pipelines_spark.operators import text as TX
 
-__all__ = ["prep_index_build", "prep_funnel_report", "prep_funnel_inline_base"]
+__all__ = [
+    "prep_index_build",
+    "prep_index_append",
+    "prep_index_compact",
+    "apply_prep_index_batch",
+    "prep_funnel_report",
+    "prep_funnel_inline_base",
+]
 
 
 def prep_funnel_inline_base(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -148,6 +155,21 @@ def apply_prep_index_batch(
     ).parquet(f"{index_path}/win_hashes/batch={batch_id}")
 
 
+def prep_index_compact(spark: SparkSession, index_path: str) -> None:
+    """Nightly compaction of a stream-maintained prep index: folds the
+    per-micro-batch ``batch=N`` directories of both tables into one
+    ``batch=-1`` via ``sinks.compact_batch_dirs``'s crash-safe swap.
+    The funnel report is invariant at every crash point — it reads each
+    table's parent dir and ignores the batch column, and each table's
+    content multiset is unchanged, so a doc_stats-swapped/win_hashes-
+    pending mix reports identically.  No-op on a flat batch-built index
+    (``prep_index_build`` writes no batch directories)."""
+    from martech_pipelines_spark.operators.sinks import compact_batch_dirs
+
+    compact_batch_dirs(spark, f"{index_path}/doc_stats", batch_col="batch")
+    compact_batch_dirs(spark, f"{index_path}/win_hashes", batch_col="batch")
+
+
 def prep_funnel_report(
     spark: SparkSession, index_path: str, eval_mod: int = 3
 ) -> DataFrame:
@@ -162,6 +184,10 @@ def prep_funnel_report(
     keys), one broadcast of the distinct eval-hash set, one semi-join
     over ``win_hashes`` restricted to train survivors.  Raw text is
     never read."""
+    from martech_pipelines_spark.operators.sinks import recover_dir_swap
+
+    recover_dir_swap(f"{index_path}/doc_stats")  # self-heal compaction
+    recover_dir_swap(f"{index_path}/win_hashes")
     stats = spark.read.parquet(f"{index_path}/doc_stats")
     win = spark.read.parquet(f"{index_path}/win_hashes")
 

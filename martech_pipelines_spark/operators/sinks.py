@@ -220,6 +220,72 @@ def compact_files(
     return n
 
 
+def recover_dir_swap(path: str) -> None:
+    """Crash recovery for ``compact_batch_dirs``'s two-rename swap:
+    drop a stale ``.next`` (died mid-write — source dirs intact),
+    restore ``.old`` when the live dir is missing (died between the two
+    renames), drop ``.old`` when the live dir is present (died after
+    the swap, before cleanup).  Invoked by every index reader so an
+    interrupted compaction self-heals on the next probe."""
+    import os
+    import shutil
+
+    nxt, old = path + ".next", path + ".old"
+    if os.path.isdir(nxt):
+        shutil.rmtree(nxt)
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    elif os.path.isdir(path) and os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def compact_batch_dirs(
+    spark,
+    root: str,
+    batch_col: str = "batch_id",
+    partition_by: tuple[str, ...] = (),
+    merge=None,
+) -> bool:
+    """Fold the ``{batch_col}=N`` directories of a streamed/appended
+    index root into a single ``{batch_col}=-1`` — the shared nightly
+    compaction for every batch_id-keyed incremental index in this
+    engine (BM25 postings/stats, MinHash signatures, the prep index;
+    the IVF corpus_delta has its own base-merging variant in
+    ``similarity.ivf_compact_index``).  Long-running streaming ingest
+    writes one small file set per micro-batch; this rewrite keeps
+    probe-side file counts bounded without changing any reader: every
+    probe already scans the parent dir and treats the batch partition
+    column as inert, and the folded content multiset is identical, so
+    a crash between two roots of a multi-root index (e.g. postings
+    swapped, stats not yet) still answers every query identically.
+
+    ``merge`` optionally re-aggregates the unioned rows (e.g. the BM25
+    stats table folds to one row of sums).  Returns False when the root
+    holds at most one batch directory (nothing to fold).  Same
+    offline-maintenance contract as ``ivf_compact_index``: run with the
+    ingest stream paused."""
+    import os
+    import shutil
+
+    recover_dir_swap(root)
+    prefix = f"{batch_col}="
+    batches = [d for d in os.listdir(root) if d.startswith(prefix)]
+    if len(batches) <= 1:
+        return False
+    folded = spark.read.parquet(root).drop(batch_col)
+    if merge is not None:
+        folded = merge(folded)
+    nxt, old = root + ".next", root + ".old"
+    writer = folded.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{nxt}/{prefix}-1")
+    os.rename(root, old)
+    os.rename(nxt, root)
+    shutil.rmtree(old)
+    return True
+
+
 # --- REST batch sink (B4-B6) -------------------------------------------------
 
 

@@ -1098,6 +1098,30 @@ def bm25_build_index(
     ).write.mode("overwrite").parquet(f"{path}/stats/batch_id=-1")
 
 
+def bm25_compact_index(spark, path: str) -> None:
+    """Nightly compaction of a stream-maintained BM25 index
+    (``compact_batch_dirs``'s swap protocol): postings batches fold into
+    one term-partitioned ``batch_id=-1`` (the probe's IN-list partition
+    pruning is unchanged — term stays the inner partition key) and the
+    per-batch stats rows fold to their one-row sum.  Query answers are
+    invariant at every crash point: ``bm25_query_index`` already sums
+    stats across rows and treats batch_id as inert, so postings-swapped/
+    stats-pending mixes score identically (pytest-pinned)."""
+    from martech_pipelines_spark.operators.sinks import compact_batch_dirs
+
+    compact_batch_dirs(
+        spark, f"{path}/postings", partition_by=("term",)
+    )
+    compact_batch_dirs(
+        spark,
+        f"{path}/stats",
+        merge=lambda df: df.agg(
+            F.sum("sum_dl").alias("sum_dl"),
+            F.sum("n_docs").alias("n_docs"),
+        ),
+    )
+
+
 def bm25_query_index(
     spark,
     path: str,
@@ -1112,6 +1136,10 @@ def bm25_query_index(
     scan to |terms| partitions (PartitionFilters, plan-asserted); df
     comes from the pruned postings; scoring and ranking are identical to
     the inline ``bm25_topk`` (bit-equal results, shared oracle)."""
+    from martech_pipelines_spark.operators.sinks import recover_dir_swap
+
+    recover_dir_swap(f"{path}/postings")  # self-heal an interrupted compaction
+    recover_dir_swap(f"{path}/stats")
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("term").isin(*terms)
     )
