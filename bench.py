@@ -88,6 +88,11 @@ HEADLINE = [
     # round-7: the fully-oracle-checked IVF search, Arrow scale form
     # (s2g's SQL twin is the oracle anchor; this is the search path)
     "s2g2_ivf_deterministic_arrow",
+    # round-7: the materialized IVF lifecycle probe (base + frozen-
+    # quantizer delta, partition-pruned on both sides).  Same index-
+    # cache provenance as pipe10b: run 1 of best-of-N pays the one-off
+    # build+append, the recorded min is the steady-state probe.
+    "s2h_ivf_delta_probe",
 ]
 
 

@@ -1162,6 +1162,144 @@ def ivf_probe_topk(
     )
 
 
+def ivf_det_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    nlist: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    quantize: int = 6,
+) -> None:
+    """Deterministic twin of ``ivf_build_index`` — same materialized
+    layout (cell-partitioned inverted lists + a centroid table), but the
+    coarse quantizer is the modular-representative table and assignment
+    is the integer-exact argmin (``_quantized_cell_structs`` inline in
+    the scan projection, zero shuffles before the partitioned write).
+    Because every stage is engine-exact, an index built from a BASE
+    snapshot, delta-appended with ``ivf_det_append_batch`` and probed
+    with ``ivf_det_probe_topk`` is value-checkable against the inline
+    ``ivf_deterministic_topk`` search over base ∪ delta — the full
+    DuckDB oracle covers the whole materialized lifecycle, while the
+    trained-KMeans build keeps the recall gates."""
+    spark = corpus.sparkSession
+    cent_rows = modular_representatives(
+        corpus, nlist=nlist, vec_col=corpus_vec, id_col=corpus_id
+    ).collect()  # control-plane: nlist x dim, the frozen quantizer
+    cells = _quantized_cell_structs(
+        _as_double(F.col(corpus_vec)), cent_rows, quantize
+    )
+    (
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            _as_double(F.col(corpus_vec)).alias("v"),
+            F.array_min(cells)["cell"].alias("cell"),
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/corpus")
+    )
+    cdf = spark.createDataFrame(
+        [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in sorted(cent_rows, key=lambda r: r["cell"])
+        ],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_det_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    quantize: int = 6,
+) -> None:
+    """Deterministic twin of ``ivf_index_append_batch``: assign one
+    newly-ingested batch with the index's FROZEN quantizer (read back
+    from ``{index_path}/centroids``) via the integer-exact inline argmin
+    and land it cell-partitioned under ``corpus_delta/batch=<id>``.
+    Same idempotent-replay contract (overwrite of the batch's own dir)
+    and the same reader (``_read_ivf_corpus``) / compactor
+    (``ivf_compact_index``) as the trained form — the layout is
+    kernel-agnostic."""
+    spark = batch_df.sparkSession
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cells = _quantized_cell_structs(
+        _as_double(F.col(corpus_vec)), cent_rows, quantize
+    )
+    (
+        batch_df.select(
+            F.col(corpus_id).alias("vec_id"),
+            _as_double(F.col(corpus_vec)).alias("v"),
+            F.array_min(cells)["cell"].alias("cell"),
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/corpus_delta/batch={int(batch_id)}")
+    )
+
+
+def ivf_det_probe_topk(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    quantize: int = 6,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Deterministic twin of ``ivf_probe_topk``: probe a materialized
+    deterministic index (base + any delta batches) with static partition
+    pruning.  Probe-set selection is the integer-exact nprobe argmin
+    against the frozen centroid table; the distinct probed cells are
+    collected driver-side (bounded by nlist — the watermark-lookup class
+    of collect) so the corpus read carries a literal ``cell IN (...)``
+    partition filter on BOTH the base and the delta side of the union.
+    Scoring and ranking follow s1's exact-cosine rounded-rank + id
+    tie-break contract, so the result is bit-equal to
+    ``ivf_deterministic_topk`` over the same total corpus — one shared
+    oracle value-checks the inline search, the materialized build, the
+    frozen-quantizer append, and this probe."""
+    spark = queries.sparkSession
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    qcells = _quantized_cell_structs(
+        _as_double(F.col(query_vec)), cent_rows, quantize
+    )
+    qrows = queries.select(
+        F.col(query_id).alias("__qid"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(qcells), 1, nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    probed = sorted({r["cell"] for r in qrows.select("cell").distinct().collect()})
+
+    c = _read_ivf_corpus(spark, index_path).where(
+        F.col("cell").isin([int(x) for x in probed])
+    )
+    denom = F.col("__qn") * F.col("n")
+    scored = F.broadcast(qrows).join(c, "cell").select(
+        F.col("__qid").alias(query_id),
+        "vec_id",
+        F.round(
+            F.when(denom > 0, dot(F.col("__qv"), F.col("v")) / denom), round_dp
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("vec_id").asc())
+    return (
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     dim: int,

@@ -104,6 +104,7 @@ _WINDOW_PRIORITY = [
     "s8b_pq_codes",
     "s2g_ivf_deterministic_topk",
     "s2g2_ivf_deterministic_arrow",
+    "s2h_ivf_delta_probe",
     "mm4_resize",
     "mm5_frame_sample",
     "mm6_phash_near_dup",

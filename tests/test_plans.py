@@ -366,6 +366,65 @@ def test_s2g2_arrow_twin_equals_sql_form(spark):
     assert a == b and len(a) > 0
 
 
+def test_s2h_delta_probe_equals_inline_prunes_and_survives_compaction(
+    spark, tmp_path
+):
+    """The deterministic materialized IVF lifecycle (s2h): base build +
+    frozen-quantizer delta append + probe must be row-identical to the
+    inline s2g search over the whole corpus (the shared-oracle contract
+    — exact multisets including rank), the probe must partition-prune
+    BOTH sides of the base∪delta union, and nightly compaction must
+    leave the answer bit-identical."""
+    import re
+
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "det_idx")
+    delta_pred = (F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= 16)
+    SIM.ivf_det_build_index(emb.where(~delta_pred), idx, nlist=16)
+    SIM.ivf_det_append_batch(emb.where(delta_pred), 0, idx)
+
+    cols = ("query_id", "vec_id", "cos_sim", "rnk")
+    probe = SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4).select(*cols)
+    inline = {
+        tuple(r)
+        for r in QUERIES["s2g_ivf_deterministic_topk"](spark, SF).collect()
+    }
+    got = {tuple(r) for r in probe.collect()}
+    assert got == inline and len(got) > 0
+
+    # pruning is real on BOTH scans of the union: with a single query
+    # (whose probe set is nprobe=4 of 16 cells) each side carries a
+    # literal 4-cell INSET (the 50-query set above unions to all 16
+    # cells at this tiny SF, so the pruning check uses one query)
+    one = SIM.ivf_det_probe_topk(
+        queries.where(F.col("query_id") == 0), idx, k=5, nprobe=4
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    insets = [
+        a or b
+        for a, b in re.findall(
+            r"PartitionFilters: \[cell#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+))",
+            plan,
+        )
+    ]
+    assert len(insets) >= 2, plan
+    assert all(len(s.split(",")) == 4 for s in insets), insets
+
+    SIM.ivf_compact_index(spark, idx)
+    again = {
+        tuple(r)
+        for r in SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4)
+        .select(*cols)
+        .collect()
+    }
+    assert again == inline
+
+
 def test_ivf_compaction_preserves_probe_and_recovers(spark, tmp_path):
     """ivf_compact_index folds streamed delta batches into the base
     inverted lists: the probe answer is invariant, the delta dir is
