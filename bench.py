@@ -93,6 +93,10 @@ HEADLINE = [
     # cache provenance as pipe10b: run 1 of best-of-N pays the one-off
     # build+append, the recorded min is the steady-state probe.
     "s2h_ivf_delta_probe",
+    # round-7: end-to-end deterministic PQ/ADC search (the fully-
+    # oracle-checked twin of the trained s8_pq_topk; inline form —
+    # codes recomputed per run, the materialized serving path is s2d)
+    "s8c_pq_adc_deterministic_topk",
 ]
 
 

@@ -832,6 +832,54 @@ def quantized_probe_cells(
     )
 
 
+def quantized_pq_slice_scores(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    quantize: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact integer squared distance of every (vector slice, codeword)
+    pair: each vector fans out to its m dim/m-wide slices, the codebook
+    broadcasts (m x ksub rows), output (id, subspace, code, d2q).  The
+    shared scoring stage of PQ: argmin over it per (id, subspace) is
+    code ASSIGNMENT (``quantized_pq_codes``); computed for a query set
+    it is the per-query ADC lookup table
+    (``pq_adc_deterministic_topk``)."""
+    assert dim % m == 0
+    dsub = dim // m
+    cb = codebook.select(
+        "subspace",
+        "code",
+        quantized_vec(F.col("codeword"), quantize).alias("__cw"),
+    )
+    slices = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("subspace"),
+                        quantized_vec(
+                            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub),
+                            quantize,
+                        ).alias("__sq"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.subspace").alias("subspace"), F.col("__s.__sq").alias("__sq"))
+    return slices.join(F.broadcast(cb), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        quantized_sqdist(F.col("__sq"), F.col("__cw")).alias("d2q"),
+    )
+
+
 def quantized_pq_codes(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -852,35 +900,8 @@ def quantized_pq_codes(
     vector fans out to m slice rows and ksub candidates per slice that
     collapse map-side via min(struct) — one keyed exchange on
     (id, subspace), vectors never shuffled."""
-    assert dim % m == 0
-    dsub = dim // m
-    cb = codebook.select(
-        "subspace",
-        "code",
-        quantized_vec(F.col("codeword"), quantize).alias("__cw"),
-    )
-    slices = corpus.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("int").alias("subspace"),
-                        quantized_vec(
-                            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub),
-                            quantize,
-                        ).alias("__sq"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("__s"),
-    ).select(id_col, F.col("__s.subspace").alias("subspace"), F.col("__s.__sq").alias("__sq"))
-    scored = slices.join(F.broadcast(cb), "subspace").select(
-        id_col,
-        "subspace",
-        "code",
-        quantized_sqdist(F.col("__sq"), F.col("__cw")).alias("d2q"),
+    scored = quantized_pq_slice_scores(
+        corpus, codebook, m, dim, quantize, vec_col, id_col
     )
     best = scored.groupBy(id_col, "subspace").agg(
         F.min(F.struct("d2q", "code")).alias("__b")
@@ -890,6 +911,62 @@ def quantized_pq_codes(
         "subspace",
         F.col("__b.code").alias("code"),
         F.col("__b.d2q").alias("d2q"),
+    )
+
+
+def pq_adc_deterministic_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """END-TO-END deterministic PQ search with asymmetric distance
+    computation — the s2g upgrade applied to the PQ family: the whole
+    search path of the rows-only trained ``pq_topk`` (encode corpus to
+    m-byte codes, build per-query distance lookup tables, rank by the
+    summed table lookups) run against the deterministic modular
+    codebook in exact integer arithmetic, hence a FULL DuckDB oracle.
+    Output (query_id, vec_id, adc_d2q, rnk) — rnk by ascending ADC
+    distance, ties to the lowest corpus id (total order: deterministic
+    even when two vectors share all m codes, which IS the tie case PQ
+    creates by construction).
+
+    Scale shape — the classic PQ serving layout: the codebook and the
+    |Q| x m x ksub query LUT both broadcast; the corpus contributes
+    only its code rows (m small ints per vector — the 100-TB win: the
+    scan is codes, not vectors), scored by a broadcast-hash join on
+    (subspace, code) and collapsed map-side by the partial sum before
+    one keyed exchange on (query_id, vec_id).  The trained-Lloyd
+    variant (``pq_topk``) swaps the codebook and keeps the recall
+    gates; this query value-checks the ADC machinery itself."""
+    cb = modular_pq_codebook(
+        corpus, m=m, ksub=ksub, dim=dim, vec_col=corpus_vec, id_col=corpus_id
+    )
+    codes = quantized_pq_codes(
+        corpus, cb, m=m, dim=dim, quantize=quantize,
+        vec_col=corpus_vec, id_col=corpus_id,
+    ).select(corpus_id, "subspace", "code")
+    lut = quantized_pq_slice_scores(
+        queries, cb, m=m, dim=dim, quantize=quantize,
+        vec_col=query_vec, id_col=query_id,
+    ).withColumnRenamed("d2q", "__qd2")
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("__qd2").alias("adc_d2q"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d2q").asc(), F.col(corpus_id).asc()
+    )
+    return adc.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= k
     )
 
 

@@ -383,3 +383,81 @@ def s2h_ivf_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_det_probe_topk(
         queries, _s2h_index(spark, sf_dir), k=5, nprobe=_NPROBE
     ).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# s8c: end-to-end deterministic PQ search (ADC) — the s2g upgrade for the
+# PQ family
+# ---------------------------------------------------------------------------
+
+_S8C_ORACLE = f"""
+    WITH {_CENT_CTES}, sub AS (
+        SELECT j FROM unnest(range(0, {_PQ_M})) u(j)
+    ), cb AS (
+        SELECT CAST(s.j AS INTEGER) AS subspace, c.cell AS code,
+               c.cq[CAST(s.j*{_PQ_DSUB}+1 AS INTEGER)
+                    :CAST(s.j*{_PQ_DSUB}+{_PQ_DSUB} AS INTEGER)] AS cw
+        FROM cents c CROSS JOIN sub s
+    ), xs AS (
+        SELECT x.vec_id, CAST(s.j AS INTEGER) AS subspace,
+               x.q[CAST(s.j*{_PQ_DSUB}+1 AS INTEGER)
+                   :CAST(s.j*{_PQ_DSUB}+{_PQ_DSUB} AS INTEGER)] AS sq
+        FROM xq x CROSS JOIN sub s
+    ), codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT xs.vec_id, xs.subspace, cb.code,
+                   row_number() OVER (
+                       PARTITION BY xs.vec_id, xs.subspace
+                       ORDER BY CAST(list_dot_product(xs.sq, xs.sq)
+                                     + list_dot_product(cb.cw, cb.cw)
+                                     - 2*list_dot_product(xs.sq, cb.cw) AS BIGINT),
+                                cb.code
+                   ) AS rn
+            FROM xs JOIN cb ON cb.subspace = xs.subspace
+        ) WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, cb.subspace, cb.code,
+               CAST(list_dot_product(q.sq, q.sq)
+                    + list_dot_product(cb.cw, cb.cw)
+                    - 2*list_dot_product(q.sq, cb.cw) AS BIGINT) AS qd2
+        FROM xs q JOIN cb ON cb.subspace = q.subspace
+        WHERE q.vec_id % 10 = 0
+    ), adc AS (
+        SELECT l.query_id, c.vec_id,
+               CAST(sum(l.qd2) AS BIGINT) AS adc_d2q
+        FROM codes c
+        JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_d2q, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2q, vec_id
+        ) AS rnk FROM adc
+    ) WHERE rnk <= 5
+"""
+
+
+@q("s8c_pq_adc_deterministic_topk", _S8C_ORACLE)
+def s8c_pq_adc_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END deterministic PQ search — what the rows-only trained
+    ``s8_pq_topk`` computes, value-checked whole: encode the corpus to
+    m-byte codes against the modular codebook, build each query's
+    m x ksub integer ADC lookup table, rank by summed lookups (ties to
+    the lowest vec_id — the tie PQ creates by construction whenever two
+    vectors share all m codes, made total and engine-exact).  The s2g
+    upgrade applied to the PQ family: the coarse-quantizer lifecycle
+    (s2e/s2f/s2g/s2h) and now the fine-quantizer ADC machinery both
+    carry full DuckDB oracles; only the Lloyd's training itself stays
+    behind the recall gates.  Scale shape: codebook + query LUT
+    broadcast, the scan is the skinny code table (m small ints per
+    vector, never the vectors), partial-summed map-side before one
+    keyed exchange on (query_id, vec_id)."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_adc_deterministic_topk(
+        queries, emb, m=_PQ_M, ksub=_NLIST, dim=64, k=5
+    ).select("query_id", "vec_id", "adc_d2q", "rnk")

@@ -425,6 +425,54 @@ def test_s2h_delta_probe_equals_inline_prunes_and_survives_compaction(
     assert again == inline
 
 
+def test_s8c_adc_self_consistency_plan_and_recall(spark):
+    """s8c end-to-end PQ/ADC: (1) the LUT path and the code-assignment
+    path must agree on the one overlap they share — ADC(q, q) equals
+    the sum of q's own per-subspace assignment distances (both are
+    sum_j d2(q_j, codeword[code(q)_j]) computed through different
+    joins); (2) plan shape: codebook+LUT broadcast, no cartesian;
+    (3) an honest recall floor vs exact cosine top-k — lower than the
+    trained-PQ 0.5 gate because the modular codebook is an untrained
+    geometry stand-in AND ADC ranks by L2 on unnormalized vectors while
+    the ground truth is cosine; the query's value is the exact integer
+    oracle on the ADC machinery, not retrieval quality."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    adc_df = QUERIES["s8c_pq_adc_deterministic_topk"](spark, SF)
+    plan = plan_of(adc_df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = SIM.modular_pq_codebook(emb, m=8, ksub=16, dim=64)
+    own = {
+        r["vec_id"]: r["s"]
+        for r in SIM.quantized_pq_codes(emb, cb, m=8, dim=64)
+        .where(F.col("vec_id") % 10 == 0)
+        .groupBy("vec_id")
+        .agg(F.sum("d2q").alias("s"))
+        .collect()
+    }
+    full = SIM.pq_adc_deterministic_topk(queries, emb, m=8, ksub=16, dim=64, k=5)
+    self_rows = {
+        r["query_id"]: r["adc_d2q"]
+        for r in full.where(F.col("query_id") == F.col("vec_id")).collect()
+    }
+    # every self-pair that survives its query's top-5 must carry exactly
+    # its own assignment-distance sum (and some must survive at all)
+    assert self_rows and all(self_rows[q] == own[q] for q in self_rows)
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.brute_force_topk(queries, emb, k=5).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in adc_df.collect()}
+    assert len(exact & got) / len(exact) >= 0.2
+
+
 def test_ivf_compaction_preserves_probe_and_recovers(spark, tmp_path):
     """ivf_compact_index folds streamed delta batches into the base
     inverted lists: the probe answer is invariant, the delta dir is
