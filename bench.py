@@ -97,6 +97,9 @@ HEADLINE = [
     # oracle-checked twin of the trained s8_pq_topk; inline form —
     # codes recomputed per run, the materialized serving path is s2d)
     "s8c_pq_adc_deterministic_topk",
+    # round-7: end-to-end deterministic IVFPQ (coarse probe + residual
+    # ADC) — the composition twin of the trained s2d, fully oracled
+    "s2i_ivfpq_deterministic_topk",
 ]
 
 

@@ -461,3 +461,125 @@ def s8c_pq_adc_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return SIM.pq_adc_deterministic_topk(
         queries, emb, m=_PQ_M, ksub=_NLIST, dim=64, k=5
     ).select("query_id", "vec_id", "adc_d2q", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# s2i: end-to-end deterministic IVFPQ search — coarse probe + residual ADC
+# ---------------------------------------------------------------------------
+
+_S2I_ORACLE = f"""
+    WITH {_CENT_CTES}, assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT x.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), resid AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(list_zip(x.q, c.cq), s -> s[1] - s[2]) AS r
+        FROM assign a
+        JOIN xq x ON x.vec_id = a.vec_id
+        JOIN cents c ON c.cell = a.cell
+    ), sub AS (
+        SELECT j FROM unnest(range(0, {_PQ_M})) u(j)
+    ), rreps AS (
+        SELECT CAST(vec_id % {_NLIST} AS INTEGER) AS code, min(vec_id) AS rid
+        FROM embeddings GROUP BY 1
+    ), rcb AS (
+        SELECT CAST(s.j AS INTEGER) AS subspace, rr.code,
+               r.r[CAST(s.j*{_PQ_DSUB}+1 AS INTEGER)
+                   :CAST(s.j*{_PQ_DSUB}+{_PQ_DSUB} AS INTEGER)] AS cw
+        FROM rreps rr JOIN resid r ON r.vec_id = rr.rid CROSS JOIN sub s
+    ), rs AS (
+        SELECT r.vec_id, r.cell, CAST(s.j AS INTEGER) AS subspace,
+               r.r[CAST(s.j*{_PQ_DSUB}+1 AS INTEGER)
+                   :CAST(s.j*{_PQ_DSUB}+{_PQ_DSUB} AS INTEGER)] AS sq
+        FROM resid r CROSS JOIN sub s
+    ), codes AS (
+        SELECT vec_id, cell, subspace, code FROM (
+            SELECT rs.vec_id, rs.cell, rs.subspace, rcb.code,
+                   row_number() OVER (
+                       PARTITION BY rs.vec_id, rs.subspace
+                       ORDER BY CAST(list_dot_product(rs.sq, rs.sq)
+                                     + list_dot_product(rcb.cw, rcb.cw)
+                                     - 2*list_dot_product(rs.sq, rcb.cw) AS BIGINT),
+                                rcb.code
+                   ) AS rn
+            FROM rs JOIN rcb ON rcb.subspace = rs.subspace
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT x.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+            WHERE x.vec_id % 10 = 0
+        ) WHERE rn <= {_NPROBE}
+    ), qresid AS (
+        SELECT p.query_id, p.cell,
+               list_transform(list_zip(x.q, c.cq), s -> s[1] - s[2]) AS r
+        FROM probes p
+        JOIN xq x ON x.vec_id = p.query_id
+        JOIN cents c ON c.cell = p.cell
+    ), qs AS (
+        SELECT q.query_id, q.cell, CAST(s.j AS INTEGER) AS subspace,
+               q.r[CAST(s.j*{_PQ_DSUB}+1 AS INTEGER)
+                   :CAST(s.j*{_PQ_DSUB}+{_PQ_DSUB} AS INTEGER)] AS sq
+        FROM qresid q CROSS JOIN sub s
+    ), lut AS (
+        SELECT qs.query_id, qs.cell, qs.subspace, rcb.code,
+               CAST(list_dot_product(qs.sq, qs.sq)
+                    + list_dot_product(rcb.cw, rcb.cw)
+                    - 2*list_dot_product(qs.sq, rcb.cw) AS BIGINT) AS qd2
+        FROM qs JOIN rcb ON rcb.subspace = qs.subspace
+    ), adc AS (
+        SELECT l.query_id, c.vec_id,
+               CAST(sum(l.qd2) AS BIGINT) AS adc_d2q
+        FROM codes c
+        JOIN lut l ON l.cell = c.cell AND l.subspace = c.subspace
+                  AND l.code = c.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_d2q, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2q, vec_id
+        ) AS rnk FROM adc
+    ) WHERE rnk <= 5
+"""
+
+
+@q("s2i_ivfpq_deterministic_topk", _S2I_ORACLE)
+def s2i_ivfpq_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END deterministic IVFPQ — the composition of the coarse
+    quantizer (s2g's modular cells) and the fine quantizer (s8c's ADC)
+    through RESIDUAL encoding, value-checking the whole search path of
+    the rows-only trained s2d: corpus cells by integer argmin, residuals
+    r = xq - cq (integers subtract exactly in either engine), residual
+    PQ codebook by the modular trick, per-subspace code argmin, per-
+    (query, probed-cell) residual LUTs, ADC ranking with a total vec_id
+    tie-break.  The last deterministic stage of the ANN family to gain
+    a full DuckDB oracle — after this only Lloyd's/KMeans training
+    itself is recall-gated.  Scale shape: centroids + codebook + LUT
+    broadcast; the corpus is scanned once for assign+encode (= s2d's
+    build job) and search touches only code rows in probed cells."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_deterministic_topk(
+        queries, emb, nlist=_NLIST, nprobe=_NPROBE, m=_PQ_M, ksub=_NLIST,
+        dim=64, k=5,
+    ).select("query_id", "vec_id", "adc_d2q", "rnk")

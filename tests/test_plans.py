@@ -473,6 +473,45 @@ def test_s8c_adc_self_consistency_plan_and_recall(spark):
     assert len(exact & got) / len(exact) >= 0.2
 
 
+def test_s2i_ivfpq_candidates_within_probe_set_and_plan(spark):
+    """s2i end-to-end IVFPQ: every returned hit's cell must lie in its
+    query's probe set (the structural IVF invariant — ADC can only rank
+    candidates the coarse probe admitted), plan stays broadcast-only,
+    and an honest recall floor.  The floor is LOW by design: untrained
+    modular coarse quantizer (nprobe 4/16) x untrained residual
+    codebook x L2-ADC-vs-cosine ground truth compound — the query
+    value-checks the composition machinery (the trained s2d swaps in
+    KMeans/Lloyd tables and gates at 0.5), not retrieval quality."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    df = QUERIES["s2i_ivfpq_deterministic_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = SIM.modular_representatives(emb, nlist=16)
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.quantized_cell_assignments(emb, cents).collect()
+    }
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe_of: dict[int, set[int]] = {}
+    for r in SIM.quantized_probe_cells(queries, cents, nprobe=4).collect():
+        probe_of.setdefault(r["query_id"], set()).add(r["cell"])
+    hits = df.collect()
+    assert hits
+    assert all(cell_of[r["vec_id"]] in probe_of[r["query_id"]] for r in hits)
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.brute_force_topk(queries, emb, k=5).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in hits}
+    assert len(exact & got) / len(exact) >= 0.05
+
+
 def test_ivf_compaction_preserves_probe_and_recovers(spark, tmp_path):
     """ivf_compact_index folds streamed delta batches into the base
     inverted lists: the probe answer is invariant, the delta dir is
