@@ -28,6 +28,21 @@ SAME parquet the engine reads; ties broken by lowest centroid/codeword
 id in BOTH engines (and verified tie-free on the testdata by the
 audit_limit_ties discipline: the argmin is strict on this corpus).
 
+The family closers take the component oracles end to end:
+
+``s2g``/``s2g2`` — the complete deterministic IVF search (SQL anchor +
+                   Arrow scale twin, one shared oracle);
+``s2h``          — the MATERIALIZED lifecycle under the same oracle:
+                   base build, frozen-quantizer delta append, probe
+                   pruning partitions on both sides of the union;
+``s8c``          — end-to-end PQ search: m-byte codes + per-query
+                   integer ADC lookup tables, summed and ranked;
+``s2i``          — end-to-end IVFPQ: coarse probe composed with
+                   RESIDUAL PQ/ADC (residuals subtract exactly in
+                   quantized integer space).
+
+After these, only KMeans/Lloyd's training itself stays recall-gated.
+
 Registers into the shared QUERIES/ORACLE dicts at import time.
 """
 

@@ -101,6 +101,13 @@ HEAVY = [
     # interchangeable-forms claim measured at scale, not just asserted)
     "s2g_ivf_deterministic_topk",
     "s2g2_ivf_deterministic_arrow",
+    # round-7 family closers: the materialized IVF lifecycle probe
+    # (best-of-2 index-cache provenance — run 1 builds base+delta, run 2
+    # is the pruned steady-state probe), and the deterministic PQ/IVFPQ
+    # ADC anchors (inline forms: encode recomputed per run)
+    "s2h_ivf_delta_probe",
+    "s8c_pq_adc_deterministic_topk",
+    "s2i_ivfpq_deterministic_topk",
 ]
 N_RUNS = 2
 
@@ -164,8 +171,18 @@ RECALL_QUERIES = {
     "s8_pq_topk": 0.5,
     "s2d_ivfpq_materialized": 0.5,
     # deterministic IVF (s2g2 is bit-equal to s2g by the shared oracle —
-    # grading one grades both)
+    # grading one grades both; s2h shares the same oracle too)
     "s2g_ivf_deterministic_topk": 0.5,
+    # deterministic PQ/IVFPQ machinery checks: these entries RECORD the
+    # measured recall but do not gate retrieval quality — their
+    # correctness proof is the full DuckDB value oracle, which is
+    # strictly stronger.  Untrained modular codebooks + L2-ADC vs cosine
+    # ground truth compound, and the 10-copy sf1 corpus mass-ties the
+    # untrained-residual ADC ranking (s2i measured 0.008 there while the
+    # value oracle stays exact); the trained s8/s2d forms above carry
+    # the real 0.5 gates.
+    "s8c_pq_adc_deterministic_topk": 0.0,
+    "s2i_ivfpq_deterministic_topk": 0.0,
 }
 
 

@@ -269,6 +269,27 @@ SHOWCASE = [
         "single matmul per batch, emitting only batches*|Q|*k rows into "
         "the final rank exchange",
     ),
+    (
+        "s2h_ivf_delta_probe",
+        "the materialized IVF lifecycle probe (shares s2g's oracle): "
+        "base + frozen-quantizer delta read as a union whose BOTH scans "
+        "carry the literal probed-cell partition filter; queries "
+        "broadcast, one rank exchange",
+    ),
+    (
+        "s8c_pq_adc_deterministic_topk",
+        "end-to-end PQ/ADC under a full oracle: codebook + per-query "
+        "integer LUT broadcast, the scan side is the m-byte code table "
+        "(never vectors), partial-summed map-side before one keyed "
+        "exchange on (query, vector)",
+    ),
+    (
+        "s2i_ivfpq_deterministic_topk",
+        "end-to-end IVFPQ (coarse probe x residual ADC) under a full "
+        "oracle: centroids/codebook/LUT all broadcast, residuals "
+        "subtract exactly in quantized integer space, search touches "
+        "only code rows in probed cells",
+    ),
 ]
 
 
