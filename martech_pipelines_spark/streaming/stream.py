@@ -1020,6 +1020,7 @@ def streaming_ivf_index_maintenance(
     checkpoint_dir: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    append_fn=None,
 ):
     """Continuously maintain a materialized IVF index (s2c's layout)
     from a vector ingest stream: each micro-batch is assigned with the
@@ -1032,13 +1033,23 @@ def streaming_ivf_index_maintenance(
     sides, so ANN freshness at 100 TB is a per-batch assignment pass
     over the day's vectors, never an index rebuild.  Quantizer retrain
     (centroid drift) stays an offline batch job by design — the FAISS
-    operational split."""
+    operational split.
+
+    ``append_fn`` swaps the per-batch assignment kernel: default =
+    the trained-quantizer ``ivf_index_append_batch``; pass
+    ``similarity.ivf_det_append_batch`` to maintain the DETERMINISTIC
+    index (s2h's layout) — the layout, replay contract, reader, and
+    compactor are shared, so the streamed delta stays bit-equal to the
+    batch append and the probe stays under s2g's value oracle."""
     from martech_pipelines_spark.operators.similarity import (
         ivf_index_append_batch,
     )
 
+    if append_fn is None:
+        append_fn = ivf_index_append_batch
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_index_append_batch(
+        append_fn(
             batch_df,
             batch_id,
             index_path,

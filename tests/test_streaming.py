@@ -1066,6 +1066,96 @@ def test_streaming_ivf_index_matches_batch_append(spark, tmp_path):
     assert again == want_rows
 
 
+def test_streaming_det_ivf_maintenance_stays_under_the_oracle(spark, tmp_path):
+    """The deterministic index (s2h's layout) maintained by the SAME
+    streaming job as the trained one (``append_fn`` swap): after the
+    later-arrivals stream drains in two micro-batches, the pruned
+    base+delta probe must still be bit-equal to the inline
+    ``ivf_deterministic_topk`` over the whole corpus — the streamed
+    path stays under s2g's value oracle, not just row-stable.  Also
+    guards the split contract with a second, different min-preserving
+    split: ANY delta that excludes ids < nlist leaves the base-trained
+    frozen quantizer equal to the full-corpus representative table."""
+    import glob
+    import os
+
+    from martech_pipelines_spark.operators import similarity as SIM
+    from martech_pipelines_spark.streaming.stream import (
+        streaming_ivf_index_maintenance,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cols = ("query_id", "vec_id", "cos_sim", "rnk")
+    inline = sorted(
+        map(
+            tuple,
+            SIM.ivf_deterministic_topk(queries, emb, nlist=16, nprobe=4, k=5)
+            .select(*cols)
+            .collect(),
+        )
+    )
+
+    # streamed maintenance on the s2h split
+    delta_pred = (F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= 16)
+    idx = str(tmp_path / "det_idx")
+    SIM.ivf_det_build_index(emb.where(~delta_pred), idx, nlist=16)
+    src = tmp_path / "vec_in"
+    src.mkdir()
+    new = emb.where(delta_pred)
+    new.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    new.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    for i, p in enumerate(sorted(glob.glob(str(src / "*.parquet")))):
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = streaming_ivf_index_maintenance(
+        stream,
+        idx,
+        str(tmp_path / "ck_det_ivf"),
+        append_fn=SIM.ivf_det_append_batch,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(
+            tuple,
+            SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == inline
+
+    # a different min-preserving split (batch append) — same answer
+    idx2 = str(tmp_path / "det_idx2")
+    pred2 = (F.col("vec_id") % 3 == 1) & (F.col("vec_id") >= 16)
+    SIM.ivf_det_build_index(emb.where(~pred2), idx2, nlist=16)
+    SIM.ivf_det_append_batch(emb.where(pred2), 0, idx2)
+    got2 = sorted(
+        map(
+            tuple,
+            SIM.ivf_det_probe_topk(queries, idx2, k=5, nprobe=4)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got2 == inline
+
+
 def test_streaming_sessionize_matches_batch_labels(spark, tmp_path):
     """r35's streaming twin: after draining the event log through
     micro-batches, every event's session label must equal the batch
