@@ -100,6 +100,10 @@ HEADLINE = [
     # round-7: end-to-end deterministic IVFPQ (coarse probe + residual
     # ADC) — the composition twin of the trained s2d, fully oracled
     "s2i_ivfpq_deterministic_topk",
+    # round-7: s8c's Arrow scale twin — the production PQ serving
+    # kernel (einsum encode + m table gathers per batch, map-side
+    # top-k); 48x the SQL anchor at sf1
+    "s8c2_pq_adc_arrow",
 ]
 
 

@@ -107,6 +107,7 @@ _WINDOW_PRIORITY = [
     "s2h_ivf_delta_probe",
     "s8c_pq_adc_deterministic_topk",
     "s2i_ivfpq_deterministic_topk",
+    "s8c2_pq_adc_arrow",
     "mm4_resize",
     "mm5_frame_sample",
     "mm6_phash_near_dup",

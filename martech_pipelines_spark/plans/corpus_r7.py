@@ -598,3 +598,25 @@ def s2i_ivfpq_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, nlist=_NLIST, nprobe=_NPROBE, m=_PQ_M, ksub=_NLIST,
         dim=64, k=5,
     ).select("query_id", "vec_id", "adc_d2q", "rnk")
+
+
+@q("s8c2_pq_adc_arrow", _S8C_ORACLE)  # SHARES s8c's oracle
+def s8c2_pq_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s8c through the Arrow map-side-top-k kernel (the s1b/s2g2
+    interchangeable-forms pattern applied to PQ serving): per corpus
+    batch ONE int64 einsum encodes the codes and m vectorized table
+    GATHERS compute ADC for every query — the exchange shrinks from
+    |Q| x N x m joined rows to batches x |Q| x k candidates.  Sharing
+    s8c's oracle proves the two physical forms interchangeable; this
+    one is the 100-TB serving path (a JVM map-lookup pivot was tried
+    and rejected — Spark map element_at is a linear scan; see
+    BENCH_NOTES_r07)."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_adc_deterministic_topk_arrow(
+        queries, emb, m=_PQ_M, ksub=_NLIST, dim=64, k=5
+    ).select("query_id", "vec_id", "adc_d2q", "rnk")

@@ -473,6 +473,21 @@ def test_s8c_adc_self_consistency_plan_and_recall(spark):
     assert len(exact & got) / len(exact) >= 0.2
 
 
+def test_s8c2_arrow_twin_equals_sql_form(spark):
+    """The Arrow gather-kernel ADC (s8c2) must be row-identical to the
+    join+agg SQL form (s8c) — the s1/s1b interchangeable-forms contract
+    applied to PQ serving: one oracle, two physical plans.  Exact
+    multisets including adc_d2q AND the rank column (the integer
+    distances and the total tie-break must match, not just the
+    candidate sets)."""
+    a = {
+        tuple(r)
+        for r in QUERIES["s8c_pq_adc_deterministic_topk"](spark, SF).collect()
+    }
+    b = {tuple(r) for r in QUERIES["s8c2_pq_adc_arrow"](spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_s2i_ivfpq_candidates_within_probe_set_and_plan(spark):
     """s2i end-to-end IVFPQ: every returned hit's cell must lie in its
     query's probe set (the structural IVF invariant — ADC can only rank

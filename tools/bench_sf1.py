@@ -108,6 +108,9 @@ HEAVY = [
     "s2h_ivf_delta_probe",
     "s8c_pq_adc_deterministic_topk",
     "s2i_ivfpq_deterministic_topk",
+    # round-7: s8c's Arrow gather-kernel twin (shared oracle) — the PQ
+    # serving path measured against its SQL anchor at 10x
+    "s8c2_pq_adc_arrow",
 ]
 N_RUNS = 2
 
