@@ -1278,6 +1278,175 @@ def ivfpq_deterministic_topk(
     )
 
 
+def ivfpq_deterministic_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """s2i's SCALE twin — the s8c2 gather kernel composed with the
+    s2g2 probe mask: identical result to ``ivfpq_deterministic_topk``
+    (pytest pins exact multisets incl. distances and rank), one Arrow
+    pass per corpus batch.  Per batch: int64 einsum assigns cells
+    (first-occurrence argmin = lowest cell), residuals subtract in
+    int64, a second einsum encodes residual codes (lowest-code ties),
+    then per PROBED cell the (query, cell) residual LUT gathers ADC for
+    the cell's columns — non-probed (query, vector) pairs are masked
+    out exactly as the SQL join drops them.  The exchange is
+    batches x |Q| x k rows.  Driver-side model artifacts are bounded:
+    centroids (nlist x dim), the rep residual codebook (m x ksub x
+    dim/m), per-(query, probed cell) LUTs (|Q| x nprobe x m x ksub
+    int64 — the per-query probe-time cost real IVFPQ pays).
+
+    NOT registered as a driver query (round-8 window budget); the
+    equality pin against the oracled SQL form is the correctness
+    proof, same as every shared-oracle twin."""
+    import pandas as pd
+
+    assert dim % m == 0
+    dsub = dim // m
+    scale = float(10**quantize)
+    id_type = dict(queries.dtypes)[query_id]
+    cid_type = dict(corpus.dtypes)[corpus_id]
+
+    cent_rows = modular_representatives(
+        corpus, nlist=nlist, vec_col=corpus_vec, id_col=corpus_id
+    ).collect()
+    C = np.array(
+        [
+            np.floor(
+                np.asarray(r["centroid"], dtype=np.float64) * scale + 0.5
+            ).astype(np.int64)
+            for r in sorted(cent_rows, key=lambda r: r["cell"])
+        ]
+    )  # (nlist, dim)
+
+    def assign(mat_q: np.ndarray) -> np.ndarray:
+        d2 = (
+            (mat_q * mat_q).sum(axis=1, keepdims=True)
+            + (C * C).sum(axis=1)
+            - 2 * (mat_q @ C.T)
+        )
+        return d2.argmin(axis=1)  # first occurrence = lowest cell
+
+    # Residual codebook from the ksub rep vectors (lowest id per
+    # id % ksub class), residuals computed with the SAME assignment —
+    # bit-identical to the distributed rreps/rcb tables.
+    rep_rows = modular_representatives(
+        corpus, nlist=ksub, vec_col=corpus_vec, id_col=corpus_id
+    ).collect()
+    rep_q = np.array(
+        [
+            np.floor(
+                np.asarray(r["centroid"], dtype=np.float64) * scale + 0.5
+            ).astype(np.int64)
+            for r in sorted(rep_rows, key=lambda r: r["cell"])
+        ]
+    )  # (ksub, dim) ordered by code
+    rep_resid = rep_q - C[assign(rep_q)]
+    RCB = rep_resid.reshape(ksub, m, dsub).transpose(1, 0, 2)  # (m, ksub, dsub)
+    rcb_sq = (RCB * RCB).sum(axis=2)  # (m, ksub)
+
+    def encode(resid: np.ndarray) -> np.ndarray:
+        """(B, dim) int64 residuals -> (B, m) codes, lowest-code ties."""
+        xs = resid.reshape(len(resid), m, dsub)
+        d2 = (
+            (xs * xs).sum(axis=2)[:, :, None]
+            + rcb_sq[None, :, :]
+            - 2 * np.einsum("bjd,jcd->bjc", xs, RCB)
+        )
+        return d2.argmin(axis=2)
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        schema = (
+            f"{query_id} {id_type}, {corpus_id} {cid_type}, "
+            "adc_d2q long, rnk long"
+        )
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = [r[0] for r in q_rows]
+    nq = len(q_ids)
+    qq = np.floor(
+        np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows]) * scale
+        + 0.5
+    ).astype(np.int64)
+    qd2 = (
+        (qq * qq).sum(axis=1, keepdims=True)
+        + (C * C).sum(axis=1)
+        - 2 * (qq @ C.T)
+    )
+    probe_idx = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((nq, nlist), dtype=bool)
+    # per-(query, probed cell) residual LUTs: LUTA[qi, c, j, code]
+    LUTA = np.zeros((nq, nlist, m, ksub), dtype=np.int64)
+    for qi in range(nq):
+        probe_mask[qi, probe_idx[qi]] = True
+        for c in probe_idx[qi]:
+            qr = (qq[qi] - C[c]).reshape(m, dsub)
+            LUTA[qi, c] = (
+                (qr * qr).sum(axis=1)[:, None]
+                + rcb_sq
+                - 2 * np.einsum("jd,jcd->jc", qr, RCB)
+            )
+
+    out_schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, adc_d2q long"
+
+    def kernel(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[corpus_id].to_numpy()
+            nb = len(c_ids)
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]]
+            )
+            xq = np.floor(mat * scale + 0.5).astype(np.int64)
+            cells = assign(xq)
+            codes = encode(xq - C[cells])
+            keep = probe_mask[:, cells]  # (Q, B)
+            adc = np.zeros((nq, nb), dtype=np.int64)
+            for c in np.unique(cells):
+                colmask = cells == c
+                sub = codes[colmask]  # (Bc, m)
+                acc = np.zeros((nq, int(colmask.sum())), dtype=np.int64)
+                lut_c = LUTA[:, c]  # (Q, m, ksub)
+                for j in range(m):
+                    acc += lut_c[:, j, :][:, sub[:, j]]
+                adc[:, colmask] = acc
+            big = np.iinfo(np.int64).max
+            adc_m = np.where(keep, adc, big)
+            kk = min(k, nb)
+            id_rank = np.argsort(np.argsort(c_ids))
+            id_keys = np.broadcast_to(id_rank, (nq, nb))
+            order = np.lexsort((id_keys, adc_m), axis=1)
+            rows = []
+            for qi in range(nq):
+                for ci in order[qi, :kk]:
+                    if keep[qi, ci]:
+                        rows.append((q_ids[qi], c_ids[ci], int(adc[qi, ci])))
+            yield pd.DataFrame(rows, columns=[query_id, corpus_id, "adc_d2q"])
+
+    src = corpus.select(corpus_id, corpus_vec).where(
+        F.col(corpus_vec).isNotNull()
+    )
+    cand = src.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d2q").asc(), F.col(corpus_id).asc()
+    )
+    return cand.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= k
+    )
+
+
 def modular_pq_codebook(
     corpus: DataFrame,
     m: int = 8,

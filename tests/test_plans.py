@@ -488,6 +488,35 @@ def test_s8c2_arrow_twin_equals_sql_form(spark):
     assert a == b and len(a) > 0
 
 
+def test_ivfpq_arrow_twin_equals_sql_form(spark):
+    """The Arrow IVFPQ kernel (s8c2's gather composed with s2g2's probe
+    mask) must be row-identical to the oracled SQL form s2i — exact
+    multisets including adc_d2q and rank.  Not registered as a driver
+    query (round-8 window budget holds one spare slot); this equality
+    pin IS its correctness proof, transitively through s2i's full
+    DuckDB oracle."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cols = ("query_id", "vec_id", "adc_d2q", "rnk")
+    a = {
+        tuple(r)
+        for r in QUERIES["s2i_ivfpq_deterministic_topk"](spark, SF).collect()
+    }
+    b = {
+        tuple(r)
+        for r in SIM.ivfpq_deterministic_topk_arrow(
+            queries, emb, nlist=16, nprobe=4, m=8, ksub=16, dim=64, k=5
+        )
+        .select(*cols)
+        .collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_s2i_ivfpq_candidates_within_probe_set_and_plan(spark):
     """s2i end-to-end IVFPQ: every returned hit's cell must lie in its
     query's probe set (the structural IVF invariant — ADC can only rank
