@@ -1386,17 +1386,17 @@ def ivfpq_deterministic_topk_arrow(
     )
     probe_idx = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
     probe_mask = np.zeros((nq, nlist), dtype=bool)
-    # per-(query, probed cell) residual LUTs: LUTA[qi, c, j, code]
-    LUTA = np.zeros((nq, nlist, m, ksub), dtype=np.int64)
-    for qi in range(nq):
-        probe_mask[qi, probe_idx[qi]] = True
-        for c in probe_idx[qi]:
-            qr = (qq[qi] - C[c]).reshape(m, dsub)
-            LUTA[qi, c] = (
-                (qr * qr).sum(axis=1)[:, None]
-                + rcb_sq
-                - 2 * np.einsum("jd,jcd->jc", qr, RCB)
-            )
+    np.put_along_axis(probe_mask, probe_idx, True, axis=1)
+    # per-(query, cell) residual LUTs in ONE einsum: LUTA[qi, c, j, code]
+    # (|Q| x nlist x dim int64 residual tensor ~ MBs; computing every
+    # cell and masking beats a |Q| x nprobe Python loop of small einsums
+    # — that loop was the measured sf1 bottleneck of the first version)
+    qr = (qq[:, None, :] - C[None, :, :]).reshape(nq, nlist, m, dsub)
+    LUTA = (
+        (qr * qr).sum(axis=3)[:, :, :, None]
+        + rcb_sq[None, None, :, :]
+        - 2 * np.einsum("qcjd,jkd->qcjk", qr, RCB)
+    )
 
     out_schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, adc_d2q long"
 
