@@ -314,6 +314,17 @@ def rolling_zscore(
     window_periods) and has nonzero variance — early periods and flat
     series yield NULL z / anomaly=false, not spurious alerts.
 
+    Determinism contract (the s12 integer-moments recipe, applied after
+    the r7 fe2/t39 driver-hash incidents): the 2dp daily value is
+    quantized to integer cents, the windowed moments (sum, sum of
+    squares) accumulate EXACTLY in decimal — order-independent and
+    engine-identical — and mean/variance/z are then derived through a
+    fixed tree of single-rounded double ops, so the pre-round z is
+    bit-identical on any engine and no stddev-over-doubles summation
+    order exists to flip a rounded digit.  The variance-positivity guard
+    compares the exact decimal moment difference, so a flat window is
+    EXACTLY zero (NULL z), never an ulp above it.
+
     Returns (key, period, v, mu, z, anomaly). Scale: one keyed agg
     shuffle + one per-key ordered window (both partition by the key);
     the series length per key is bounded by span/unit, so window state
@@ -328,16 +339,30 @@ def rolling_zscore(
     per = df.groupBy(
         F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("period")
     ).agg(F.round(F.sum(value_col), 2).alias("v"))
+    # integer cents of the (already 2dp) period value: floor(v*100 + 0.5)
+    # is a fixed expression on a single double — engine-exact
+    per = per.withColumn(
+        "_p", F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    )
     w = (
         Window.partitionBy(key_col)
         .orderBy("period")
         .rowsBetween(-(window_periods - 1), 0)
     )
-    mu = F.avg("v").over(w)
-    sd = F.stddev_samp("v").over(w)
-    n = F.count("v").over(w)
-    ready = (n == window_periods) & (sd > 0)
-    z = F.when(ready, F.round((F.col("v") - mu) / sd, 4))
+    pdec = F.col("_p").cast("decimal(19,0)")
+    s1 = F.sum(pdec).over(w)
+    s2 = F.sum(pdec * pdec).over(w)
+    n = F.count("_p").over(w)
+    # exact decimal: n*s2 - s1^2 == 0 iff the window is flat
+    diff = n.cast("decimal(19,0)") * s2 - s1 * s1
+    nd = n.cast("double")
+    s1d = s1.cast("double")
+    diffd = diff.cast("double")
+    mean_p = s1d / nd  # cents
+    var_p = diffd / (nd * (nd - F.lit(1.0)))  # cents^2, sample
+    dev_p = F.col("_p").cast("double") - mean_p
+    ready = (n == window_periods) & (diff > 0)
+    z = F.when(ready, F.round(dev_p / F.sqrt(var_p), 4))
     # mu is rounded to 4dp, NOT 2dp: the mean of 2dp values over n<=7
     # periods frequently lands exactly on a half-cent (sum/2, sum/4),
     # where Spark HALF_UP and DuckDB half-even disagree; at 4dp the
@@ -347,9 +372,9 @@ def rolling_zscore(
         key_col,
         "period",
         "v",
-        F.round(mu, 4).alias("mu"),
+        F.round(mean_p / F.lit(100.0), 4).alias("mu"),
         z.alias("z"),
-        F.when(ready, F.abs(F.col("v") - mu) > F.lit(z_thresh) * sd)
+        F.when(ready, F.abs(dev_p) > F.lit(z_thresh) * F.sqrt(var_p))
         .otherwise(F.lit(False))
         .alias("anomaly"),
     )

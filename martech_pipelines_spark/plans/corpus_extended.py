@@ -1408,7 +1408,7 @@ def r6_asof_join(spark, sf_dir):
     """
     SELECT lo, count(*) AS n_events
     FROM events
-    JOIN (SELECT unnest(generate_series(0, 9)) * 50.0 AS lo) b
+    JOIN (SELECT CAST(unnest(generate_series(0, 9)) * 50.0 AS DOUBLE) AS lo) b
       ON value >= lo AND value < lo + 50.0
     GROUP BY lo
     """,

@@ -475,27 +475,58 @@ def r8b_approx_percentiles(spark, sf_dir):
 @q(
     "f12_standardize",
     """
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS p
+        FROM customer
+    ), w AS (
+        -- exact integer-moment window (HUGEINT oracle-internal; the
+        -- Spark twin uses DECIMAL) — no stddev-over-doubles summation
+        -- order anywhere (s12 recipe)
+        SELECT c_custkey, c_mktsegment, p,
+               sum(CAST(p AS HUGEINT)) OVER win AS s1,
+               sum(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) OVER win AS s2,
+               count(p) OVER win AS n
+        FROM cents
+        WINDOW win AS (PARTITION BY c_mktsegment)
+    )
     SELECT c_custkey, c_mktsegment,
-           round((c_acctbal - avg(c_acctbal) OVER w)
-                 / stddev_samp(c_acctbal) OVER w, 4) AS z
-    FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment)
+           CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0 THEN
+               round((CAST(p AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))), 4)
+           END AS z
+    FROM w
     """,
 )
 def f12_standardize(spark, sf_dir):
     """Per-group z-score standardization (training feature prep): one
-    window over the group key computes mean and sample stddev in the same
-    pass — no join-back. Rounded to 4dp so last-ulp aggregate drift can't
-    flip the hash."""
+    window over the group key computes the EXACT integer-cent moments
+    (sum, sum of squares in DECIMAL — order-independent), then derives
+    the z through a fixed tree of single-rounded double ops, so the
+    pre-round value is bit-identical on any engine — no
+    stddev-over-doubles path (the s12 recipe; hardened after the r7
+    fe2/t39 driver-hash incidents because this was one of only two
+    never-driver-checked stddev oracles).  z is scale-invariant, so the
+    cent quantization cancels exactly.  One window pass, no join-back."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment")
+    p = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    pdec = p.cast("decimal(19,0)")
+    s1 = F.sum(pdec).over(w)
+    s2 = F.sum(pdec * pdec).over(w)
+    n = F.count(F.lit(1)).over(w)
+    diff = n.cast("decimal(19,0)") * s2 - s1 * s1  # exact decimal
+    nd = n.cast("double")
+    dev = p.cast("double") - s1.cast("double") / nd
+    var = diff.cast("double") / (nd * (nd - F.lit(1.0)))
     return cust.select(
         "c_custkey",
         "c_mktsegment",
-        F.round(
-            (F.col("c_acctbal") - F.avg("c_acctbal").over(w))
-            / F.stddev_samp("c_acctbal").over(w),
-            4,
+        F.when(
+            (n > 1) & (diff > 0), F.round(dev / F.sqrt(var), 4)
         ).alias("z"),
     )
 

@@ -293,14 +293,14 @@ def r20_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT *, row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
             ) AS rnk
-            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+            FROM events WHERE epoch_us(ts) < 1705276800000000
         ) WHERE rnk = 1
     ), chg AS (
         SELECT user_id, event_id, event_type, round(value, 2) AS value FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
             ) AS rnk
-            FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+            FROM events WHERE epoch_us(ts) >= 1705276800000000
         ) WHERE rnk = 1
     )
     SELECT coalesce(c.user_id, b.user_id) AS user_id,
@@ -318,15 +318,19 @@ def h9_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     'error' deletes the key). One keyed full-outer join; both inputs are
     one-row-per-key by construction."""
     ev = load_table(spark, sf_dir, "events")
-    cut = "2024-01-15"
+    # Integer-micros watermark (2024-01-15T00:00:00Z): neither engine
+    # parses a timestamp literal, so the split instant — which this
+    # query's output genuinely depends on (change-wins + delete_when
+    # apply only to the chg batch) — is session-timezone-proof.
+    cut_us = 1705276800000000
     base = cdc.latest_per_key(
-        ev.where(F.col("ts") < F.lit(cut).cast("timestamp")),
+        ev.where(F.unix_micros("ts") < F.lit(cut_us)),
         "user_id",
         "ts",
         tiebreak_cols=["event_id"],
     ).select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
     chg = cdc.latest_per_key(
-        ev.where(F.col("ts") >= F.lit(cut).cast("timestamp")),
+        ev.where(F.unix_micros("ts") >= F.lit(cut_us)),
         "user_id",
         "ts",
         tiebreak_cols=["event_id"],
@@ -408,29 +412,49 @@ def mart7_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS period, round(sum(value), 2) AS v
         FROM events GROUP BY 1, 2
-    ), w AS (
+    ), cents AS (
         SELECT event_type, period, v,
-               avg(v) OVER win AS mu,
-               stddev_samp(v) OVER win AS sd,
-               count(v) OVER win AS n
+               CAST(floor(v * 100 + 0.5) AS BIGINT) AS p
         FROM daily
+    ), w AS (
+        -- exact integer-moment window (HUGEINT here is oracle-internal;
+        -- the Spark twin accumulates the same moments in DECIMAL) —
+        -- engine-identical, summation-order-free (s12 recipe)
+        SELECT event_type, period, v, p,
+               sum(CAST(p AS HUGEINT)) OVER win AS s1,
+               sum(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) OVER win AS s2,
+               count(p) OVER win AS n
+        FROM cents
         WINDOW win AS (
             PARTITION BY event_type ORDER BY period
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
         )
+    ), m AS (
+        SELECT event_type, period, v, n,
+               n * s2 - s1 * s1 AS diff,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_p,
+               CAST(p AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS dev_p,
+               CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_p
+        FROM w
     )
     SELECT event_type, strftime(period, '%Y-%m-%d') AS day_str, v,
-           round(mu, 4) AS mu,
-           CASE WHEN n = 7 AND sd > 0 THEN round((v - mu) / sd, 4) END AS z,
-           CASE WHEN n = 7 AND sd > 0 THEN abs(v - mu) > 2 * sd
+           round(mean_p / 100.0, 4) AS mu,
+           CASE WHEN n = 7 AND diff > 0
+                THEN round(dev_p / sqrt(var_p), 4) END AS z,
+           CASE WHEN n = 7 AND diff > 0 THEN abs(dev_p) > 2.0 * sqrt(var_p)
                 ELSE FALSE END AS anomaly
-    FROM w
+    FROM m
     """,
 )
 def dq2_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-health anomaly monitor: per event type, daily value sums
     scored against the trailing 7-day mean/stddev; |z| > 2 with a full
-    window flags the day. One keyed agg + one per-key ordered window."""
+    window flags the day. One keyed agg + one per-key ordered window.
+    Deterministic via exact integer-cent windowed moments (the s12
+    recipe — see transforms.rolling_zscore), hardened after r7 because
+    this was one of only two never-driver-checked stddev oracles."""
     ev = load_table(spark, sf_dir, "events")
     out = TR.rolling_zscore(
         ev, "event_type", "ts", "value", window_periods=7, z_thresh=2.0
@@ -593,9 +617,11 @@ def h10_incremental_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof, same contract as h6. Late-data cohort shifts re-age a user's
     cells through the derived age_weeks, no raw-log replay."""
     ev = load_table(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15").cast("timestamp")
-    b1 = ev.where(F.col("ts") < cut)
-    b2 = ev.where(F.col("ts") >= cut)
+    # Integer-micros split (tz-proof; the IVM result is split-invariant,
+    # but no literal parse should survive in the corpus — r7 hardening).
+    cut_us = 1705276800000000  # 2024-01-15T00:00:00Z
+    b1 = ev.where(F.unix_micros("ts") < F.lit(cut_us))
+    b2 = ev.where(F.unix_micros("ts") >= F.lit(cut_us))
     # fold LATER data first: the second fold's earlier events must
     # shift cohorts correctly (the hard IVM case)
     firsts, cells = cdc.cohort_state_update(None, None, b2)

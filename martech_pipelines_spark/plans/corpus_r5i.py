@@ -44,13 +44,16 @@ def h14_incremental_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
-    cut1, cut2 = "2024-01-11", "2024-01-21"
-    b0 = ev.where(F.col("ts") < F.lit(cut1).cast("timestamp"))
+    # Integer-micros splits (2024-01-11 / 2024-01-21 UTC; tz-proof — the
+    # SCD2 fold is split-invariant, but no literal parse survives in the
+    # corpus after the r7 fe2 incident).
+    cut1_us, cut2_us = 1704931200000000, 1705795200000000
+    b0 = ev.where(F.unix_micros("ts") < F.lit(cut1_us))
     b1 = ev.where(
-        (F.col("ts") >= F.lit(cut1).cast("timestamp"))
-        & (F.col("ts") < F.lit(cut2).cast("timestamp"))
+        (F.unix_micros("ts") >= F.lit(cut1_us))
+        & (F.unix_micros("ts") < F.lit(cut2_us))
     )
-    b2 = ev.where(F.col("ts") >= F.lit(cut2).cast("timestamp"))
+    b2 = ev.where(F.unix_micros("ts") >= F.lit(cut2_us))
     dim = cdc.scd2_from_changes(b0, "user_id", "ts", tiebreak_cols=["event_id"])
     dim = cdc.scd2_apply_changes(dim, b1, "user_id", "ts", ["event_id"])
     dim = cdc.scd2_apply_changes(dim, b2, "user_id", "ts", ["event_id"])

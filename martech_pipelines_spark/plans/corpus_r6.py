@@ -836,28 +836,36 @@ def s18_covariance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-user snapshot AT A CUTOFF that online inference reads).
 # =============================================================================
 
-_FE2_CUTOFF = "2024-01-29 00:00:00"
+# The cutoff is a PYTHON-precomputed integer micros-since-epoch constant
+# (2024-01-29 00:00:00 UTC).  Neither engine parses a timestamp literal:
+# Spark compares unix_micros(ts) (an instant, session-timezone-free) and
+# DuckDB compares epoch_us(ts) against the SAME integer — the r7 driver
+# hash flip on this query traced to exactly that hinge (a timestamp-literal
+# cast goes through spark.sql.session.timeZone, which the driver's
+# environment may set differently).  Oracle sums are CAST to BIGINT so
+# DuckDB's HUGEINT sum type never reaches the comparator.
+_FE2_CUTOFF_US = 1706486400000000  # 2024-01-29T00:00:00Z in microseconds
 
 _FE2_ORACLE = f"""
     WITH pre AS (
-        SELECT user_id, ts, event_type, value,
-               epoch_us(TIMESTAMP '{_FE2_CUTOFF}') - epoch_us(ts) AS age_us
+        SELECT user_id, event_type, value,
+               {_FE2_CUTOFF_US} - epoch_us(ts) AS age_us
         FROM events
-        WHERE ts < TIMESTAMP '{_FE2_CUTOFF}'
+        WHERE epoch_us(ts) < {_FE2_CUTOFF_US}
     )
     SELECT user_id,
-           sum(CASE WHEN age_us <= CAST(3 AS BIGINT)*86400*1000000
-                    THEN 1 ELSE 0 END) AS events_3d,
-           sum(CASE WHEN age_us <= CAST(7 AS BIGINT)*86400*1000000
-                    THEN 1 ELSE 0 END) AS events_7d,
+           CAST(sum(CASE WHEN age_us <= CAST(3 AS BIGINT)*86400*1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS events_3d,
+           CAST(sum(CASE WHEN age_us <= CAST(7 AS BIGINT)*86400*1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS events_7d,
            count(*) AS events_28d,
-           sum(CASE WHEN event_type = 'view'
+           CAST(sum(CASE WHEN event_type = 'view'
                     AND age_us <= CAST(7 AS BIGINT)*86400*1000000
-                    THEN 1 ELSE 0 END) AS views_7d,
-           sum(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS views_7d,
+           CAST(sum(CASE WHEN event_type = 'purchase'
                     THEN CAST(floor(value * 100) AS BIGINT)
-                    ELSE 0 END) AS spend_paise_28d,
-           min(age_us) // 60000000 AS last_event_gap_min
+                    ELSE 0 END) AS BIGINT) AS spend_paise_28d,
+           CAST(min(age_us) // 60000000 AS BIGINT) AS last_event_gap_min
     FROM pre
     GROUP BY user_id
 """
@@ -871,17 +879,19 @@ def fe2_multiwindow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conditional sums over the event age, never one join per horizon —
     the multi-pass form is the classic feature-store anti-pattern
     that re-scans the fact table per feature).  All outputs are integer
-    arithmetic on microsecond ages — engine-exact.  The events span
-    ~30 days, so the 28d horizon doubles as the lifetime window at this
-    data range; at production range the cutoff filter bounds the scan."""
+    arithmetic on microsecond ages — engine-exact; the cutoff itself is a
+    Python-precomputed integer micros constant so no timestamp literal is
+    parsed by either engine (session-timezone-proof — the r7 hardening).
+    The events span ~30 days, so the 28d horizon doubles as the lifetime
+    window at this data range; at production range the cutoff filter
+    bounds the scan."""
     ev = load_table(spark, sf_dir, "events")
-    cutoff_us = F.unix_micros(F.lit(_FE2_CUTOFF).cast("timestamp"))
     day_us = 86400 * 1000000
-    pre = ev.where(F.col("ts") < F.lit(_FE2_CUTOFF).cast("timestamp")).select(
+    pre = ev.where(F.unix_micros("ts") < F.lit(_FE2_CUTOFF_US)).select(
         "user_id",
         "event_type",
         "value",
-        (cutoff_us - F.unix_micros("ts")).alias("age_us"),
+        (F.lit(_FE2_CUTOFF_US) - F.unix_micros("ts")).alias("age_us"),
     )
     in_h = lambda d: (F.col("age_us") <= F.lit(d * day_us)).cast("long")  # noqa: E731
     return pre.groupBy("user_id").agg(
@@ -1523,6 +1533,12 @@ def _t39_oracle() -> str:
     from martech_pipelines_spark.plans.corpus_extended import _DUCK_TOKENS
 
     toks = _DUCK_TOKENS.format(col="text")
+    # fertility_e4 = round_half_up(tokens*100 / chars * 1e4) as a pure
+    # BIGINT ratio: (tokens*100*10^4*2 + chars) // (2*chars).  No double
+    # division or round() convention exists for the engines to disagree
+    # on — the r7 driver hash flip on this query lived in exactly that
+    # construct (the s12 integer-moments recipe).  Sums CAST to BIGINT so
+    # DuckDB's HUGEINT never reaches the comparator.
     return f"""
     WITH per_doc AS (
         SELECT lang,
@@ -1532,10 +1548,12 @@ def _t39_oracle() -> str:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS tokens,
-           sum(n_chars) AS chars,
-           round(CAST(sum(n_tokens) * 100 AS DOUBLE) / sum(n_chars), 4)
-               AS fertility_per_100_chars
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST((CAST(sum(n_tokens) AS BIGINT) * 2000000
+                 + CAST(sum(n_chars) AS BIGINT))
+                // (2 * CAST(sum(n_chars) AS BIGINT)) AS BIGINT)
+               AS fertility_e4
     FROM per_doc GROUP BY lang ORDER BY lang
     """
 
@@ -1544,9 +1562,14 @@ def _t39_oracle() -> str:
 def t39_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens per 100 characters by language: integer token/char sums in
     one keyed pass (codegen tokenizer expression, no Python), the
-    fertility ratio a single division of exact integers.  |langs| output
-    rows — the per-language segmentation-efficiency monitor that guards
-    token-budgeted mixture weights (t16) against tokenizer drift."""
+    fertility emitted as `fertility_e4` — a half-up BIGINT ratio
+    ((tokens*100*1e4*2 + chars) div (2*chars)) so no double division or
+    round() convention is in the loop (engine-exact; the r7 hardening).
+    Overflow headroom: tokens*2e6 stays under 2^63 up to ~4.6e12 tokens
+    per language — beyond that, scale the ratio per-partition first.
+    |langs| output rows — the per-language segmentation-efficiency
+    monitor that guards token-budgeted mixture weights (t16) against
+    tokenizer drift."""
     from martech_pipelines_spark.operators.text import token_count
 
     docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
@@ -1561,11 +1584,10 @@ def t39_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("tokens"),
             F.sum("n_chars").alias("chars"),
-            F.round(
-                (F.sum("n_tokens") * F.lit(100)).cast("double")
-                / F.sum("n_chars"),
-                4,
-            ).alias("fertility_per_100_chars"),
+            F.expr(
+                "(sum(n_tokens) * CAST(2000000 AS BIGINT) + sum(n_chars))"
+                " div (2 * sum(n_chars))"
+            ).alias("fertility_e4"),
         )
         .orderBy("lang")
     )

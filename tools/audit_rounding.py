@@ -152,6 +152,48 @@ def boundary_distance(v: float, k: int) -> float:
     return abs(frac - 0.5)
 
 
+# -- construct audit (round-8, VERDICT r7 #4b) --------------------------------
+# The r5 s12 flip came from round() over a FLOAT-AGGREGATE-derived value:
+# a nondeterministically-ordered double sum (stddev/avg/var over doubles)
+# feeding round(x, k).  Boundary distance only proves safety at the
+# CURRENT data; the construct itself is the hazard.  This pass flags the
+# construct statically, independent of data:
+#   float-agg   round() over stddev/var/covar/corr of doubles  -> FLAG
+#               (must be hardened to exact integer/decimal moments —
+#               f12/dq2 were the last two; keep it at zero)
+#   ratio       round() over a division                        -> info
+#               (safe when operands are exact ints/decimals — single
+#               correctly-rounded IEEE op; driver-green evidence across
+#               ~60 queries; value risk covered by boundary distance)
+#   plain       anything else                                  -> info
+_FLOAT_AGG_RE = r"stddev|var_samp|var_pop|variance|covar_|corr\s*\("
+
+
+def construct_class(expr: str) -> str:
+    import re as _re
+
+    if _re.search(_FLOAT_AGG_RE, expr, _re.IGNORECASE):
+        return "float-agg"
+    if "/" in expr:
+        return "ratio"
+    return "plain"
+
+
+def audit_constructs(oracles: dict[str, str]) -> list[tuple[str, str, str]]:
+    """All (query, construct_class, expr_head) for round() spans whose
+    class is float-agg — the statically-unsafe construct set."""
+    import re as _re
+
+    bad = []
+    for name, sql in oracles.items():
+        for (_s, e, expr, _k) in _find_top_level_rounds(sql):
+            cls = construct_class(expr)
+            if cls == "float-agg":
+                head = _re.sub(r"\s+", " ", expr.strip())[:70]
+                bad.append((name, cls, head))
+    return bad
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -260,19 +302,48 @@ def main() -> int:
                 f"| {name} | {col} | {k} | {dmin:.3g} | {worst!r} | {n} | {status} |"
             )
             print(f"  {name}.{col} k={k} min_dist={dmin:.3g} -> {status}")
+    construct_flags = audit_constructs(
+        {n: s for n, s in oracles.items() if not wanted or n in wanted}
+    )
     if not wanted:
         lines.append("")
         lines.append(
             f"**{len(flagged)} flagged cells** (non-allowlisted, inside the band)."
         )
+        lines.append("")
+        lines.append("## Construct audit (static, data-independent)")
+        lines.append("")
+        lines.append(
+            "`round()` over a float-aggregate (stddev/var/covar/corr of "
+            "doubles) is the s12/f12/dq2 hazard class regardless of current "
+            "boundary distances — such constructs must be hardened to exact "
+            "integer/decimal moments, not allowlisted."
+        )
+        lines.append("")
+        if construct_flags:
+            lines.append("| query | class | expression head |")
+            lines.append("|---|---|---|")
+            for (qn, cls, head) in construct_flags:
+                lines.append(f"| {qn} | {cls} | `{head}` |")
+        else:
+            lines.append(
+                "**0 float-agg round() constructs** in the corpus "
+                "(f12_standardize and dq2_rolling_zscore were the last two; "
+                "both now use exact integer-cent moments)."
+            )
         with open("ROUNDING_AUDIT.md", "w") as f:
             f.write("\n".join(lines) + "\n")
-        print(f"\nwrote ROUNDING_AUDIT.md — {len(flagged)} flagged")
+        print(
+            f"\nwrote ROUNDING_AUDIT.md — {len(flagged)} flagged, "
+            f"{len(construct_flags)} float-agg constructs"
+        )
     else:
-        print(f"\n{len(flagged)} flagged")
+        print(f"\n{len(flagged)} flagged, {len(construct_flags)} float-agg constructs")
     for (name, col, k, dmin, worst) in flagged:
         print(f"  FLAG {name}.{col} k={k} dist={dmin:.3g} value={worst!r}")
-    return 1 if flagged else 0
+    for (qn, cls, head) in construct_flags:
+        print(f"  CONSTRUCT-FLAG {qn}: {head}")
+    return 1 if flagged or construct_flags else 0
 
 
 if __name__ == "__main__":
