@@ -1307,9 +1307,9 @@ def ivfpq_deterministic_topk_arrow(
     dim/m), per-(query, probed cell) LUTs (|Q| x nprobe x m x ksub
     int64 — the per-query probe-time cost real IVFPQ pays).
 
-    NOT registered as a driver query (round-8 window budget); the
-    equality pin against the oracled SQL form is the correctness
-    proof, same as every shared-oracle twin."""
+    Registered as ``s2i2_ivfpq_arrow`` in the round-8 window (shares
+    s2i's full oracle); the pytest equality pin against the SQL form
+    remains as the bit-level interchangeability proof."""
     import pandas as pd
 
     assert dim % m == 0

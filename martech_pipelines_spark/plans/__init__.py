@@ -30,74 +30,32 @@ from martech_pipelines_spark.plans import corpus_r6  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r7  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering (round 7 rotation — VERDICT r6 "Next round" #1).
+# Driver-window ordering (round 8 rotation — VERDICT r7 "Next round" #1/#2).
 #
 # The correctness driver hashes only the FIRST 50 entries of queries() each
-# round.  Cumulative driver coverage after r1-r6: 159/252; 93 registered
-# queries have never been driver-checked.  Round-7 window (slots 1-50): the
-# round-6 queue promoted verbatim — the 23 round-6 additions (g2b, s15-s19,
-# h19/h20, mart17-20, dq8, r32-r36, a11, fe2, pipe10, t39/t41, w9), then
-# t14-t29, t6/t7, pipe2-5, h8-h11, mm1-mm3.  Every entry was triple-verified
-# in round 6 (check_oracle, 7-vs-32-partition stability sweep, bare-session
-# driver rehearsal).  Slots 51+ queue the round-7 additions (pipe10b + the
-# ANN candidate-generation component oracles) and the remaining backlog for
-# round 8.  Everything else keeps registration order; nothing is removed.
+# round.  Round-8 window (slots 1-50): the two r7 driver-hash failures
+# FIRST, freshly hardened (fe2: integer-micros cutoff + BIGINT-cast oracle
+# sums; t39: half-up BIGINT fertility_e4 ratio — the s12 recipe), then the
+# entire never-driver-checked backlog: the 10 round-7 ANN determinism
+# queries + the newly registered s2i2 Arrow twin (VERDICT r7 #5), mm4-mm6,
+# dq1-dq4 (dq2 hardened to exact integer-cent moments), w4, z1, the
+# r7-r20 classics, f12 (same hardening as dq2), dp1, a4/a5, and the
+# rows-only tail minus t14b_bpe_learn/t26_bpe_encode (deferred to round 9
+# per VERDICT #2 — a hash-less check only proves execution, already
+# covered by bare-session rehearsal).  After a green round 8, every
+# registered query except those two has a driver row.
+# Slots 51+: the round-9 queue — t14b/t26, then s2_lsh_topk /
+# s3_embedding_near_dup / s2b_ivf_topk / r3b_approx_distinct, whose only
+# driver checks predate their oracle upgrades (stale rows-only greens,
+# VERDICT r7 #7).  Everything else keeps registration order; nothing is
+# removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # === round-7 window, slots 1-50 (all never driver-checked) ===
-    # -- round-6 additions --
-    "g2b_triangles_support2",
-    "s15_label_centroids",
-    "h19_incremental_covariance",
-    "s17_centroid_distances",
-    "mart17_churn",
-    "dq8_profile_drift",
-    "r32_ntile_deciles",
-    "a11_schema_evolution",
-    "h20_incremental_percentiles",
-    "r33_asof_nearest",
-    "s18_covariance_drift",
+    # === round-8 window, slots 1-50 ===
+    # -- r7 driver-hash failures, hardened and re-queued at the front --
     "fe2_multiwindow_features",
-    "pipe10_prep_funnel",
-    "r34_latest_n_per_key",
-    "mart18_revenue_share",
-    "s19_recall_report",
-    "r35_sessionize",
-    "r36_interval_overlap",
-    "mart19_abc_analysis",
-    "mart20_first_touch",
     "t39_tokenizer_fertility",
-    "w9_conversion_latency",
-    "t41_vocab_coverage",
-    "t14_bpe_pairs",
-    "t15_url_filter",
-    "t16_mixture_weights",
-    "t17_ngram_lm_score",
-    "t18_dsir_importance",
-    "t19b_bm25_materialized",
-    "t20_weighted_sample",
-    "t21_length_buckets",
-    "t22_source_drift",
-    "t23_domain_cap",
-    "t24_curriculum_bins",
-    "t27_heavy_hitters",
-    "t28_stratified_sample",
-    "t29_quality_classifier",
-    "t6_tfidf",
-    "t7_rolling_fingerprint",
-    "pipe2_scale_prep",
-    "pipe3_mixture_resample",
-    "pipe4_leakage_safe_split",
-    "pipe5_export_e2e",
-    "h8_snapshot_diff",
-    "h9_merge_upsert",
-    "h10_incremental_cohort",
-    "h11_incremental_topk",
-    "mm1_media_meta",
-    "mm2_media_features",
-    "mm3_binary_ingest",
-    # === round-8 queue, slots 51+ (round-7 additions first, then the
-    # remaining never-driver-verified backlog) ===
+    # -- round-7 ANN determinism program + the s2i2 registration --
     "pipe10b_prep_funnel_materialized",
     "s2e_ivf_cells",
     "s2f_ivf_probe_sets",
@@ -107,7 +65,9 @@ _WINDOW_PRIORITY = [
     "s2h_ivf_delta_probe",
     "s8c_pq_adc_deterministic_topk",
     "s2i_ivfpq_deterministic_topk",
+    "s2i2_ivfpq_arrow",
     "s8c2_pq_adc_arrow",
+    # -- multimodal + data-quality + remaining full-oracle backlog --
     "mm4_resize",
     "mm5_frame_sample",
     "mm6_phash_near_dup",
@@ -137,21 +97,23 @@ _WINDOW_PRIORITY = [
     "a4_conf_read",
     "a5_csv_scan",
     # -- rows-only backlog (trained/approximate ops: the driver records
-    # the weaker rows-only check for these; queued last so the full-
-    # oracle backlog drains first) --
-    "s2b_ivf_topk",
+    # the weaker rows-only check; t14b/t26 deferred to round 9) --
     "s2c_ivf_materialized",
     "s2d_ivfpq_materialized",
     "s8_pq_topk",
     "s9b_hard_negatives_ivf",
     "s13_pca_project",
-    "r3b_approx_distinct",
     "r8b_approx_percentiles",
     "r31b_rolling_active_hll",
-    "t14b_bpe_learn",
-    "t26_bpe_encode",
     "h7_incremental_distinct",
     "pipe6_tokenize_pack",
+    # === round-9 queue, slots 51+ ===
+    "t14b_bpe_learn",
+    "t26_bpe_encode",
+    "s2_lsh_topk",
+    "s3_embedding_near_dup",
+    "s2b_ivf_topk",
+    "r3b_approx_distinct",
 ]
 
 

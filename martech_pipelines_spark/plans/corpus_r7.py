@@ -600,6 +600,30 @@ def s2i_ivfpq_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "adc_d2q", "rnk")
 
 
+@q("s2i2_ivfpq_arrow", _S2I_ORACLE)  # SHARES s2i's oracle
+def s2i2_ivfpq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2i through the Arrow serving kernel — the s8c2 gather composed
+    with the s2g2 probe mask (cells by int64 einsum, residual codes by
+    a second einsum, per-(query, probed-cell) residual LUT gathers with
+    non-probed pairs masked exactly as the SQL join drops them).
+    Registered into the round-8 window so the last ANN physical form
+    carries its own driver-green row instead of transitive pinning
+    (VERDICT r7 #5); measured 3.7x the SQL form at sf0.1 and 15x at
+    sf1 (BENCH_NOTES_r07.md).  Sharing s2i's full oracle proves the
+    two physical forms interchangeable — same contract as s1/s1b,
+    s2g/s2g2, s8c/s8c2."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_deterministic_topk_arrow(
+        queries, emb, nlist=_NLIST, nprobe=_NPROBE, m=_PQ_M, ksub=_NLIST,
+        dim=64, k=5,
+    ).select("query_id", "vec_id", "adc_d2q", "rnk")
+
+
 @q("s8c2_pq_adc_arrow", _S8C_ORACLE)  # SHARES s8c's oracle
 def s8c2_pq_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s8c through the Arrow map-side-top-k kernel (the s1b/s2g2
