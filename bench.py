@@ -104,6 +104,9 @@ HEADLINE = [
     # kernel (einsum encode + m table gathers per batch, map-side
     # top-k); 48x the SQL anchor at sf1
     "s8c2_pq_adc_arrow",
+    # round-8: s2i's Arrow scale twin, registered as its own driver
+    # query this round (3.7x the SQL form at sf0.1, 15x at sf1)
+    "s2i2_ivfpq_arrow",
 ]
 
 

@@ -1087,3 +1087,60 @@ def bloom_prefilter_audit(
             F.when(F.col("bloom_hit") & ~F.col("true_dup"), 1).otherwise(0)
         ).alias("n_false_positives"),
     )
+
+
+def containment_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for candidate pairs — the doc-in-doc
+    detector Jaccard misses (Broder 1997's containment C(A,B) =
+    |S(A) ∩ S(B)| / |S(A)|): a snippet wholly embedded in a larger
+    document has containment ~1 while its Jaccard is only
+    |A|/|B| — threshold on Jaccard alone and every quote, boilerplate
+    wrap, or excerpt-with-commentary survives dedup.
+
+    Emits BOTH metrics as half-up BIGINT e4 ratios
+    ((x*10^4*2 + d) div (2*d) — the engine-exact integer recipe, no
+    double division/round in the loop):
+    ``containment_e4`` of A in B, and ``jaccard_e4`` for contrast.
+
+    Same physical shape as ``jaccard_on_pairs``: the candidate-pair
+    table (LSH-blocked at scale) joins per-doc shingle SETS twice;
+    intersection via array functions, no explode past the shingle
+    build."""
+    sh = docs.select(
+        F.col(id_col).alias("jid"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("jid").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("jid").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("__i"),
+            F.size("sh_a").cast("long").alias("__na"),
+            F.size("sh_b").cast("long").alias("__nb"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(
+            F.col("__na") > 0,
+            F.expr("(__i * 20000L + __na) div (2L * __na)"),
+        ).otherwise(zero).alias("containment_e4"),
+        F.when(
+            F.col("__na") + F.col("__nb") - F.col("__i") > 0,
+            F.expr(
+                "(__i * 20000L + (__na + __nb - __i))"
+                " div (2L * (__na + __nb - __i))"
+            ),
+        ).otherwise(zero).alias("jaccard_e4"),
+    )

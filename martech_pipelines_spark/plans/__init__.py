@@ -28,6 +28,7 @@ from martech_pipelines_spark.plans import corpus_r5r  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r5s  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r6  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r7  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r8  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 8 rotation — VERDICT r7 "Next round" #1/#2).
@@ -114,6 +115,11 @@ _WINDOW_PRIORITY = [
     "s3_embedding_near_dup",
     "s2b_ivf_topk",
     "r3b_approx_distinct",
+    # round-8 additions (four-checked this round, never driver-checked)
+    "s20_mmr_rerank",
+    "dq9_fd_profile",
+    "r37_rank_distribution",
+    "t45_containment_dedup",
 ]
 
 

@@ -1,0 +1,290 @@
+"""Round-8 corpus additions (queued for the ROUND-9 driver window —
+round 8's 50 slots are fully committed to draining the backlog).
+
+``s20_mmr_rerank``      — Maximal-Marginal-Relevance diversification
+                          re-rank over a deterministic quantized-IP
+                          candidate set: the post-retrieval stage that
+                          keeps top-k results from being k near-copies.
+                          The greedy loop is an Arrow kernel; the
+                          oracle replays it as k chained CTE steps.
+``dq9_fd_profile``      — functional-dependency profiling (does
+                          source determine lang?): per-source language
+                          cardinality + dominant-language share, the
+                          mixed-language-source monitor every corpus
+                          intake runs.  Naturally violated on the
+                          testdata (every source carries 5 langs), so
+                          the check is non-trivial.
+``r37_rank_distribution`` — percent_rank / cume_dist window classics
+                          (the two rank-normalizations feature prep
+                          uses for rank-gauss style transforms).
+``t45_containment_dedup`` — asymmetric n-gram CONTAINMENT (Broder 97):
+                          the doc-in-doc detector; a snippet embedded
+                          in a larger doc scores ~1 containment while
+                          Jaccard reads only |A|/|B|.  Emitted next to
+                          Jaccard as half-up BIGINT e4 ratios.
+
+Reference scope: the reference engine's dedup/search tasks motivate the
+family (SURVEY.md §2 north-star extensions); all four are engine-exact
+(integer comparisons / single-rounded divisions only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES, q  # noqa: F401
+from martech_pipelines_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# s20: MMR diversification re-rank
+# ---------------------------------------------------------------------------
+
+
+def _s20_oracle(n_cand: int = 10, k: int = 5) -> str:
+    """The greedy MMR loop unrolled into k chained CTE steps: step N
+    scores every not-yet-selected candidate as rel - max(sim to the
+    selected set) and picks the (score DESC, vec_id ASC) winner —
+    integer arithmetic end to end, so DuckDB replays the Spark kernel's
+    selection order exactly."""
+    steps = []
+    for n in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, p{j} AS v FROM s{j}" for j in range(1, n)
+        )
+        steps.append(f"sel{n} AS ({prev})")
+        steps.append(
+            f"""s{n} AS (
+        SELECT query_id, vec_id AS p{n}, sc AS sc{n} FROM (
+            SELECT query_id, vec_id, sc, row_number() OVER (
+                PARTITION BY query_id ORDER BY sc DESC, vec_id) AS rn
+            FROM (
+                SELECT c.query_id, c.vec_id, c.rel - max(p.sim) AS sc
+                FROM cand c
+                JOIN pairs p ON p.query_id = c.query_id AND p.a = c.vec_id
+                JOIN sel{n} s ON s.query_id = p.query_id AND s.v = p.b
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sel{n} x
+                    WHERE x.query_id = c.query_id AND x.v = c.vec_id)
+                GROUP BY c.query_id, c.vec_id, c.rel
+            )
+        ) WHERE rn = 1
+    )"""
+        )
+    finals = ["""SELECT query_id, p1 AS vec_id, CAST(1 AS BIGINT) AS mmr_rank,
+           sc1 AS mmr_score FROM s1"""]
+    finals += [
+        f"SELECT query_id, p{n}, CAST({n} AS BIGINT), sc{n} FROM s{n}"
+        for n in range(2, k + 1)
+    ]
+    return f"""
+    WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)) AS v
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(list_dot_product(q.v, c.v) AS BIGINT) AS rel
+        FROM qz q CROSS JOIN qz c
+        WHERE q.vec_id % 10 = 0
+    ), cand AS (
+        SELECT query_id, vec_id, rel, rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= {n_cand}
+    ), pairs AS (
+        SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+               CAST(list_dot_product(za.v, zb.v) AS BIGINT) AS sim
+        FROM cand a
+        JOIN cand b ON b.query_id = a.query_id AND b.vec_id != a.vec_id
+        JOIN qz za ON za.vec_id = a.vec_id
+        JOIN qz zb ON zb.vec_id = b.vec_id
+    ), s1 AS (
+        SELECT query_id, vec_id AS p1, rel AS sc1 FROM cand WHERE rn = 1
+    ),
+    {", ".join(steps)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@q("s20_mmr_rerank", _s20_oracle())
+def s20_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 from a quantized-inner-product top-10
+    candidate set (lambda = 0.5 integer form: score = rel - max sim to
+    the already-selected set, lowest-vec_id tie-break).  Candidate
+    generation is the s1 broadcast shape; the re-rank exchanges only
+    |Q| x 100 integer rows and runs the greedy loop per query in an
+    int64 Arrow kernel — see operators/similarity.py:mmr_rerank for the
+    why-a-kernel justification (each step's scores depend on the
+    previous pick; no fixed expression tree exists)."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.mmr_rerank(queries, emb, n_candidates=10, k=5).select(
+        "query_id", "vec_id", "mmr_rank", "mmr_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq9: functional-dependency profile (source -> lang?)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dq9_fd_profile",
+    """
+    WITH cnt AS (
+        SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ), top AS (
+        SELECT source, lang AS top_lang, n AS top_n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY n DESC, lang) AS rn
+            FROM cnt) WHERE rn = 1
+    ), tot AS (
+        SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY 1
+    )
+    SELECT t.source, t.n_docs, t.n_langs, p.top_lang,
+           CAST((p.top_n * 20000 + t.n_docs) // (2 * t.n_docs) AS BIGINT)
+               AS top_share_e4
+    FROM tot t JOIN top p USING (source)
+    """,
+)
+def dq9_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does ``source`` functionally determine ``lang``?  Per source:
+    doc count, distinct-language cardinality, the dominant language
+    (mode, lowest-lang tie-break) and its share as a half-up BIGINT e4
+    ratio — the mixed-language-source monitor that decides whether a
+    source can be routed by metadata or must be language-ID'd per doc.
+    Two map-side-combined aggs + one broadcast-sized join; scales with
+    |sources|, not |docs|."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.col("lang"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    tot = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return tot.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        F.expr("(top_n * 20000L + n_docs) div (2L * n_docs)").alias("top_share_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r37: percent_rank / cume_dist window classics
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "r37_rank_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def r37_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per market segment ordered by account
+    balance — the rank-normalization pair feature prep uses (rank-gauss
+    etc.).  The ORDER BY includes c_custkey so ranks are total and both
+    values are single correctly-rounded divisions of exact integers —
+    engine-identical without rounding.  One window pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t45: asymmetric containment (doc-in-doc dedup)
+# ---------------------------------------------------------------------------
+
+
+def _t45_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import (
+        _DUCK_NORM,
+        _DUCK_TOKENS,
+    )
+
+    toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
+    inter = "len(list_intersect(sa.sh, sb.sh))"
+    na = "len(sa.sh)"
+    union = f"(len(sa.sh) + len(sb.sh) - {inter})"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000,
+               substr(text, 1, CAST(n_chars // 2 AS INTEGER))
+        FROM documents WHERE doc_id % 7 = 0
+    ), toksrc AS (
+        SELECT doc_id, {toks} AS t FROM corpus
+    ), shs AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sh
+        FROM toksrc
+    ), p AS (
+        SELECT doc_id + 3000000 AS id_a, doc_id AS id_b
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT p.id_a, p.id_b,
+           CASE WHEN {na} > 0
+                THEN CAST(({inter} * 20000 + {na}) // (2 * {na}) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS containment_e4,
+           CASE WHEN {union} > 0
+                THEN CAST(({inter} * 20000 + {union}) // (2 * {union}) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS jaccard_e4
+    FROM p
+    JOIN shs sa ON sa.doc_id = p.id_a
+    JOIN shs sb ON sb.doc_id = p.id_b
+    """
+
+
+@q("t45_containment_dedup", _t45_oracle())
+def t45_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment vs Jaccard on snippet-in-document pairs: every 7th
+    doc contributes its first-half prefix as a synthetic snippet; the
+    snippet's 3-gram containment in its source reads ~1e4 while Jaccard
+    reads ~|A|/|B| — the quote/excerpt/boilerplate-wrap case threshold-
+    on-Jaccard dedup misses.  Both metrics as half-up BIGINT e4 ratios
+    (no double division).  Physical shape = jaccard_on_pairs: the pair
+    table joins per-doc shingle sets twice (LSH provides the pair table
+    at scale; the aligned pairs here isolate the verify kernel)."""
+    from martech_pipelines_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    snippets = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(n_chars div 2 AS INT))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snippets)
+    pairs = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3000000).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    return DD.containment_on_pairs(pairs, corpus, shingle_n=3)

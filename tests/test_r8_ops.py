@@ -1,0 +1,106 @@
+"""Round-8 operator tests: MMR diversification re-rank + containment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import dedup as DD
+from martech_pipelines_spark.operators import similarity as SIM
+
+
+# --- mmr_rerank --------------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    # corpus: a = most relevant, b = near-copy of a, c = diverse but
+    # still relevant.  Plain top-3 by relevance is (a, b, c); MMR must
+    # demote the near-copy: (a, c, b).  (The query is NOT exactly a —
+    # if it were, rel(x) == sim(x, a) and every step-2 score would tie
+    # at zero, collapsing MMR back to the relevance order.)
+    corpus = _emb_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),      # a: rel 9.0e11
+            (2, [0.98, 0.05]),    # b: rel 8.87e11 but sim(b,a) = 9.8e11
+            (3, [0.60, 0.80]),    # c: rel 6.2e11, sim(c,a) = 6.0e11
+        ],
+    )
+    queries = _emb_df(spark, [(100, [0.9, 0.1])]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.mmr_rerank(queries, corpus, n_candidates=3, k=3)
+    picks = [
+        r["vec_id"]
+        for r in out.orderBy("mmr_rank").collect()
+    ]
+    # plain IP-relevance order is (1, 2, 3) by construction
+    # (9.0e11 > 8.87e11 > 6.2e11) — MMR demotes the near-copy
+    assert picks == [1, 3, 2]
+
+
+def test_mmr_emits_min_k_n_and_total_tiebreak(spark):
+    # two identical candidates: tie on every score -> lowest vec_id first;
+    # k larger than the candidate count -> emits exactly n rows
+    corpus = _emb_df(spark, [(7, [1.0, 0.0]), (4, [1.0, 0.0])])
+    queries = _emb_df(spark, [(0, [1.0, 0.0])]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.mmr_rerank(queries, corpus, n_candidates=5, k=5).collect()
+    assert len(out) == 2
+    ranked = sorted(out, key=lambda r: r["mmr_rank"])
+    assert [r["vec_id"] for r in ranked] == [4, 7]
+
+
+def test_mmr_first_pick_score_is_relevance(spark):
+    corpus = _emb_df(spark, [(1, [0.5, 0.5]), (2, [0.1, 0.1])])
+    queries = _emb_df(spark, [(0, [1.0, 0.0])]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = {r["mmr_rank"]: r for r in SIM.mmr_rerank(
+        queries, corpus, n_candidates=2, k=2).collect()}
+    # rel(q, v1) = 1e6 * 5e5 = 5e11 exactly (quantized integer IP)
+    assert rows[1]["vec_id"] == 1 and rows[1]["mmr_score"] == 500000000000
+
+
+# --- containment_on_pairs ----------------------------------------------------
+
+
+def test_containment_detects_doc_in_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta"),  # strict prefix of 1
+            (3, "iota kappa lam mu nu xi"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 1)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in DD.containment_on_pairs(pairs, docs, shingle_n=3).collect()
+    }
+    # doc2: 2 shingles, both inside doc1's 6 -> containment exactly 1.0,
+    # jaccard 2/6 -> 3333 (half-up e4)
+    assert out[(2, 1)]["containment_e4"] == 10000
+    assert out[(2, 1)]["jaccard_e4"] == 3333
+    # disjoint pair: both metrics zero
+    assert out[(3, 1)]["containment_e4"] == 0
+    assert out[(3, 1)]["jaccard_e4"] == 0
+
+
+def test_containment_empty_shingle_side_is_zero_not_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )  # doc1: 2 tokens -> 0 shingles at n=3
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = DD.containment_on_pairs(pairs, docs, shingle_n=3).collect()[0]
+    assert row["containment_e4"] == 0 and row["jaccard_e4"] == 0
