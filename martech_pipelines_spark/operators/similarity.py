@@ -2859,6 +2859,7 @@ def mmr_rerank(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance diversification re-rank (Carbonell &
     Goldstein 1998) over a deterministic candidate set — the retrieval-
@@ -2884,31 +2885,41 @@ def mmr_rerank(
     size.  The iterative argmax genuinely cannot be expressed as a
     fixed DataFrame expression tree (each step's scores depend on the
     previous selection), which is the justified-Arrow-kernel criterion.
+
+    ``candidates`` swaps in ANY candidate generator: a
+    (query_id, corpus_id, rel) DataFrame — e.g. the partition-pruned
+    IVF probe or the Arrow batch-top-k kernel at 100 TB — and the
+    default brute-force stage is skipped; only the re-rank (pair sims +
+    greedy kernel) runs.  ``rel`` must be the quantized integer inner
+    product for the selection to stay engine-exact.
     """
     qid_type = dict(queries.dtypes)[query_id]
     cid_type = dict(corpus.dtypes)[corpus_id]
 
-    q = queries.select(
-        F.col(query_id).alias("__qid"),
-        quantized_vec(F.col(query_vec), quantize).alias("__qv"),
-    )
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         quantized_vec(F.col(corpus_vec), quantize).alias("__cv"),
     )
-    scored = F.broadcast(q).crossJoin(c).select(
-        F.col("__qid").alias(query_id),
-        F.col("__cid").alias(corpus_id),
-        dot(F.col("__qv"), F.col("__cv")).cast("long").alias("rel"),
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("rel"), F.col(corpus_id).asc()
-    )
-    cand = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_candidates)
-        .drop("rn")
-    )
+    if candidates is None:
+        q = queries.select(
+            F.col(query_id).alias("__qid"),
+            quantized_vec(F.col(query_vec), quantize).alias("__qv"),
+        )
+        scored = F.broadcast(q).crossJoin(c).select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            dot(F.col("__qv"), F.col("__cv")).cast("long").alias("rel"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("rel"), F.col(corpus_id).asc()
+        )
+        cand = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n_candidates)
+            .drop("rn")
+        )
+    else:
+        cand = candidates.select(query_id, corpus_id, "rel")
     # pairwise sims among each query's candidates: k^2 rows per query,
     # vectors re-attached via two broadcast-sized joins to the corpus
     cv = cand.join(c, cand[corpus_id] == c["__cid"]).select(

@@ -104,3 +104,57 @@ def test_containment_empty_shingle_side_is_zero_not_null(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     row = DD.containment_on_pairs(pairs, docs, shingle_n=3).collect()[0]
     assert row["containment_e4"] == 0 and row["jaccard_e4"] == 0
+
+
+def test_mmr_accepts_external_candidate_table(spark):
+    # composability: a precomputed (query_id, vec_id, rel) candidate
+    # table (IVF/Arrow generators at scale) must produce the same
+    # selection as the built-in brute-force stage
+    corpus = _emb_df(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.98, 0.05]), (3, [0.60, 0.80]),
+         (4, [0.10, 0.99])],
+    )
+    queries = _emb_df(spark, [(100, [0.9, 0.1])]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    default = sorted(
+        map(tuple, SIM.mmr_rerank(queries, corpus, n_candidates=4, k=3).collect())
+    )
+    cand = (
+        queries.alias("q")
+        .crossJoin(corpus.alias("c"))
+        .select(
+            F.col("q.query_id"),
+            F.col("c.vec_id"),
+            SIM.dot(
+                SIM.quantized_vec(F.col("q.embedding")),
+                SIM.quantized_vec(F.col("c.embedding")),
+            ).cast("long").alias("rel"),
+        )
+    )
+    external = sorted(
+        map(
+            tuple,
+            SIM.mmr_rerank(
+                queries, corpus, n_candidates=4, k=3, candidates=cand
+            ).collect(),
+        )
+    )
+    assert external == default and len(default) == 3
+
+
+def test_mart10_plan_has_no_self_join(spark):
+    # the round-8 rework: baskets collected once, pairs generated
+    # map-side — the plan must carry no join of the fact table against
+    # itself (only the broadcast joins of the tiny count dims remain)
+    from martech_pipelines_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["mart10_basket_affinity"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    # was 8 exchanges in the self-join form; the basket form carries 7
+    # in the 8-partition test session (6 under bench settings)
+    assert plan.count("Exchange hashpartitioning") <= 7, plan
