@@ -1092,3 +1092,124 @@ def streaming_prep_index_maintenance(
         .outputMode("update")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score monitor (dq2's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def streaming_rolling_zscore(
+    events: DataFrame, window_periods: int = 7, z_thresh: float = 2.0
+) -> DataFrame:
+    """Continuously-maintained pipeline-health anomaly monitor — the
+    streaming twin of ``dq2_rolling_zscore`` / ``transforms.
+    rolling_zscore``: per event type, daily value sums scored against
+    the trailing ``window_periods``-day mean/stddev.
+
+    Finalize-on-day-close semantics (append mode): a day's row — value,
+    trailing mean, z, anomaly verdict — is emitted exactly ONCE, on the
+    first trigger where a strictly later day has appeared for that key
+    (in-order delivery, the ``streaming_sessionize`` contract; late
+    data needs upstream watermark replay).  This is how a daily monitor
+    should alert: one verdict per completed day, no retractions.  The
+    stream-end open day is not yet final and is not emitted — the
+    batch query covers it on the next full run.
+
+    Determinism: per-day sums accumulate as integer cents (exact,
+    order-free), and mean/variance/z replay the batch operator's
+    integer-moment formulas — Python ints are exact like the batch
+    DECIMAL moments, the double expression tree is identical, and the
+    4dp rounding uses decimal HALF_UP on the shortest repr (Spark
+    ROUND's semantics) — so emitted rows are pinned EQUAL to the batch
+    window's (tests/test_streaming.py).
+
+    State per key: the newest ``window_periods`` (day, cents) entries —
+    mirroring the batch ROWS BETWEEN window over existing days (gap
+    days don't pad) — plus the last-emitted day.  O(keys * w) longs
+    regardless of stream volume."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    day_us = 86_400_000_000
+
+    def _round4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            days_arr, cents_arr, last_emitted = state.get
+            days = dict(zip(days_arr, cents_arr))
+        else:
+            days, last_emitted = {}, -(1 << 62)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = (int(row.ts.value) // 1_000) // day_us * day_us
+                p = math.floor(float(row.value) * 100 + 0.5)
+                days[d] = days.get(d, 0) + p
+        if not days:
+            return
+        ordered = sorted(days)
+        newest = ordered[-1]
+        out = []
+        for i, d in enumerate(ordered):
+            if d <= last_emitted or d >= newest:
+                continue  # already final, or still open
+            win = ordered[max(0, i - (window_periods - 1)) : i + 1]
+            n = len(win)
+            s1 = sum(days[w] for w in win)          # exact int
+            s2 = sum(days[w] ** 2 for w in win)     # exact int
+            diff = n * s2 - s1 * s1                 # exact int
+            nd, s1d = float(n), float(s1)
+            mean_p = s1d / nd
+            dev = float(days[d]) - mean_p
+            ready = n == window_periods and diff > 0
+            if ready:
+                var_p = float(diff) / (nd * (nd - 1.0))
+                sd = math.sqrt(var_p)
+                z = _round4(dev / sd)
+                anomaly = abs(dev) > z_thresh * sd
+            else:
+                z, anomaly = None, False
+            out.append(
+                (
+                    key[0],
+                    d,
+                    float(days[d]) / 100.0,
+                    _round4(mean_p / 100.0),
+                    z,
+                    anomaly,
+                )
+            )
+            last_emitted = d
+        # retain the newest `window_periods` entries (the batch ROWS
+        # window never reaches further back), plus the open day
+        keep = ordered[-window_periods:]
+        state.update(
+            ([int(d) for d in keep], [int(days[d]) for d in keep],
+             int(last_emitted))
+        )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "day_us", "v", "mu", "z", "anomaly"],
+            )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, day_us long, v double, mu double, "
+            "z double, anomaly boolean"
+        ),
+        stateStructType=(
+            "day_us array<long>, cents array<long>, last_emitted long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1213,3 +1213,79 @@ def test_streaming_latest_n_matches_batch_window(spark, tmp_path):
         for r in QUERIES["r34_latest_n_per_key"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
+    """dq2's streaming twin: drain the event log through time-ordered
+    micro-batches; every FINALIZED day's (v, mu, z, anomaly) must equal
+    the batch rolling_zscore row bit-for-bit (integer-cent moments +
+    identical double tree + HALF_UP rounding on both paths).  The
+    stream-end open day per key is not emitted — excluded from the
+    batch side of the comparison."""
+    from martech_pipelines_spark.operators import transforms as TR
+    from martech_pipelines_spark.streaming.stream import (
+        streaming_rolling_zscore,
+        stream_events_source,
+    )
+
+    ev = load_table(spark, SF, "events")
+    # three time-ordered files -> three triggers
+    cuts = ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.34, 0.67)) AS c"
+    ).collect()[0]["c"]
+    d = tmp_path / "dq2_stream"
+    d.mkdir()
+    parts = [
+        ev.where(F.unix_micros("ts") < int(cuts[0])),
+        ev.where(
+            (F.unix_micros("ts") >= int(cuts[0]))
+            & (F.unix_micros("ts") < int(cuts[1]))
+        ),
+        ev.where(F.unix_micros("ts") >= int(cuts[1])),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").parquet(str(d / f"b{i}"))
+        # the file source reads a flat dir of parquet files
+        import glob as _glob
+        import shutil as _shutil
+
+        for f in _glob.glob(str(d / f"b{i}" / "part-*.parquet")):
+            _shutil.copy(f, d / f"file-{i}.parquet")
+        _shutil.rmtree(d / f"b{i}")
+
+    stream = stream_events_source(spark, str(d), max_files_per_trigger=1)
+    out = streaming_rolling_zscore(stream, window_periods=7)
+    q = run_stream_to_memory(out, "dq2_mem", "append", str(tmp_path / "ck_dq2"))
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_type"], r["day_us"]): (
+                r["v"], r["mu"], r["z"], r["anomaly"]
+            )
+            for r in spark.sql("SELECT * FROM dq2_mem").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = TR.rolling_zscore(ev, "event_type", "ts", "value", window_periods=7)
+    open_day = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "max(unix_micros(ts) div 86400000000 * 86400000000)"
+            ).alias("m")
+        )
+        .collect()
+    }
+    want = {}
+    for r in batch.collect():
+        day = int(r["period"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        if day != open_day[r["event_type"]]:
+            want[(r["event_type"], day)] = (r["v"], r["mu"], r["z"], r["anomaly"])
+    assert len(want) > 50
+    assert got == want
+    # the monitor actually fired somewhere
+    assert any(v[3] for v in got.values()) or all(
+        v[2] is not None for v in list(got.values())[:5]
+    )
