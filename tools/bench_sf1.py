@@ -111,6 +111,9 @@ HEAVY = [
     # round-7: s8c's Arrow gather-kernel twin (shared oracle) — the PQ
     # serving path measured against its SQL anchor at 10x
     "s8c2_pq_adc_arrow",
+    # round-8: s2i's Arrow serving twin, now a registered driver query —
+    # the full IVFPQ scale lane measured against its SQL anchor at 10x
+    "s2i2_ivfpq_arrow",
 ]
 N_RUNS = 2
 
@@ -229,6 +232,12 @@ def main() -> None:
     from martech_pipelines_spark import caching, get_spark
     from martech_pipelines_spark.plans import QUERIES
 
+    # Update mode: `python tools/bench_sf1.py q1 q2 ...` re-measures only
+    # the named HEAVY entries and MERGES them into the existing
+    # BENCH_sf1.json (timings/rows; recalls untouched) — for adding a new
+    # headline query without paying the full ~30-min sweep.
+    only = set(sys.argv[1:]) or None
+
     spark = get_spark("bench_sf1")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     build_sf1(spark)
@@ -236,6 +245,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEAVY:
+        if only and name not in only:
+            continue
         best = None
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -245,6 +256,18 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
+
+    path = os.path.join(REPO, "BENCH_sf1.json")
+    if only:
+        out = json.load(open(path))
+        out["queries"].update(timings)
+        out["rows"].update(rows)
+        out["value"] = round(sum(out["queries"].values()), 3)
+        with open(path, "w") as f:
+            f.write(json.dumps(out) + "\n")
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     recalls = measure_recall(spark)
 
@@ -263,7 +286,6 @@ def main() -> None:
             "events/documents/embeddings; see tools/bench_sf1.py"
         ),
     }
-    path = os.path.join(REPO, "BENCH_sf1.json")
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
