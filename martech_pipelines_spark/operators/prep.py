@@ -171,7 +171,8 @@ def prep_index_compact(spark: SparkSession, index_path: str) -> None:
 
 
 def prep_funnel_report(
-    spark: SparkSession, index_path: str, eval_mod: int = 3
+    spark: SparkSession, index_path: str, eval_mod: int = 3,
+    as_of: int | None = None,
 ) -> DataFrame:
     """The 5-row per-stage survivor report from the index alone.
 
@@ -180,16 +181,25 @@ def prep_funnel_report(
     (doc_id % 10 != eval_mod) -> decontaminated (train docs with no
     8-gram window in the eval set's distinct window-hash union).
 
+    ``as_of=N`` time-travels the report to the index as it stood after
+    ingest batch N (sinks.read_batched_index) — the reproducible-
+    training-run view: a run that recorded its batch id can replay the
+    exact funnel/dedup decisions it trained against, until compaction
+    folds past that horizon (then this raises rather than silently
+    answering with the folded state).
+
     Probe shuffle shape: one window over the fingerprint table (32-byte
     keys), one broadcast of the distinct eval-hash set, one semi-join
     over ``win_hashes`` restricted to train survivors.  Raw text is
     never read."""
-    from martech_pipelines_spark.operators.sinks import recover_dir_swap
+    from martech_pipelines_spark.operators.sinks import read_batched_index
 
-    recover_dir_swap(f"{index_path}/doc_stats")  # self-heal compaction
-    recover_dir_swap(f"{index_path}/win_hashes")
-    stats = spark.read.parquet(f"{index_path}/doc_stats")
-    win = spark.read.parquet(f"{index_path}/win_hashes")
+    stats = read_batched_index(
+        spark, f"{index_path}/doc_stats", batch_col="batch", as_of=as_of
+    )
+    win = read_batched_index(
+        spark, f"{index_path}/win_hashes", batch_col="batch", as_of=as_of
+    )
 
     kept = stats.where("kept")
     rn = Window.partitionBy("fp").orderBy("doc_id")

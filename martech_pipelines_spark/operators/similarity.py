@@ -1601,24 +1601,45 @@ def _recover_ivf_compaction(index_path: str) -> None:
         os.rename(staging, delta)
 
 
-def _read_ivf_corpus(spark, index_path: str) -> DataFrame:
+def _read_ivf_corpus(spark, index_path: str, as_of: int | None = None) -> DataFrame:
     """Base inverted lists plus any streamed/appended delta batches —
     one DataFrame, cell stays a partition column in BOTH layouts so a
     probe's ``cell IN (...)`` prunes partitions on each side of the
     union.  Self-healing: an interrupted compaction is rolled to a
     consistent state before the read plans.  Local-FS existence probe
     mirrors the upsert-snapshot sink; an object-store deployment would
-    consult the catalog/manifest instead (sources/objectstore.py)."""
+    consult the catalog/manifest instead (sources/objectstore.py).
+
+    ``as_of=N`` time-travels: the initial build plus delta batches with
+    id <= N — the reproducible-training-run read (pin the batch id a
+    run indexed against; its probes replay exactly).  Raises when
+    ``ivf_compact_index`` has folded batches beyond N (the marker at
+    ``{index_path}/_compacted_through``): compaction trades time-travel
+    depth for file counts, and a silent partial answer would
+    masquerade as the historical one."""
     import os
 
+    from martech_pipelines_spark.operators.sinks import _read_compaction_marker
+
     _recover_ivf_compaction(index_path)
+    if as_of is not None:
+        horizon = _read_compaction_marker(f"{index_path}/_compacted_through")
+        if horizon is not None and horizon > int(as_of):
+            raise ValueError(
+                f"as_of={as_of} is below this IVF index's compaction "
+                f"horizon ({horizon}): those delta batches were folded "
+                f"into the base. Retain deltas longer if reproducibility "
+                f"past this point matters."
+            )
     base = spark.read.parquet(f"{index_path}/corpus")
     delta_root = f"{index_path}/corpus_delta"
     if os.path.isdir(delta_root):
-        delta = spark.read.parquet(delta_root).select(
-            "vec_id", "v", "n", "cell"
+        delta = spark.read.parquet(delta_root)
+        if as_of is not None:
+            delta = delta.where(F.col("batch") <= int(as_of))
+        base = base.select("vec_id", "v", "n", "cell").unionByName(
+            delta.select("vec_id", "v", "n", "cell")
         )
-        base = base.select("vec_id", "v", "n", "cell").unionByName(delta)
     return base
 
 
@@ -1646,6 +1667,11 @@ def ivf_compact_index(spark, index_path: str) -> None:
     staging = delta + ".compacting"
     if not os.path.isdir(delta):
         return
+    folded_ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(delta)
+        if d.startswith("batch=")
+    ]
     os.rename(delta, staging)
     merged = (
         spark.read.parquet(corpus)
@@ -1660,6 +1686,15 @@ def ivf_compact_index(spark, index_path: str) -> None:
     os.rename(nxt, corpus)
     shutil.rmtree(staging)
     shutil.rmtree(old)
+    if folded_ids:
+        from martech_pipelines_spark.operators.sinks import (
+            _write_compaction_marker,
+        )
+
+        # advance the time-travel horizon (see _read_ivf_corpus as_of)
+        _write_compaction_marker(
+            f"{index_path}/_compacted_through", max(folded_ids)
+        )
 
 
 def ivf_probe_topk(
@@ -1670,6 +1705,7 @@ def ivf_probe_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     round_dp: int = 4,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Stage 2: probe a prebuilt IVF index with partition pruning.
 
@@ -1697,7 +1733,7 @@ def ivf_probe_topk(
     # control-plane collect of the distinct probed cells (bounded by nlist)
     probed = sorted({r["cell"] for r in qrows.select("cell").distinct().collect()})
 
-    c = _read_ivf_corpus(spark, index_path).where(
+    c = _read_ivf_corpus(spark, index_path, as_of=as_of).where(
         F.col("cell").isin([int(x) for x in probed])
     )
     denom = F.col("__qn") * F.col("n")
@@ -1806,6 +1842,7 @@ def ivf_det_probe_topk(
     query_vec: str = "embedding",
     quantize: int = 6,
     round_dp: int = 4,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Deterministic twin of ``ivf_probe_topk``: probe a materialized
     deterministic index (base + any delta batches) with static partition
@@ -1835,7 +1872,7 @@ def ivf_det_probe_topk(
     ).withColumn("__qn", l2_norm(F.col("__qv")))
     probed = sorted({r["cell"] for r in qrows.select("cell").distinct().collect()})
 
-    c = _read_ivf_corpus(spark, index_path).where(
+    c = _read_ivf_corpus(spark, index_path, as_of=as_of).where(
         F.col("cell").isin([int(x) for x in probed])
     )
     denom = F.col("__qn") * F.col("n")

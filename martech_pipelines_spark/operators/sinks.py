@@ -283,7 +283,67 @@ def compact_batch_dirs(
     os.rename(root, old)
     os.rename(nxt, root)
     shutil.rmtree(old)
+    # Record the time-travel horizon: as-of reads below the max folded
+    # batch id are now impossible (compaction trades history depth for
+    # file counts — the VACUUM tradeoff).  Sibling file, not inside the
+    # root: the swap above replaces the root wholesale.
+    folded_ids = [
+        int(d[len(prefix):]) for d in batches if d[len(prefix):] != "-1"
+    ]
+    if folded_ids:
+        _write_compaction_marker(root + ".compacted_through", max(folded_ids))
     return True
+
+
+def _write_compaction_marker(path: str, value: int) -> None:
+    """Persist max(existing, value) — markers only ever advance."""
+    prev = _read_compaction_marker(path)
+    if prev is None or value > prev:
+        with open(path, "w") as f:
+            f.write(str(int(value)))
+
+
+def _read_compaction_marker(path: str):
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def read_batched_index(spark, root: str, batch_col: str = "batch_id", as_of=None):
+    """Read a batch_id-keyed incremental index root with optional AS-OF
+    time travel: ``as_of=N`` reproduces the index as it stood after
+    batch N landed (initial build/compacted rows carry ``-1`` and are
+    always included).  Raises when compaction has folded batches beyond
+    ``as_of`` — a silent partial answer would masquerade as the
+    historical one.  Self-heals an interrupted compaction first, like
+    every reader of these roots.
+
+    This is the reproducible-training-run primitive: pin the batch id a
+    run trained against, and its dedup/decontamination/probe decisions
+    replay exactly until compaction passes that horizon."""
+    from pyspark.sql import functions as F
+
+    recover_dir_swap(root)
+    df = spark.read.parquet(root)
+    if as_of is None:
+        return df
+    horizon = _read_compaction_marker(root + ".compacted_through")
+    if horizon is not None and horizon > int(as_of):
+        raise ValueError(
+            f"as_of={as_of} is below this index's compaction horizon "
+            f"({horizon}): batches <= {horizon} were folded into the "
+            f"base and can no longer be separated. Compaction trades "
+            f"time-travel depth for probe-side file counts; retain "
+            f"deltas longer if reproducibility past this point matters."
+        )
+    if batch_col not in df.columns:
+        return df  # flat batch-built index: everything is the initial snapshot
+    return df.where(
+        (F.col(batch_col) == -1) | (F.col(batch_col) <= int(as_of))
+    )
 
 
 # --- REST batch sink (B4-B6) -------------------------------------------------

@@ -158,3 +158,80 @@ def test_mart10_plan_has_no_self_join(spark):
     # was 8 exchanges in the self-join form; the basket form carries 7
     # in the 8-partition test session (6 under bench settings)
     assert plan.count("Exchange hashpartitioning") <= 7, plan
+
+
+# --- as-of (time-travel) reads over incremental indexes ----------------------
+
+
+def test_ivf_as_of_probe_replays_history(spark, tmp_path):
+    import pytest as _pytest
+
+    from martech_pipelines_spark.operators import similarity as SIM
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    b0 = emb.where(F.col("vec_id") % 3 == 1)
+    b1 = emb.where(F.col("vec_id") % 3 == 2)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    idx = str(tmp_path / "asof_idx")
+    SIM.ivf_det_build_index(base, idx, nlist=16)
+    SIM.ivf_det_append_batch(b0, 0, idx)
+    SIM.ivf_det_append_batch(b1, 1, idx)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = rows(SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4))
+    # as-of the newest batch == the live read
+    assert rows(SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4, as_of=1)) == full
+
+    # as-of batch 0 == an index that never saw batch 1
+    idx0 = str(tmp_path / "asof_idx0")
+    SIM.ivf_det_build_index(base, idx0, nlist=16)
+    SIM.ivf_det_append_batch(b0, 0, idx0)
+    want0 = rows(SIM.ivf_det_probe_topk(queries, idx0, k=5, nprobe=4))
+    got0 = rows(SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4, as_of=0))
+    assert got0 == want0 and got0 != full
+
+    # compaction folds the deltas: history below the horizon now raises
+    SIM.ivf_compact_index(spark, idx)
+    assert rows(SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4)) == full
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4, as_of=0)
+    # as-of at/above the horizon is still answerable (== the folded base)
+    assert rows(SIM.ivf_det_probe_topk(queries, idx, k=5, nprobe=4, as_of=1)) == full
+
+
+def test_prep_report_as_of_replays_history(spark, tmp_path):
+    import pytest as _pytest
+
+    from martech_pipelines_spark.operators import prep
+    from martech_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "prep_asof")
+    prep.apply_prep_index_batch(b0, 0, idx)
+    prep.apply_prep_index_batch(b1, 1, idx)
+
+    idx0 = str(tmp_path / "prep_asof0")
+    prep.apply_prep_index_batch(b0, 0, idx0)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = rows(prep.prep_funnel_report(spark, idx))
+    assert rows(prep.prep_funnel_report(spark, idx, as_of=1)) == full
+    got0 = rows(prep.prep_funnel_report(spark, idx, as_of=0))
+    assert got0 == rows(prep.prep_funnel_report(spark, idx0)) and got0 != full
+
+    prep.prep_index_compact(spark, idx)
+    assert rows(prep.prep_funnel_report(spark, idx)) == full
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        prep.prep_funnel_report(spark, idx, as_of=0).collect()
