@@ -120,6 +120,7 @@ _WINDOW_PRIORITY = [
     "dq9_fd_profile",
     "r37_rank_distribution",
     "t45_containment_dedup",
+    "s2h2_ivf_asof_probe",
 ]
 
 

@@ -288,3 +288,67 @@ def t45_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
     )
     return DD.containment_on_pairs(pairs, corpus, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# s2h2: AS-OF (time-travel) probe of the materialized IVF lifecycle
+# ---------------------------------------------------------------------------
+
+# Build-once-per-process cache (the s2h/pipe10b convention): base index
+# from the day-0 snapshot, batch 0 = the later-arrivals delta (same
+# split as s2h), batch 1 = a NOISE batch of id-shifted duplicate
+# vectors that WOULD change the top-k if read.  The query probes
+# as_of=0, so its answer must equal s2g's whole-corpus oracle verbatim
+# — the driver value-checks that time travel excludes exactly the
+# post-pin batch.
+_S2H2_INDEX: dict[str, str] = {}
+
+
+def _s2h2_index(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from martech_pipelines_spark.operators import similarity as SIM
+    from martech_pipelines_spark.plans.corpus_r7 import _NLIST
+
+    path = _S2H2_INDEX.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_asof_idx_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        delta_pred = (F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= _NLIST)
+        SIM.ivf_det_build_index(emb.where(~delta_pred), path, nlist=_NLIST)
+        SIM.ivf_det_append_batch(emb.where(delta_pred), 0, path)
+        # batch 1: duplicate vectors under shifted ids — if the as-of
+        # read leaked them, they would tie-beat nothing but ADD rows at
+        # identical cosines with LOWER... higher ids; shift by +10^7 so
+        # any leak changes vec_id sets (and therefore the value hash)
+        noise = emb.where(F.col("vec_id") % 7 == 3).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        SIM.ivf_det_append_batch(noise, 1, path)
+        _S2H2_INDEX[sf_dir] = path
+    return path
+
+
+@q("s2h2_ivf_asof_probe", ORACLE["s2g_ivf_deterministic_topk"])  # SHARES s2g's
+def s2h2_ivf_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel probe of the materialized deterministic IVF index:
+    the index holds base + batch 0 (= s2h's corpus) + a batch-1 NOISE
+    append of duplicate vectors under shifted ids; probing ``as_of=0``
+    must reproduce the index as it stood when batch 0 landed — i.e.
+    equal s2g's whole-corpus oracle bit-for-bit, with the noise batch
+    invisible.  This is the reproducible-training-run read
+    (sinks.read_batched_index / _read_ivf_corpus as_of): pin the ingest
+    batch a run indexed against and its probes replay exactly; reads
+    below a compaction horizon raise instead of silently answering with
+    folded state.  The as-of filter rides the ``batch`` partition
+    column — pruned, not scanned-and-dropped."""
+    from martech_pipelines_spark.operators import similarity as SIM
+    from martech_pipelines_spark.plans.corpus_r7 import _NPROBE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_det_probe_topk(
+        queries, _s2h2_index(spark, sf_dir), k=5, nprobe=_NPROBE, as_of=0
+    ).select("query_id", "vec_id", "cos_sim", "rnk")
