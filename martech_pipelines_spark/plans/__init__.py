@@ -121,6 +121,8 @@ _WINDOW_PRIORITY = [
     "r37_rank_distribution",
     "t45_containment_dedup",
     "s2h2_ivf_asof_probe",
+    "fe4_target_encoding",
+    "t46_mixture_budget",
 ]
 
 

@@ -352,3 +352,142 @@ def s2h2_ivf_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_det_probe_topk(
         queries, _s2h2_index(spark, sf_dir), k=5, nprobe=_NPROBE, as_of=0
     ).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# fe4: leakage-safe leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fe4_target_encoding",
+    """
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS p
+        FROM customer
+    ), seg AS (
+        SELECT c_custkey, c_mktsegment, p,
+               CAST(sum(p) OVER w AS BIGINT) AS s1,
+               count(*) OVER w AS n
+        FROM cents
+        WINDOW w AS (PARTITION BY c_mktsegment)
+    )
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN n > 1 THEN
+               CAST(s1 - p AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0
+           END AS loo_mean
+    FROM seg
+    """,
+)
+def fe4_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe LEAVE-ONE-OUT target encoding (the feature-prep
+    classic): each row's categorical feature value is the mean target of
+    its category EXCLUDING the row itself — (sum - y_i)/(n - 1) — so the
+    encoded feature never carries the row's own label (the pipe4
+    leakage discipline applied to feature construction; a plain
+    category mean leaks the target and inflates validation metrics).
+    Engine-exact: integer-cent sums per category (one window pass, no
+    join-back), then a fixed tree of single-rounded double ops;
+    singleton categories yield NULL (no prior blending — callers choose
+    their own fallback).  Scale: one hash exchange on the category."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    p = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    s1 = F.sum(p).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            n > 1,
+            (s1 - p).cast("double") / (n - 1).cast("double") / F.lit(100.0),
+        ).alias("loo_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t46: token-budget allocation from temperature-reweighted mixture weights
+# ---------------------------------------------------------------------------
+
+
+def _t46_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import _DUCK_TOKENS
+
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len({toks})) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(avail_tokens) AS BIGINT) AS all_tokens
+        FROM per_source
+    ), weighted AS (
+        -- alpha=0.5 temperature weight as an e4 integer: sqrt of the
+        -- half-up e4 token share, floored back to e4 (integer-exact:
+        -- isqrt of share_e4 * 1e4)
+        SELECT source, avail_tokens, all_tokens,
+               CAST(floor(sqrt(CAST(
+                   ((avail_tokens * 20000 + all_tokens)
+                    // (2 * all_tokens)) * 10000 AS DOUBLE))) AS BIGINT)
+                   AS w_e4
+        FROM per_source CROSS JOIN tot
+    ), norm AS (
+        SELECT CAST(sum(w_e4) AS BIGINT) AS sum_w FROM weighted
+    )
+    SELECT source, avail_tokens, w_e4,
+           CAST(least(avail_tokens,
+                      (all_tokens // 5) * w_e4 // sum_w) AS BIGINT)
+               AS alloc_tokens,
+           (all_tokens // 5) * w_e4 // sum_w > avail_tokens AS capped
+    FROM weighted CROSS JOIN norm
+    """
+
+
+@q("t46_mixture_budget", _t46_oracle())
+def t46_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-design -> sampling-plan bridge: given a token budget
+    (20% of the corpus) and t16's alpha=0.5 temperature weights, the
+    per-source token allocation = budget * w / sum(w), capped at the
+    source's available tokens, with an oversubscription flag (a capped
+    source means the sampler must upweight the rest or accept a smaller
+    epoch — the decision this report exists to surface).  Integer-exact
+    end to end: half-up e4 token shares, isqrt-floored e4 temperature
+    weights (sqrt of an exact integer — both engines' sqrt is correctly
+    rounded, floor makes the fraction-digit cut exact), integer
+    budget division.  Two map-side-combined aggs + two broadcast
+    scalars; scales with |sources|."""
+    from martech_pipelines_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("avail_tokens")
+    )
+    tot = per.agg(F.sum("avail_tokens").alias("all_tokens"))
+    weighted = per.crossJoin(F.broadcast(tot)).withColumn(
+        "w_e4",
+        F.floor(
+            F.sqrt(
+                (
+                    F.expr(
+                        "(avail_tokens * 20000L + all_tokens)"
+                        " div (2L * all_tokens)"
+                    )
+                    * F.lit(10000)
+                ).cast("double")
+            )
+        ).cast("long"),
+    )
+    norm = weighted.agg(F.sum("w_e4").alias("sum_w"))
+    alloc = F.expr("(all_tokens div 5L) * w_e4 div sum_w")
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "avail_tokens",
+            "w_e4",
+            F.least(F.col("avail_tokens"), alloc).alias("alloc_tokens"),
+            (alloc > F.col("avail_tokens")).alias("capped"),
+        )
+    )
