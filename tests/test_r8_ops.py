@@ -235,3 +235,53 @@ def test_prep_report_as_of_replays_history(spark, tmp_path):
     assert rows(prep.prep_funnel_report(spark, idx)) == full
     with _pytest.raises(ValueError, match="compaction horizon"):
         prep.prep_funnel_report(spark, idx, as_of=0).collect()
+
+
+def test_trained_ivf_as_of_passthrough(spark, tmp_path):
+    # the trained probe shares _read_ivf_corpus: as_of=0 must equal an
+    # index that never saw batch 1 (same pin as the deterministic twin)
+    from martech_pipelines_spark.operators import similarity as SIM
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    b0 = emb.where(F.col("vec_id") % 3 == 1)
+    b1 = emb.where(F.col("vec_id") % 3 == 2)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    idx = str(tmp_path / "tivf")
+    SIM.ivf_build_index(base, idx, nlist=8)
+    SIM.ivf_index_append_batch(b0, 0, idx)
+    SIM.ivf_index_append_batch(b1, 1, idx)
+
+    idx0 = str(tmp_path / "tivf0")
+    SIM.ivf_build_index(base, idx0, nlist=8)  # same seed -> same quantizer
+    SIM.ivf_index_append_batch(b0, 0, idx0)
+
+    got0 = rows(SIM.ivf_probe_topk(queries, idx, k=5, nprobe=4, as_of=0))
+    want0 = rows(SIM.ivf_probe_topk(queries, idx0, k=5, nprobe=4))
+    full = rows(SIM.ivf_probe_topk(queries, idx, k=5, nprobe=4))
+    assert got0 == want0 and got0 != full
+
+
+def test_read_batched_index_flat_layout_tolerates_as_of(spark, tmp_path):
+    # a flat batch-built index has no batch partition column: as_of is a
+    # no-op read of the initial snapshot, never a crash
+    from martech_pipelines_spark.operators import prep
+    from martech_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "flat_prep")
+    prep.prep_index_build(docs, idx)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(prep.prep_funnel_report(spark, idx, as_of=5)) == rows(
+        prep.prep_funnel_report(spark, idx)
+    )
