@@ -123,6 +123,8 @@ _WINDOW_PRIORITY = [
     "s2h2_ivf_asof_probe",
     "fe4_target_encoding",
     "t46_mixture_budget",
+    "s23_pq_distortion_report",
+    "dq10_anomaly_attribution",
 ]
 
 

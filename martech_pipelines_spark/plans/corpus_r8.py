@@ -491,3 +491,138 @@ def t46_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (alloc > F.col("avail_tokens")).alias("capped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s23: PQ quantization-distortion report (per-subspace)
+# ---------------------------------------------------------------------------
+
+
+def _s23_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_r7 import _S8B_ORACLE
+
+    return f"""
+    WITH codes AS ({_S8B_ORACLE})
+    SELECT subspace,
+           count(*) AS n_vecs,
+           CAST(sum(d2q) AS BIGINT) AS total_d2q,
+           CAST(sum(d2q) // count(*) AS BIGINT) AS mean_d2q,
+           CAST(max(d2q) AS BIGINT) AS max_d2q
+    FROM codes GROUP BY subspace
+    """
+
+
+@q("s23_pq_distortion_report", _s23_oracle())
+def s23_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-quality diagnostic: per PQ subspace, the count, total,
+    floored mean and max of the exact integer reconstruction distance
+    between each vector's slice and its assigned codeword (s8b's d2q
+    aggregated) — the under-fitted-subspace report that decides where a
+    PQ codebook needs more centroids or an OPQ rotation, the distortion
+    counterpart of s19's recall report.  m output rows; one keyed agg
+    over the code table (map-side combined), codebook broadcast —
+    at 100 TB this reads the stored codes' d2q column, never re-scores.
+    Integer-exact end to end (s8b's quantized distances; floor mean)."""
+    from martech_pipelines_spark.operators import similarity as SIM
+    from martech_pipelines_spark.plans.corpus_r7 import _NLIST, _PQ_M
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.modular_pq_codebook(emb, m=_PQ_M, ksub=_NLIST, dim=64)
+    codes = SIM.quantized_pq_codes(emb, cb, m=_PQ_M, dim=64)
+    return codes.groupBy("subspace").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("d2q").alias("total_d2q"),
+        F.expr("sum(d2q) div count(*)").alias("mean_d2q"),
+        F.max("d2q").alias("max_d2q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq10: anomaly attribution — top contributors to each flagged day
+# ---------------------------------------------------------------------------
+
+
+def _dq10_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus import ORACLE as _OR
+
+    dq2 = _OR["dq2_rolling_zscore"]
+    return f"""
+    WITH dq2 AS ({dq2}),
+    flagged AS (
+        SELECT event_type, day_str,
+               CAST(floor(v * 100 + 0.5) AS BIGINT) AS day_paise
+        FROM dq2 WHERE anomaly
+    ),
+    user_day AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str,
+               user_id,
+               CAST(floor(round(sum(value), 2) * 100 + 0.5) AS BIGINT)
+                   AS user_paise
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day_str, user_id, user_paise,
+           CAST((user_paise * 20000 + day_paise)
+                // (2 * day_paise) AS BIGINT) AS share_e4,
+           rnk
+    FROM (
+        SELECT f.event_type, f.day_str, u.user_id, u.user_paise,
+               f.day_paise,
+               row_number() OVER (
+                   PARTITION BY f.event_type, f.day_str
+                   ORDER BY u.user_paise DESC, u.user_id
+               ) AS rnk
+        FROM flagged f
+        JOIN user_day u
+          ON u.event_type = f.event_type AND u.day_str = f.day_str
+    ) WHERE rnk <= 5
+    """
+
+
+@q("dq10_anomaly_attribution", _dq10_oracle())
+def dq10_anomaly_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause drill-down for the dq2 monitor: for every flagged
+    (event_type, day), the top-5 contributing users by that day's value
+    sum, with each user's half-up e4 share of the day — the first
+    question an on-call asks after an anomaly alert ("one whale or a
+    broad shift?").  The flagged-day table is tiny (anomalies by
+    construction), so the join BROADCASTS it against per-user day sums
+    and only flagged days' users survive the join — at 100 TB the
+    drill-down never materializes the full user-day matrix beyond one
+    map-side-combined aggregation.  Integer-cent arithmetic and a total
+    (paise DESC, user_id) order keep the cut engine-exact."""
+    from martech_pipelines_spark.operators import transforms as TR
+
+    ev = load_table(spark, sf_dir, "events")
+    z = TR.rolling_zscore(ev, "event_type", "ts", "value", window_periods=7)
+    flagged = z.where("anomaly").select(
+        "event_type",
+        F.date_format("period", "yyyy-MM-dd").alias("day_str"),
+        F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long").alias("day_paise"),
+    )
+    user_day = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_str"),
+        "user_id",
+    ).agg(
+        F.floor(F.round(F.sum("value"), 2) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("user_paise")
+    )
+    joined = user_day.join(F.broadcast(flagged), ["event_type", "day_str"])
+    w = Window.partitionBy("event_type", "day_str").orderBy(
+        F.desc("user_paise"), F.col("user_id")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            "day_str",
+            "user_id",
+            "user_paise",
+            F.expr("(user_paise * 20000L + day_paise) div (2L * day_paise)")
+            .alias("share_e4"),
+            "rnk",
+        )
+    )
