@@ -125,6 +125,7 @@ _WINDOW_PRIORITY = [
     "t46_mixture_budget",
     "s23_pq_distortion_report",
     "dq10_anomaly_attribution",
+    "dd16_lsh_precision_report",
 ]
 
 

@@ -626,3 +626,70 @@ def dq10_anomaly_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd16: LSH blocking-precision report (index-quality trilogy closer)
+# ---------------------------------------------------------------------------
+
+
+def _dd16_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import _minhash_oracle
+
+    inner = _minhash_oracle()
+    marker = "WHERE jaccard >= 0.5"
+    assert inner.rstrip().endswith(marker), (
+        "dd3's oracle shape changed — update _dd16_oracle's marker strip"
+    )
+    unthresholded = inner.rstrip()[: -len(marker)]
+    return f"""
+    WITH scored AS ({unthresholded})
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_verified_05,
+           CAST(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_verified_08,
+           CASE WHEN count(*) > 0 THEN
+               CAST((sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) * 20000
+                     + count(*)) // (2 * count(*)) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS precision_e4
+    FROM scored
+    """
+
+
+@q("dd16_lsh_precision_report", _dd16_oracle())
+def dd16_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-precision report for the MinHash-LSH dedup index — the
+    third leg of the index-quality trilogy (s19 recall, s23 distortion,
+    this one candidate precision): of all banded candidate pairs, how
+    many verify at Jaccard >= 0.5 and >= 0.8, and the half-up e4
+    precision — the number that says whether the band/permutation
+    configuration wastes verify cycles (precision too low) or risks
+    recall (suspiciously perfect).  Same corpus and arithmetic as dd3
+    (the oracle literally aggregates dd3's unthresholded pair table, so
+    the two can never drift); candidates via the skinny signature
+    pipeline, verify via shingle-set join — one 1-row output."""
+    from martech_pipelines_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    cand = DD.lsh_candidate_pairs(corpus, num_perm=16, bands=4, shingle_n=3)
+    scored = DD.jaccard_on_pairs(cand, corpus, shingle_n=3)
+    ver05 = F.sum((F.col("jaccard") >= 0.5).cast("long"))
+    return scored.agg(
+        F.count("*").alias("n_candidates"),
+        ver05.alias("n_verified_05"),
+        F.sum((F.col("jaccard") >= 0.8).cast("long")).alias("n_verified_08"),
+        F.when(
+            F.count("*") > 0,
+            F.expr(
+                "(sum(CAST(jaccard >= 0.5 AS LONG)) * 20000L + count(*))"
+                " div (2L * count(*))"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("precision_e4"),
+    )
