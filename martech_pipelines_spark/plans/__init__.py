@@ -126,6 +126,7 @@ _WINDOW_PRIORITY = [
     "s23_pq_distortion_report",
     "dq10_anomaly_attribution",
     "dd16_lsh_precision_report",
+    "t48_pii_pattern_profile",
 ]
 
 

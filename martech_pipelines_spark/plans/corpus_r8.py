@@ -693,3 +693,116 @@ def dd16_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0).cast("long")).alias("precision_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t48: PII/pattern profile — the scrub-before-training hygiene report
+# ---------------------------------------------------------------------------
+
+_T48_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_T48_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_T48_URL = r"https?://[^\s]+"
+
+
+def _t48_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+        -- the synthetic corpus carries no natural PII; inject
+        -- deterministic id-derived patterns (the dd3/dd5 perturbed-copy
+        -- convention) so the profile is non-trivial and exact
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com via https://site'
+                            || CAST(doc_id % 7 AS VARCHAR) || '.org/page'
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 0
+                       THEN ' call +1-555-000-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    ), per_doc AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '{_T48_EMAIL}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, '{_T48_PHONE}')) AS BIGINT)
+                   AS n_phone,
+               CAST(len(regexp_extract_all(text, '{_T48_URL}')) AS BIGINT)
+                   AS n_url
+        FROM corpus
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email + n_phone + n_url > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           CAST(sum(n_url) AS BIGINT) AS total_urls,
+           CAST((sum(CASE WHEN n_email + n_phone + n_url > 0
+                          THEN 1 ELSE 0 END) * 20000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS flagged_share_e4
+    FROM per_doc GROUP BY source
+    """
+
+
+@q("t48_pii_pattern_profile", _t48_oracle())
+def t48_pii_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII/pattern hygiene profile — the scrub-before-
+    training report (emails, phone numbers, URLs): doc counts, per-
+    pattern totals, and the half-up e4 share of flagged docs, the
+    numbers that decide whether a source needs redaction before it
+    enters a training mix.  Pattern extraction is one codegen'd
+    projection (JVM regex, no Python); one map-side-combined agg —
+    scales with |sources|.  Both engines evaluate the identical regex
+    strings (dialect agreement pinned by the oracle itself).  The
+    synthetic corpus carries no natural PII, so id-derived patterns are
+    injected deterministically — the dd3/dd5 perturbed-copy
+    convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com via https://site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".org/page"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" call +1-555-000-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    per = injected.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_T48_EMAIL), F.lit(0))).cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(_T48_PHONE), F.lit(0))).cast("long")
+        .alias("n_phone"),
+        F.size(F.regexp_extract_all("text", F.lit(_T48_URL), F.lit(0))).cast("long")
+        .alias("n_url"),
+    )
+    flagged = (F.col("n_email") + F.col("n_phone") + F.col("n_url") > 0).cast(
+        "long"
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged).alias("docs_flagged"),
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum("n_url").alias("total_urls"),
+        F.expr(
+            "(sum(CAST(n_email + n_phone + n_url > 0 AS LONG)) * 20000L"
+            " + count(*)) div (2L * count(*))"
+        ).alias("flagged_share_e4"),
+    )
