@@ -127,6 +127,7 @@ _WINDOW_PRIORITY = [
     "dq10_anomaly_attribution",
     "dd16_lsh_precision_report",
     "t48_pii_pattern_profile",
+    "s24_rrf_fusion",
 ]
 
 

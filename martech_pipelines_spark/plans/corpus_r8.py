@@ -806,3 +806,70 @@ def t48_pii_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + count(*)) div (2L * count(*))"
         ).alias("flagged_share_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s24: reciprocal-rank fusion of the exact and quantized rankers
+# ---------------------------------------------------------------------------
+
+
+def _s24_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus import ORACLE as _OR
+
+    a = _OR["s1_bruteforce_topk"]
+    b = _OR["s8c_pq_adc_deterministic_topk"]
+    contrib = "CAST((2000000000 + (60 + rnk)) // (2 * (60 + rnk)) AS BIGINT)"
+    return f"""
+    WITH a AS ({a}), b AS ({b}),
+    contrib AS (
+        SELECT query_id, vec_id, {contrib} AS c FROM a
+        UNION ALL
+        SELECT query_id, vec_id, {contrib} AS c FROM b
+    ), fused AS (
+        SELECT query_id, vec_id,
+               CAST(sum(c) AS BIGINT) AS rrf_e9,
+               CAST(count(*) AS BIGINT) AS in_lists
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, rrf_e9, in_lists, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_e9 DESC, vec_id
+        ) AS rnk FROM fused
+    ) WHERE rnk <= 5
+    """
+
+
+@q("s24_rrf_fusion", _s24_oracle())
+def s24_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    systems — the standard hybrid-search combiner, here fusing the
+    exact-cosine ranker (s1) with the quantized PQ/ADC ranker (s8c):
+    per (query, doc), rrf = sum over lists of 1/(60 + rank), emitted as
+    the sum of HALF-UP e9 integer reciprocals so the fusion score,
+    ordering, and tie-breaks are engine-exact (the documented integer
+    RRF contract — rank is what matters, the e9 quantization never
+    reorders because distinct reciprocal sums differ at e9 scale).
+    Docs in both top-5 lists dominate (in_lists=2) — exactly RRF's
+    consensus-promotion behavior.  Scale: both rankers' outputs are
+    |Q|·k rows; the fusion is one tiny keyed agg + window — the fused
+    list costs nothing next to either ranker."""
+    aq = QUERIES["s1_bruteforce_topk"](spark, sf_dir).select(
+        "query_id", "vec_id", "rnk"
+    )
+    bq = QUERIES["s8c_pq_adc_deterministic_topk"](spark, sf_dir).select(
+        "query_id", "vec_id", "rnk"
+    )
+    contrib = F.expr("(2000000000L + (60L + rnk)) div (2L * (60L + rnk))")
+    both = aq.select("query_id", "vec_id", contrib.alias("c")).unionByName(
+        bq.select("query_id", "vec_id", contrib.alias("c"))
+    )
+    fused = both.groupBy("query_id", "vec_id").agg(
+        F.sum("c").alias("rrf_e9"), F.count("*").alias("in_lists")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_e9"), F.col("vec_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )
