@@ -3026,3 +3026,49 @@ def mmr_rerank(
         )
 
     return pairs.groupBy(query_id).applyInPandas(kernel, out_schema)
+
+
+# --- cluster-capped diversity sampling ---------------------------------------
+
+
+def cluster_cap_sample(
+    corpus: DataFrame,
+    nlist: int = 16,
+    cap: int = 20,
+    keep: str = "far",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diversity-capped subset selection: assign every vector to its
+    nearest cell (deterministic modular-representative centroids, the
+    s2e assignment kernel) and keep at most ``cap`` per cell — the
+    cluster-balanced pruning step LLM data pipelines run between
+    near-dedup and mixture sampling so no dense region of embedding
+    space dominates the training set (the SemDeDup/DCLM-style
+    counterpart of per-domain caps like t23).
+
+    ``keep='far'`` ranks candidates farthest-from-centroid first (the
+    anti-prototype rule: redundant near-centroid mass is what the cap
+    is pruning); ``keep='near'`` keeps prototypes.  Rank ties break on
+    id, so the selection is engine-exact given the deterministic
+    centroid table — swap in trained KMeans centroids and the identical
+    plan serves as the production form behind recall/balance gates.
+
+    Scale shape: centroids broadcast, assignment collapses map-side
+    (one keyed exchange of pre-combined rows), then ONE window pass
+    partitioned by cell — WindowGroupLimit prunes each partition to the
+    cap before the final project, so the post-assignment shuffle
+    carries (id, cell, d2q) rows only, never vectors."""
+    cents = modular_representatives(corpus, nlist, vec_col, id_col)
+    assigned = quantized_cell_assignments(corpus, cents, vec_col=vec_col, id_col=id_col)
+    order = (
+        [F.col("d2q").desc(), F.col(id_col).asc()]
+        if keep == "far"
+        else [F.col("d2q").asc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("cell").orderBy(*order)
+    return (
+        assigned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= cap)
+        .select("cell", id_col, "d2q", "rk")
+    )

@@ -1583,3 +1583,53 @@ def sentiment_scores(
         .otherwise("neu")
         .alias("sent_label"),
     )
+
+
+# --- n-gram novelty vs a reference corpus ------------------------------------
+
+
+def ngram_novelty_by_source(
+    cand: DataFrame,
+    reference: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group n-gram NOVELTY report: what fraction of a candidate
+    slice's distinct w-token windows never occur in the reference
+    corpus — the memorization/overlap complement of ``decontaminate``
+    (that flags documents; this scores whole sources, the go/no-go
+    metric when deciding whether a new crawl adds anything).
+
+    Output: (group, n_grams, novel_grams, novelty_e4) with the ratio as
+    a half-up BIGINT e4 — engine-exact, no float division.
+
+    Scale shape: mirrors ``decontaminate`` — the reference's distinct
+    window-hash set is broadcast, the candidate side is one scan +
+    explode collapsed to distinct (group, hash) map-side, then a tiny
+    per-group agg.  No shuffle carries raw text."""
+    cwin = (
+        _window_table(cand, w, text_col, id_col)
+        .join(cand.select(id_col, group_col), id_col)
+        .select(group_col, "h")
+        .distinct()
+    )
+    rwin = _window_table(reference, w, text_col, id_col).select("h").distinct()
+    flagged = cwin.join(
+        F.broadcast(rwin.withColumn("__seen", F.lit(1))), "h", "left"
+    )
+    # novelty_e4 = round_half_up(novel/n * 1e4) as a pure BIGINT ratio:
+    # (novel*1e4*2 + n) div (2*n) — the t39/s12 recipe (no double
+    # division or round() convention in the loop, engine-exact).
+    return flagged.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("novel_grams"),
+        F.expr(
+            "(CAST(sum(CASE WHEN __seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " * CAST(20000 AS BIGINT) + count(*))"
+            " div (2 * count(*))"
+        ).cast("long").alias("novelty_e4"),
+    )

@@ -196,3 +196,146 @@ def session_conversion(
             6,
         ).alias("session_cvr"),
     )
+
+
+# --- mergeable session-interval state (incremental sessionization) ----------
+
+
+def session_intervals(
+    events: DataFrame,
+    gap_s: int = 30 * 60,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key session summaries as MERGEABLE interval state:
+    (key, start_us, end_us, n_events).
+
+    The state is closed under ``merge_session_intervals`` for an
+    ARBITRARY split of the event stream (not just time-ordered
+    batches): a session summary is the interval [min ts, max ts] whose
+    internal gaps are all <= gap, and gaps-and-islands over a UNION of
+    such intervals reproduces exactly the sessions of the combined
+    event set (interval ends are real event times, so an island
+    boundary in interval space is a > gap event gap and vice versa).
+    That closure is what makes sessionization incrementally
+    maintainable — late/out-of-order delta batches fold into state
+    without reprocessing history.
+
+    One keyed exchange: the lag flag and the running sum share a single
+    (key, ts, tie) sort — the r35 plan shape reduced to summaries."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > gap_s * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = events.select(
+        F.col(key_col),
+        us.alias("__us"),
+        F.sum(new_sess).over(run).alias("__sid"),
+    )
+    return flagged.groupBy(key_col, "__sid").agg(
+        F.min("__us").alias("start_us"),
+        F.max("__us").alias("end_us"),
+        F.count("*").cast("long").alias("n_events"),
+    ).drop("__sid")
+
+
+def merge_session_intervals(
+    state: DataFrame,
+    delta: DataFrame,
+    gap_s: int = 30 * 60,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """EXACT merge of two session-interval state tables (see
+    ``session_intervals`` for why this is lossless): gaps-and-islands
+    over the interval union — a new island starts iff the interval's
+    start exceeds the running max end of earlier intervals by MORE than
+    the gap (same strict-``>`` convention as the event-level flag).
+
+    Cost is one keyed exchange over |sessions| rows (already collapsed
+    from events), which is what a 100-TB nightly session-maintenance
+    job wants: deltas fold into state at summary granularity."""
+    both = state.unionByName(delta)
+    w = Window.partitionBy(key_col).orderBy("start_us", "end_us")
+    run_end = F.max("end_us").over(
+        Window.partitionBy(key_col)
+        .orderBy("start_us", "end_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_isl = F.when(
+        run_end.isNull()
+        | ((F.col("start_us") - run_end) > gap_s * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy("start_us", "end_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = both.select(
+        key_col,
+        "start_us",
+        "end_us",
+        "n_events",
+        F.sum(new_isl).over(run).alias("__isl"),
+    )
+    return isl.groupBy(key_col, "__isl").agg(
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    ).drop("__isl")
+
+
+def numbered_sessions(
+    state: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Read session-interval state as the user-facing session table:
+    per-key session_seq in start order plus formatted bounds."""
+    w = Window.partitionBy(key_col).orderBy("start_us", "end_us")
+    return state.select(
+        F.col(key_col),
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        F.date_format(
+            F.timestamp_micros(F.col("start_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("start_s"),
+        F.date_format(
+            F.timestamp_micros(F.col("end_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("end_s"),
+        "n_events",
+    )
+
+
+# --- 2-D Pareto frontier (skyline) ------------------------------------------
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+) -> DataFrame:
+    """Skyline rows: no other row has (cost <=, gain >=) with at least
+    one strict inequality.  Duplicated (cost, gain) points tie and ALL
+    survive (neither dominates the other).
+
+    Scale shape: the row set first collapses to a per-cost best-gain
+    HISTOGRAM (map-side combine, |distinct costs| rows — domain-bounded
+    like r29's percentile histogram), the frontier is a running-max
+    scan over that tiny table, and survivors join back via broadcast.
+    The full data is never sorted or shuffled beyond one keyed agg."""
+    best = df.groupBy(cost_col).agg(F.max(gain_col).alias("__best"))
+    prev = F.max("__best").over(
+        Window.orderBy(cost_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = best.select(
+        cost_col, "__best", prev.alias("__prev")
+    ).where(F.col("__prev").isNull() | (F.col("__best") > F.col("__prev")))
+    return df.join(
+        F.broadcast(
+            frontier.select(
+                F.col(cost_col).alias("__fc"), F.col("__best").alias("__fg")
+            )
+        ),
+        (F.col(cost_col) == F.col("__fc")) & (F.col(gain_col) == F.col("__fg")),
+    ).drop("__fc", "__fg")

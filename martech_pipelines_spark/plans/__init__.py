@@ -29,6 +29,7 @@ from martech_pipelines_spark.plans import corpus_r5s  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r6  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r7  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r8  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r8b  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 8 rotation — VERDICT r7 "Next round" #1/#2).
@@ -128,6 +129,13 @@ _WINDOW_PRIORITY = [
     "dd16_lsh_precision_report",
     "t48_pii_pattern_profile",
     "s24_rrf_fusion",
+    # round-8b additions (four-checked this round, never driver-checked)
+    "h21_incremental_sessionize",
+    "r38_skyline",
+    "dd17_cluster_cap_sample",
+    "t49_ngram_novelty",
+    "s25_recall_vs_probes",
+    "pipe11_dataset_card",
 ]
 
 

@@ -1,0 +1,509 @@
+"""Round-8b corpus additions (queued for the round-9+ driver windows).
+
+``h21_incremental_sessionize`` — sessionization as INCREMENTALLY
+                          MAINTAINABLE state: session summaries are
+                          mergeable intervals, so arbitrary (even
+                          non-time-ordered) delta batches fold into
+                          state without reprocessing history; the
+                          oracle is the full recompute, so
+                          incremental == full is engine-checked (the
+                          h16 IVM discipline applied to the one
+                          windowing op people assume needs a full
+                          re-sort).
+``r38_skyline``         — 2-D Pareto frontier (skyline) via a
+                          domain-bounded histogram + running-max scan,
+                          checked against the literal NOT EXISTS
+                          dominance definition.
+``dd17_cluster_cap_sample`` — cluster-balanced diversity cap: nearest
+                          deterministic-centroid assignment (the s2e
+                          kernel) + top-``cap`` farthest-from-centroid
+                          per cell — the embedding-space counterpart of
+                          the per-domain cap (t23).
+``t49_ngram_novelty``   — per-source novelty of 8-token windows vs a
+                          reference corpus: the "does this new crawl
+                          add anything" report (complement of dd9's
+                          per-doc contamination audit).
+``s25_recall_vs_probes`` — recall@5 of the DETERMINISTIC IVF searcher
+                          as a function of nprobe (1/2/4) against the
+                          exact ranker — the accuracy-vs-cost tuning
+                          curve every ANN deployment reads before
+                          picking its probe budget; deterministic end
+                          to end, so the whole curve carries a full
+                          oracle.
+``pipe11_dataset_card`` — the per-source dataset-card summary (docs,
+                          langs, exact-dup count, chars, tokens, exact
+                          length percentiles) in two keyed passes over
+                          one scan — the intake report every corpus
+                          release ships.
+
+Reference scope: the reference engine's profile/dedup/search tasks
+motivate the family (SURVEY.md §2 north-star extensions); every query
+is engine-exact (integer comparisons / half-up BIGINT ratios only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES, q  # noqa: F401
+from martech_pipelines_spark.plans.corpus_r7 import _CENT_CTES, _NLIST
+from martech_pipelines_spark.plans.corpus_extended import _DUCK_NORM
+from martech_pipelines_spark.sources import load_table
+
+_GAP_S = 30 * 60
+
+
+# ---------------------------------------------------------------------------
+# h21: incremental sessionization (mergeable interval state)
+# ---------------------------------------------------------------------------
+
+_H21_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > CAST({_GAP_S} AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+"""
+
+
+@q("h21_incremental_sessionize", _H21_ORACLE)
+def h21_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM proof for sessionization: the event stream split into three
+    ARBITRARY batches (event_id % 3 — not time-ordered, so deltas land
+    in the middle of existing sessions and must still merge correctly),
+    each batch sessionized independently into interval summaries, the
+    summaries folded pairwise via gaps-and-islands over intervals
+    (operators/windows.py:merge_session_intervals — lossless because
+    interval ends are real event times), then numbered at read.  The
+    oracle is the FULL recompute, so incremental == full is
+    engine-checked.  Each fold costs one keyed exchange over |sessions|
+    rows — at 100 TB the nightly delta folds into summary-granularity
+    state instead of re-sorting the event history."""
+    from martech_pipelines_spark.operators import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    state = W.session_intervals(ev.where(F.col("event_id") % 3 == 0), _GAP_S)
+    for i in (1, 2):
+        delta = W.session_intervals(
+            ev.where(F.col("event_id") % 3 == i), _GAP_S
+        )
+        state = W.merge_session_intervals(state, delta, _GAP_S)
+    return W.numbered_sessions(state)
+
+
+# ---------------------------------------------------------------------------
+# r38: 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+_R38_ORACLE = """
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part
+    )
+    SELECT p_partkey, price_c, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+          AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+"""
+
+
+@q("r38_skyline", _R38_ORACLE)
+def r38_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over parts (minimize price, maximize size) — the
+    skyline operator.  The oracle states the textbook NOT EXISTS
+    dominance definition (quadratic); the engine plan is the scalable
+    form: collapse to a per-cost best-gain histogram (map-side combine,
+    |distinct prices| rows), one running-max scan over that tiny
+    table, broadcast the surviving frontier back onto the scan — the
+    full table is never self-joined or globally sorted.  Duplicate
+    (price, size) points tie and all survive, matching the strict
+    dominance rule."""
+    from martech_pipelines_spark.operators.windows import pareto_frontier_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return pareto_frontier_2d(p, "price_c", "p_size").select(
+        "p_partkey", "price_c", "p_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd17: cluster-capped diversity sampling
+# ---------------------------------------------------------------------------
+
+_DD17_CAP = 8
+
+_DD17_ORACLE = f"""
+    WITH {_CENT_CTES}, scored AS (
+        SELECT x.vec_id, c.cell,
+               CAST(list_dot_product(x.q, x.q) + list_dot_product(c.cq, c.cq)
+                    - 2*list_dot_product(x.q, c.cq) AS BIGINT) AS d2q
+        FROM xq x CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, cell, d2q FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2q, cell
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT cell, vec_id, d2q, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY cell ORDER BY d2q DESC, vec_id
+        ) AS BIGINT) AS rk FROM assign
+    ) WHERE rk <= {_DD17_CAP}
+"""
+
+
+@q("dd17_cluster_cap_sample", _DD17_ORACLE)
+def dd17_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity cap: every embedding assigned to its
+    nearest deterministic centroid (the s2e integer-exact kernel), at
+    most {cap} kept per cell ranked farthest-from-centroid first
+    (redundant near-centroid mass is what the cap prunes) with id
+    tie-breaks — the embedding-space counterpart of t23's per-domain
+    cap, run between near-dedup and mixture sampling so no dense region
+    dominates the training set.  Centroids broadcast; assignment
+    collapses map-side; the one window pass shuffles (id, cell, d2q)
+    rows only and WindowGroupLimit prunes to the cap before the final
+    project.  Swap in trained KMeans centroids for the production form
+    (recall/balance gates); the plan is identical."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cluster_cap_sample(emb, nlist=_NLIST, cap=_DD17_CAP, keep="far")
+
+
+# ---------------------------------------------------------------------------
+# t49: per-source n-gram novelty vs a reference corpus
+# ---------------------------------------------------------------------------
+
+_T49_W = 8
+
+_T49_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex({_DUCK_NORM.format(col='text')},
+                   '[^a-z0-9'']+'), x -> x <> '') AS t
+        FROM documents
+    ), win AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   t[CAST(i AS INTEGER):CAST(i + {_T49_W - 1} AS INTEGER)], ' '
+               )) AS h
+        FROM toks, unnest(range(1, len(t) - {_T49_W - 2})) u(i)
+        WHERE len(t) >= {_T49_W}
+    ), ref_h AS (
+        SELECT DISTINCT h FROM win WHERE doc_id % 2 = 0
+    ), cand AS (
+        SELECT DISTINCT source, h FROM win WHERE doc_id % 2 = 1
+    ), flags AS (
+        SELECT c.source,
+               CASE WHEN r.h IS NULL THEN 1 ELSE 0 END AS novel
+        FROM cand c LEFT JOIN ref_h r USING (h)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS novel_grams,
+           CAST((CAST(sum(novel) AS BIGINT) * 20000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS novelty_e4
+    FROM flags GROUP BY source
+"""
+
+
+@q("t49_ngram_novelty", _T49_ORACLE)
+def t49_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 8-gram novelty: the share of each source's candidate
+    slice (doc_id odd) whose distinct token windows never occur in the
+    reference slice (doc_id even) — the "does this crawl add anything"
+    intake report, dd9's machinery pointed at sources instead of docs.
+    Reference hash set broadcast, candidate side one scan collapsed to
+    distinct (source, hash) map-side, then a |sources|-row agg; the
+    ratio is a half-up BIGINT e4 (t39 recipe), so the whole report is
+    engine-exact."""
+    from martech_pipelines_spark.operators.text import ngram_novelty_by_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty_by_source(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        w=_T49_W,
+    )
+
+
+# ---------------------------------------------------------------------------
+# s25: IVF recall-vs-probes tuning curve (deterministic end to end)
+# ---------------------------------------------------------------------------
+
+_S25_PROBES = (1, 2, 4)
+_S25_K = 5
+
+_COS_SQL = """round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4)"""
+
+
+def _s25_oracle() -> str:
+    """One probe/cand/score/select CTE chain per nprobe (each the exact
+    s2g SQL with a different rn cutoff), one exact-ranker CTE, and a
+    per-nprobe LEFT JOIN recall row — the whole tuning curve as a
+    single statement."""
+    k = _S25_K
+    blocks = [
+        f"""exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   {_COS_SQL} AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_SQL} DESC, e.vec_id ASC
+                   ) AS rnk
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id % 10 = 0
+              AND {_COS_SQL} IS NOT NULL
+        ) WHERE rnk <= {k}
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT x.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probe_rank AS (
+        SELECT query_id, cell, rn FROM (
+            SELECT x.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+            WHERE x.vec_id % 10 = 0
+        )
+    )"""
+    ]
+    rows = []
+    for p in _S25_PROBES:
+        blocks.append(
+            f"""sel{p} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY s.cos_sim DESC, s.vec_id ASC
+                   ) AS rnk
+            FROM (
+                SELECT pr.query_id, a.vec_id, {_COS_SQL} AS cos_sim
+                FROM probe_rank pr
+                JOIN assign a USING (cell)
+                JOIN embeddings q ON q.vec_id = pr.query_id
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                WHERE pr.rn <= {p} AND {_COS_SQL} IS NOT NULL
+            ) s
+        ) WHERE rnk <= {k}
+    )"""
+        )
+        rows.append(
+            f"""SELECT CAST({p} AS BIGINT) AS nprobe,
+           CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(a.vec_id) AS BIGINT) AS hits,
+           CAST((CAST(count(a.vec_id) AS BIGINT) * 20000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS recall_e4
+    FROM exact x LEFT JOIN sel{p} a
+      ON a.query_id = x.query_id AND a.vec_id = x.vec_id"""
+        )
+    return (
+        "WITH " + _CENT_CTES + ", " + ",\n    ".join(blocks)
+        + "\n    " + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+@q("s25_recall_vs_probes", _s25_oracle())
+def s25_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: recall@5 of the deterministic IVF searcher
+    (s2g, unchanged) at nprobe = 1/2/4 against the exact ranker (s1,
+    unchanged) — the accuracy-vs-cost trade every deployment reads
+    before fixing its probe budget, and because every stage is
+    deterministic the ENTIRE curve is value-checked against DuckDB
+    (trained-KMeans indexes report the same curve behind recall gates
+    instead).  One branch per nprobe unioned into a 3-row report; the
+    exact ranker re-evaluates per branch (|Q| x N broadcast scoring —
+    measured cheaper than a persist barrier at this query count, the
+    mart10 lesson), and the ratio is a half-up BIGINT e4."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(queries, emb, k=_S25_K).select(
+        "query_id", "vec_id"
+    )
+    parts = []
+    for p in _S25_PROBES:
+        appr = SIM.ivf_deterministic_topk(
+            queries, emb, nlist=_NLIST, nprobe=p, k=_S25_K
+        ).select(
+            F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+        )
+        joined = exact.join(
+            appr,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        parts.append(
+            joined.agg(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.count_distinct("query_id").cast("long").alias("n_queries"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.count("a_vid").cast("long").alias("hits"),
+                F.expr(
+                    "(count(a_vid) * CAST(20000 AS BIGINT) + count(*))"
+                    " div (2 * count(*))"
+                ).cast("long").alias("recall_e4"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipe11: dataset-card summary report
+# ---------------------------------------------------------------------------
+
+_PIPE11_ORACLE = f"""
+    WITH base AS (
+        SELECT source, lang, n_chars,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '')) AS BIGINT) AS n_toks,
+               md5({_DUCK_NORM.format(col='text')}) AS fp
+        FROM documents
+    ), agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        FROM base GROUP BY 1
+    ), hist AS (
+        SELECT source, n_chars AS y, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), cum AS (
+        SELECT source, y, cnt,
+               sum(cnt) OVER (
+                   PARTITION BY source ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c,
+               sum(cnt) OVER (PARTITION BY source) AS n
+        FROM hist
+    ), pct AS (
+        SELECT source,
+               min(CASE WHEN c >= ceil(n * 0.50) THEN y END) AS p50_chars,
+               min(CASE WHEN c >= ceil(n * 0.90) THEN y END) AS p90_chars
+        FROM cum GROUP BY source
+    )
+    SELECT agg.*, pct.p50_chars, pct.p90_chars
+    FROM agg JOIN pct USING (source)
+"""
+
+
+@q("pipe11_dataset_card", _PIPE11_ORACLE)
+def pipe11_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card intake report, per source: doc count, language
+    count, exact-duplicate count (docs minus distinct normalized-text
+    fingerprints), char/token totals, and EXACT p50/p90 length
+    percentiles by the r29 histogram rule.  Two keyed passes over one
+    scan: a 5-metric agg (the two DISTINCTs expand the skinny projected
+    rows 3x map-side — measured cheaper than two extra shuffle
+    lineages) plus the domain-bounded length histogram, joined on
+    |sources| rows.  Every output column is BIGINT — the report a
+    corpus release ships next to its mixture weights (t16/t46)."""
+    from martech_pipelines_spark.operators.text import (
+        fingerprint,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count(F.col("text")).cast("long").alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.count_distinct("fp")).cast("long").alias("dup_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+    hist = docs.groupBy("source", F.col("n_chars").alias("y")).agg(
+        F.count("*").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "y",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    pct = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.50)), F.col("y"))
+        ).cast("long").alias("p50_chars"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.90)), F.col("y"))
+        ).cast("long").alias("p90_chars"),
+    )
+    return agg.join(pct, "source")

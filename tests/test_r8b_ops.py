@@ -1,0 +1,192 @@
+"""Round-8b operator tests: mergeable session-interval state, Pareto
+frontier, cluster-cap sampling, n-gram novelty."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import windows as W
+from martech_pipelines_spark.operators import similarity as SIM
+from martech_pipelines_spark.operators.text import ngram_novelty_by_source
+
+GAP = 30 * 60
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)) for u, s in rows],
+        "user_id long, ts timestamp",
+    )
+
+
+def _sessions(df):
+    return sorted(
+        (r["user_id"], r["session_seq"], r["start_s"], r["end_s"], r["n_events"])
+        for r in df.collect()
+    )
+
+
+# --- session-interval state ---------------------------------------------------
+
+
+def test_session_intervals_basic_islands(spark):
+    ev = _events(spark, [(1, 0), (1, 100), (1, 100 + GAP + 1), (2, 0)])
+    out = W.numbered_sessions(W.session_intervals(ev, GAP))
+    got = _sessions(out)
+    assert [(u, q, n) for u, q, _, _, n in got] == [(1, 1, 2), (1, 2, 1), (2, 1, 1)]
+
+
+def test_session_boundary_gap_exactly_equal_stays_merged(spark):
+    # strict-> convention: gap == GAP does NOT split (matches r35/w3)
+    ev = _events(spark, [(1, 0), (1, GAP)])
+    out = W.session_intervals(ev, GAP)
+    assert out.count() == 1
+
+
+def test_merge_bridging_event_joins_two_state_sessions(spark):
+    # state sessions at [0] and [2*GAP - 20]; a delta event in between
+    # is within GAP of both -> the merge must collapse all three into one
+    state = W.session_intervals(_events(spark, [(1, 0), (1, 2 * GAP - 20)]), GAP)
+    assert state.count() == 2
+    delta = W.session_intervals(_events(spark, [(1, GAP - 10)]), GAP)
+    merged = W.merge_session_intervals(state, delta, GAP)
+    rows = merged.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 3
+
+
+def test_merge_overlapping_interval_inside_session(spark):
+    # delta events INTERLEAVED inside an existing session's interval
+    state = W.session_intervals(_events(spark, [(1, 0), (1, 600), (1, 1200)]), GAP)
+    delta = W.session_intervals(_events(spark, [(1, 300), (1, 900)]), GAP)
+    merged = W.merge_session_intervals(state, delta, GAP)
+    rows = merged.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 5
+
+
+def test_merge_keeps_far_sessions_separate(spark):
+    state = W.session_intervals(_events(spark, [(1, 0)]), GAP)
+    delta = W.session_intervals(_events(spark, [(1, GAP + 1), (2, 0)]), GAP)
+    merged = W.merge_session_intervals(state, delta, GAP)
+    assert merged.count() == 3  # user1 x2 (gap just over), user2 x1
+
+
+def test_random_split_merge_equals_full_recompute(spark):
+    # the closure property under an adversarial random split
+    rng = random.Random(8)
+    rows = []
+    for u in range(5):
+        t = 0
+        for _ in range(40):
+            t += rng.choice([5, 60, GAP, GAP + 1, 3 * GAP])
+            rows.append((u, t))
+    ev = _events(spark, rows)
+    full = _sessions(W.numbered_sessions(W.session_intervals(ev, GAP)))
+    mark = ev.withColumn("b", F.pmod(F.xxhash64("user_id", "ts"), F.lit(3)))
+    state = W.session_intervals(mark.where(F.col("b") == 0), GAP)
+    for i in (1, 2):
+        state = W.merge_session_intervals(
+            state, W.session_intervals(mark.where(F.col("b") == i), GAP), GAP
+        )
+    assert _sessions(W.numbered_sessions(state)) == full
+
+
+# --- pareto frontier ----------------------------------------------------------
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id long, cost long, gain long")
+
+
+def test_pareto_basic_dominance(spark):
+    df = _pts(spark, [(1, 10, 5), (2, 20, 4), (3, 5, 1), (4, 30, 9)])
+    # (2) dominated by (1); (3) survives (cheapest); (4) best gain
+    got = sorted(r["id"] for r in W.pareto_frontier_2d(df, "cost", "gain").collect())
+    assert got == [1, 3, 4]
+
+
+def test_pareto_duplicate_points_both_survive(spark):
+    df = _pts(spark, [(1, 10, 5), (2, 10, 5)])
+    assert W.pareto_frontier_2d(df, "cost", "gain").count() == 2
+
+
+def test_pareto_same_cost_lower_gain_dominated(spark):
+    df = _pts(spark, [(1, 10, 5), (2, 10, 4)])
+    got = [r["id"] for r in W.pareto_frontier_2d(df, "cost", "gain").collect()]
+    assert got == [1]
+
+
+def test_pareto_matches_quadratic_definition(spark):
+    rng = random.Random(38)
+    rows = [(i, rng.randrange(20), rng.randrange(20)) for i in range(200)]
+    df = _pts(spark, rows)
+    got = sorted(r["id"] for r in W.pareto_frontier_2d(df, "cost", "gain").collect())
+    want = sorted(
+        i
+        for (i, c, g) in rows
+        if not any(
+            (c2 <= c and g2 >= g and (c2 < c or g2 > g))
+            for (_, c2, g2) in rows
+        )
+    )
+    assert got == want
+
+
+# --- cluster-cap sampling -----------------------------------------------------
+
+
+def test_cluster_cap_respects_cap_and_determinism(spark, sf_dir):
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cluster_cap_sample(emb, nlist=4, cap=3, keep="far")
+    per_cell = out.groupBy("cell").count().collect()
+    assert all(r["count"] <= 3 for r in per_cell)
+    # deterministic across runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, SIM.cluster_cap_sample(emb, nlist=4, cap=3, keep="far").collect()))
+    assert a == b
+
+
+def test_cluster_cap_near_keeps_prototypes(spark, sf_dir):
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    far = SIM.cluster_cap_sample(emb, nlist=4, cap=3, keep="far")
+    near = SIM.cluster_cap_sample(emb, nlist=4, cap=3, keep="near")
+    fmax = far.agg(F.min("d2q")).collect()[0][0]
+    nmax = near.agg(F.max("d2q")).collect()[0][0]
+    # the farthest-kept set sits at larger distances than the nearest-kept
+    assert fmax >= nmax or far.count() <= 3
+
+
+# --- n-gram novelty -----------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_novelty_all_novel_and_all_seen(spark):
+    text = "one two three four five six seven eight nine"
+    ref = _docs(spark, [(0, text, "a")])
+    cand_same = _docs(spark, [(1, text, "a")])
+    out = ngram_novelty_by_source(cand_same, ref).collect()[0]
+    assert out["novel_grams"] == 0 and out["novelty_e4"] == 0
+    cand_new = _docs(
+        spark, [(1, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "a")]
+    )
+    out2 = ngram_novelty_by_source(cand_new, ref).collect()[0]
+    assert out2["novel_grams"] == out2["n_grams"] and out2["novelty_e4"] == 10000
+
+
+def test_novelty_half_up_ratio(spark):
+    # 9-token doc -> 2 windows; one shared with ref, one novel
+    ref = _docs(spark, [(0, "one two three four five six seven eight x", "a")])
+    cand = _docs(spark, [(1, "one two three four five six seven eight nine", "a")])
+    out = ngram_novelty_by_source(cand, ref).collect()[0]
+    assert (out["n_grams"], out["novel_grams"], out["novelty_e4"]) == (2, 1, 5000)
