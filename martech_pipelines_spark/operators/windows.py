@@ -244,23 +244,18 @@ def session_intervals(
     ).drop("__sid")
 
 
-def merge_session_intervals(
-    state: DataFrame,
-    delta: DataFrame,
+def coalesce_session_intervals(
+    both: DataFrame,
     gap_s: int = 30 * 60,
     key_col: str = "user_id",
 ) -> DataFrame:
-    """EXACT merge of two session-interval state tables (see
-    ``session_intervals`` for why this is lossless): gaps-and-islands
-    over the interval union — a new island starts iff the interval's
-    start exceeds the running max end of earlier intervals by MORE than
-    the gap (same strict-``>`` convention as the event-level flag).
-
-    Cost is one keyed exchange over |sessions| rows (already collapsed
-    from events), which is what a 100-TB nightly session-maintenance
-    job wants: deltas fold into state at summary granularity."""
-    both = state.unionByName(delta)
-    w = Window.partitionBy(key_col).orderBy("start_us", "end_us")
+    """Collapse ANY union of session-interval tables (see
+    ``session_intervals`` for why this is lossless) in one pass:
+    gaps-and-islands over the intervals — a new island starts iff the
+    interval's start exceeds the running max end of earlier intervals
+    by MORE than the gap (same strict-``>`` convention as the
+    event-level flag).  N-way merges (streaming batch partitions) cost
+    the same single keyed exchange as a 2-way fold."""
     run_end = F.max("end_us").over(
         Window.partitionBy(key_col)
         .orderBy("start_us", "end_us")
@@ -286,6 +281,22 @@ def merge_session_intervals(
         F.max("end_us").alias("end_us"),
         F.sum("n_events").cast("long").alias("n_events"),
     ).drop("__isl")
+
+
+def merge_session_intervals(
+    state: DataFrame,
+    delta: DataFrame,
+    gap_s: int = 30 * 60,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """EXACT fold of a delta interval table into session state — the
+    2-way form of ``coalesce_session_intervals``.  Cost is one keyed
+    exchange over |sessions| rows (already collapsed from events),
+    which is what a 100-TB nightly session-maintenance job wants:
+    deltas fold in at summary granularity."""
+    return coalesce_session_intervals(
+        state.unionByName(delta), gap_s, key_col
+    )
 
 
 def numbered_sessions(

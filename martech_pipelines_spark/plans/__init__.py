@@ -136,6 +136,8 @@ _WINDOW_PRIORITY = [
     "t49_ngram_novelty",
     "s25_recall_vs_probes",
     "pipe11_dataset_card",
+    "h22_incremental_skyline",
+    "a12_partitioned_pruned_scan",
 ]
 
 

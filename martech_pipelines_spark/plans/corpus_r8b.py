@@ -507,3 +507,111 @@ def pipe11_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("p90_chars"),
     )
     return agg.join(pct, "source")
+
+
+# ---------------------------------------------------------------------------
+# h22: incremental skyline maintenance (shares r38's oracle)
+# ---------------------------------------------------------------------------
+
+
+@q("h22_incremental_skyline", _R38_ORACLE)  # SHARES r38's oracle
+def h22_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM proof for the skyline: sky(A UNION B) == sky(sky(A) UNION
+    sky(B)) (dominance is transitive, so points dominated within a
+    slice stay dominated globally) — the frontier itself is the
+    mergeable state.  The part table split into three arbitrary slices,
+    each reduced to its frontier, the frontiers folded pairwise through
+    the same operator; the oracle is r38's full NOT EXISTS recompute,
+    so incremental == full is engine-checked.  At 100 TB the nightly
+    delta folds its own (tiny) frontier into the running frontier —
+    no rescan of history, the h16/h21 discipline on an op whose state
+    is orders of magnitude smaller than its input."""
+    from martech_pipelines_spark.operators.windows import pareto_frontier_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    state = pareto_frontier_2d(
+        p.where(F.col("p_partkey") % 3 == 0), "price_c", "p_size"
+    )
+    for i in (1, 2):
+        delta = pareto_frontier_2d(
+            p.where(F.col("p_partkey") % 3 == i), "price_c", "p_size"
+        )
+        state = pareto_frontier_2d(
+            state.unionByName(delta), "price_c", "p_size"
+        )
+    return state.select("p_partkey", "price_c", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# a12: hive-partitioned layout + partition-pruned scan
+# ---------------------------------------------------------------------------
+
+# Build-once-per-process layout cache keyed by sf_dir (the pipe10b
+# convention): the first call pays the partitioned rewrite, every later
+# call is the pruned read the layout exists to serve.
+_A12_LAYOUT: dict[str, str] = {}
+
+
+def _a12_layout(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    path = _A12_LAYOUT.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="events_by_type_")
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+        _A12_LAYOUT[sf_dir] = path
+    return path
+
+
+_A12_TYPES = ("purchase", "signup")
+
+_A12_ORACLE = f"""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    WHERE event_type IN {_A12_TYPES!r}
+    GROUP BY 1, 2
+"""
+
+
+@q("a12_partitioned_pruned_scan", _A12_ORACLE)
+def a12_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition-PRUNED read: the events table
+    rewritten ``partitionBy(event_type)`` once per process, then a
+    two-type daily revenue report read through the layout — the filter
+    resolves against DIRECTORY NAMES at planning time (PartitionFilters
+    in the scan node, plan-asserted in tests/test_r8b_ops.py), so the
+    3/5 non-matching partitions are never opened.  This is the base
+    layout decision for any 100-TB event store (partition by coarse
+    selective key, z-order within — z1 — for the fine keys); the oracle
+    reads the original unpartitioned parquet, value-checking the
+    round-trip through the layout as well as the pruning."""
+    lay = _a12_layout(spark, sf_dir)
+    ev = spark.read.parquet(lay)
+    return (
+        ev.where(F.col("event_type").isin(*_A12_TYPES))
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("value_cents"),
+        )
+    )

@@ -1213,3 +1213,70 @@ def streaming_rolling_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session-state maintenance (h21's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def apply_session_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str, gap_s: int = 30 * 60
+) -> None:
+    """One fold of ``streaming_session_maintenance``: reduce the
+    micro-batch to its session-interval summaries and write them to the
+    state table's ``batch_id={N}`` partition with OVERWRITE.
+
+    Interval counts are NOT idempotent under union (n_events would
+    double on replay), so the fold uses the covariance convention:
+    keying the write by batch_id makes at-least-once replays
+    effectively exactly-once — a replayed batch overwrites its own
+    partition with identical content."""
+    from martech_pipelines_spark.operators.windows import session_intervals
+
+    session_intervals(batch_df, gap_s).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_session_maintenance(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    gap_s: int = 30 * 60,
+) -> "object":
+    """Continuously maintain per-user session summaries from an event
+    stream — the streaming twin of ``h21_incremental_sessionize``:
+    each micro-batch lands as one interval-summary partition (session
+    intervals are MERGEABLE under arbitrary splits, so out-of-order
+    batch boundaries cost nothing), and ``read_session_state`` renders
+    the numbered session table on demand.  Because the merge is exact,
+    the streamed state is identical to a batch recompute over the same
+    rows — pinned in test_streaming."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_session_batch(batch_df, batch_id, state_path, gap_s)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_session_state(
+    spark: SparkSession, state_path: str, gap_s: int = 30 * 60
+) -> DataFrame:
+    """Render the session table from the per-batch interval partitions:
+    ONE gaps-and-islands pass over the union (N-way merge costs the
+    same keyed exchange as a 2-way fold), then per-user numbering."""
+    from martech_pipelines_spark.operators.windows import (
+        coalesce_session_intervals,
+        numbered_sessions,
+    )
+
+    parts = spark.read.parquet(state_path).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    return numbered_sessions(coalesce_session_intervals(parts, gap_s))

@@ -190,3 +190,39 @@ def test_novelty_half_up_ratio(spark):
     cand = _docs(spark, [(1, "one two three four five six seven eight nine", "a")])
     out = ngram_novelty_by_source(cand, ref).collect()[0]
     assert (out["n_grams"], out["novel_grams"], out["novelty_e4"]) == (2, 1, 5000)
+
+
+# --- incremental skyline / partitioned layout --------------------------------
+
+
+def test_skyline_merge_equals_full(spark):
+    rng = random.Random(22)
+    rows = [(i, rng.randrange(15), rng.randrange(15)) for i in range(300)]
+    df = _pts(spark, rows)
+    full = sorted(r["id"] for r in W.pareto_frontier_2d(df, "cost", "gain").collect())
+    state = W.pareto_frontier_2d(df.where(F.col("id") % 3 == 0), "cost", "gain")
+    for i in (1, 2):
+        delta = W.pareto_frontier_2d(df.where(F.col("id") % 3 == i), "cost", "gain")
+        state = W.pareto_frontier_2d(state.unionByName(delta), "cost", "gain")
+    assert sorted(r["id"] for r in state.collect()) == full
+
+
+def test_a12_scan_is_partition_pruned(spark, sf_dir):
+    from martech_pipelines_spark.plans.corpus_r8b import (
+        _A12_TYPES,
+        _a12_layout,
+    )
+
+    lay = _a12_layout(spark, sf_dir)
+    pruned = spark.read.parquet(lay).where(
+        F.col("event_type").isin(*_A12_TYPES)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # and the pruned read touches only the two matching partitions
+    import glob
+
+    dirs = {d.split("=")[-1] for d in glob.glob(lay + "/event_type=*")}
+    assert set(_A12_TYPES) <= dirs and len(dirs) == 5

@@ -1289,3 +1289,58 @@ def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
     assert any(v[3] for v in got.values()) or all(
         v[2] is not None for v in list(got.values())[:5]
     )
+
+
+def test_streaming_session_maintenance_matches_batch(spark, tmp_path):
+    """h21's streaming twin: per-batch session-interval partitions
+    coalesced at read must equal the batch sessionization of the same
+    events, and a batch_id-keyed replay is a no-op (overwrite of an
+    identical partition)."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.operators.windows import (
+        numbered_sessions,
+        session_intervals,
+    )
+    from martech_pipelines_spark.streaming.stream import (
+        apply_session_batch,
+        read_session_state,
+        stream_events_source,
+        streaming_session_maintenance,
+    )
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    ev = load_table(spark, SF, "events")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"slice{i}"))
+        src = _g.glob(str(tmp_path / f"slice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    state = str(tmp_path / "sess_state")
+    stream = stream_events_source(spark, str(d))
+    q = streaming_session_maintenance(
+        stream, state, str(tmp_path / "sess_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_session_state(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in numbered_sessions(session_intervals(ev)).collect()
+    }
+    assert got == want
+
+    # replaying batch 0 overwrites its own partition with identical
+    # content -> the rendered table is unchanged
+    bdirs = sorted(_g.glob(state + "/batch_id=*"))
+    assert len(bdirs) == 3
+    apply_session_batch(ev.where(F.col("event_id") % 3 == 0), 0, state)
+    again = {tuple(r) for r in read_session_state(spark, state).collect()}
+    assert again == want
