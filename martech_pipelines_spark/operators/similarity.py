@@ -3072,3 +3072,94 @@ def cluster_cap_sample(
         .where(F.col("rk") <= cap)
         .select("cell", id_col, "d2q", "rk")
     )
+
+
+def ivf_probe_sweep_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    probes: tuple = (1, 2, 4),
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    quantize: int = 6,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Deterministic IVF search at SEVERAL probe budgets in one pass —
+    the parameter-sweep harness behind the recall-vs-nprobe tuning
+    curve (s25).  Because sorted probe sets are NESTED (the nprobe=1
+    set is a prefix of the nprobe=4 set), the corpus is scored ONCE
+    against the max-probe candidate set with each candidate tagged by
+    its cell's probe_rank; every smaller budget is then a filter + 
+    per-query top-k window over that persisted skinny table.  Result
+    rows are IDENTICAL to per-budget ``ivf_deterministic_topk`` calls
+    (pinned in tests) at ~1/sum(p_i) of the scoring work.
+
+    Output: (nprobe, query_id, vec_id, cos_sim, rnk)."""
+    from martech_pipelines_spark import caching
+
+    max_p = max(probes)
+    cent_rows = modular_representatives(
+        corpus, nlist=nlist, vec_col=corpus_vec, id_col=corpus_id
+    ).collect()  # control-plane: nlist x dim
+
+    cells = _quantized_cell_structs(
+        _as_double(F.col(corpus_vec)), cent_rows, quantize
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        _as_double(F.col(corpus_vec)).alias("__v"),
+        F.array_min(cells)["cell"].alias("cell"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    c = caching.register(c.persist())  # same barrier rationale as s2g
+
+    qcells = _quantized_cell_structs(
+        _as_double(F.col(query_vec)), cent_rows, quantize
+    )
+    qrows = queries.select(
+        F.col(query_id).alias("__qid"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+        F.posexplode(
+            F.transform(
+                F.slice(F.array_sort(qcells), 1, max_p), lambda s: s["cell"]
+            )
+        ).alias("__pr0", "cell"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+
+    denom = F.col("__qn") * F.col("__n")
+    scored = F.broadcast(qrows).join(c, "cell").select(
+        F.col("__qid").alias(query_id),
+        F.col(corpus_id),
+        (F.col("__pr0") + 1).alias("probe_rank"),
+        F.round(
+            F.when(denom > 0, dot(F.col("__qv"), F.col("__v")) / denom),
+            round_dp,
+        ).alias("cos_sim"),
+    ).where(F.col("cos_sim").isNotNull())
+    # the sweep's whole point: materialize the scored candidates once,
+    # serve every budget from the (|Q| x candidates) skinny table
+    scored = caching.register(scored.persist())
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.col(corpus_id).asc()
+    )
+    parts = []
+    for p in probes:
+        parts.append(
+            scored.where(F.col("probe_rank") <= p)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                query_id,
+                corpus_id,
+                "cos_sim",
+                "rnk",
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

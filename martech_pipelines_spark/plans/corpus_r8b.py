@@ -367,48 +367,54 @@ def s25_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     before fixing its probe budget, and because every stage is
     deterministic the ENTIRE curve is value-checked against DuckDB
     (trained-KMeans indexes report the same curve behind recall gates
-    instead).  One branch per nprobe unioned into a 3-row report; the
-    exact ranker re-evaluates per branch (|Q| x N broadcast scoring —
-    measured cheaper than a persist barrier at this query count, the
-    mart10 lesson), and the ratio is a half-up BIGINT e4."""
+    instead).  Plan shape: the exact ranker runs ONCE (persisted —
+    |Q| x k rows behind the one expensive all-pairs lineage) and the
+    IVF side runs as ``ivf_probe_sweep_topk`` — nested probe sets mean
+    one max-probe scoring pass serves every budget from a persisted
+    skinny candidate table, ~1/7 of the three-independent-searches
+    scoring work.  Hits land in one inner join grouped by nprobe; the
+    ratio is a half-up BIGINT e4."""
+    from martech_pipelines_spark import caching
     from martech_pipelines_spark.operators import similarity as SIM
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = SIM.brute_force_topk(queries, emb, k=_S25_K).select(
-        "query_id", "vec_id"
+    exact = caching.register(
+        SIM.brute_force_topk(queries, emb, k=_S25_K)
+        .select("query_id", "vec_id")
+        .persist()
     )
-    parts = []
-    for p in _S25_PROBES:
-        appr = SIM.ivf_deterministic_topk(
-            queries, emb, nlist=_NLIST, nprobe=p, k=_S25_K
-        ).select(
-            F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    sweep = SIM.ivf_probe_sweep_topk(
+        queries, emb, nlist=_NLIST, probes=_S25_PROBES, k=_S25_K
+    ).select("nprobe", "query_id", "vec_id")
+    hits = (
+        exact.join(sweep, ["query_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    totals = exact.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    grid = spark.createDataFrame(
+        [(int(p),) for p in _S25_PROBES], "nprobe long"
+    )
+    return (
+        grid.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(hits), "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_pairs",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                "(coalesce(hits, 0) * CAST(20000 AS BIGINT) + n_pairs)"
+                " div (2 * n_pairs)"
+            ).cast("long").alias("recall_e4"),
         )
-        joined = exact.join(
-            appr,
-            (F.col("query_id") == F.col("a_qid"))
-            & (F.col("vec_id") == F.col("a_vid")),
-            "left",
-        )
-        parts.append(
-            joined.agg(
-                F.lit(p).cast("long").alias("nprobe"),
-                F.count_distinct("query_id").cast("long").alias("n_queries"),
-                F.count("*").cast("long").alias("n_pairs"),
-                F.count("a_vid").cast("long").alias("hits"),
-                F.expr(
-                    "(count(a_vid) * CAST(20000 AS BIGINT) + count(*))"
-                    " div (2 * count(*))"
-                ).cast("long").alias("recall_e4"),
-            )
-        )
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionByName(df)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

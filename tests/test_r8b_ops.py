@@ -226,3 +226,28 @@ def test_a12_scan_is_partition_pruned(spark, sf_dir):
 
     dirs = {d.split("=")[-1] for d in glob.glob(lay + "/event_type=*")}
     assert set(_A12_TYPES) <= dirs and len(dirs) == 5
+
+
+def test_probe_sweep_equals_per_budget_searches(spark, sf_dir):
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sweep = SIM.ivf_probe_sweep_topk(
+        queries, emb, nlist=8, probes=(1, 3), k=4
+    ).collect()
+    for p in (1, 3):
+        solo = {
+            (r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+            for r in SIM.ivf_deterministic_topk(
+                queries, emb, nlist=8, nprobe=p, k=4
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+            for r in sweep
+            if r["nprobe"] == p
+        }
+        assert got == solo
