@@ -389,3 +389,45 @@ def link_prediction(
     return scored.orderBy(
         F.col("common_neighbors").desc(), "p1", "p2"
     ).limit(top_n)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection) with a
+    DETERMINISTIC update rule: every node starts as its own label; each
+    round, a node adopts the most frequent label among its neighbors,
+    ties to the SMALLEST label — so a fixed iteration count yields an
+    engine-exact assignment (the classic async/random-order LPA is
+    unreproducible by construction; sync + total tie-break is the form
+    a verification-first engine ships, same determinism contract as the
+    ANN family).  Output: (node, label) after ``iters`` rounds.
+
+    Scale shape per round: one join of the (src, dst) edge list against
+    the |V|-row label table (labels broadcast when dims allow, else a
+    keyed exchange) + one two-level mode aggregation with map-side
+    combine on (node, lab).  T rounds = T keyed shuffles of skinny
+    rows; no iteration ever touches more than |E| + |V| rows, the
+    large-star/small-star discipline (dedup.py CC) applied to
+    community labels."""
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).distinct()
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(iters):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("d"), "lab"), "d"
+        ).select(F.col("s").alias("node"), "lab")
+        counts = nbr.groupBy("node", "lab").agg(F.count("*").alias("c"))
+        best = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("__b")
+        )
+        labels = best.select("node", (-F.col("__b.nl")).alias("lab"))
+    return labels.select("node", F.col("lab").alias("label"))

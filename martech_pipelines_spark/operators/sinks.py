@@ -618,3 +618,87 @@ def write_training_shards(
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, sort_keys=True)
     return manifest
+
+
+# --- small-file compaction for hive-partitioned layouts ----------------------
+
+
+def _leaf_swap_names(root: str, leaf: str) -> tuple[str, str]:
+    """Dot-prefixed siblings for the leaf swap: Spark's partition
+    discovery ignores '.'/'_' entries, so readers NEVER see an
+    in-flight or abandoned swap as a phantom partition value."""
+    import os
+
+    return (
+        os.path.join(root, f".compact.{leaf}.next"),
+        os.path.join(root, f".compact.{leaf}.old"),
+    )
+
+
+def recover_partition_swaps(root: str) -> None:
+    """Crash recovery for ``compact_partition_dirs``: per leaf, drop a
+    stale ``.next`` (died mid-write — the live leaf is intact), restore
+    from ``.old`` when the leaf is missing (died between renames), drop
+    ``.old`` when the leaf is present (died before cleanup).  Cheap
+    (one listdir) — layout readers and the compactor both start here so
+    an interrupted compaction self-heals."""
+    import os
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        if not d.startswith(".compact."):
+            continue
+        leaf = d[len(".compact."):].rsplit(".", 1)[0]
+        nxt, old = _leaf_swap_names(root, leaf)
+        live = os.path.join(root, leaf)
+        if d.endswith(".next") and os.path.isdir(nxt):
+            shutil.rmtree(nxt)
+        elif d.endswith(".old"):
+            if not os.path.isdir(live):
+                os.rename(old, live)
+            else:
+                shutil.rmtree(old)
+
+
+def compact_partition_dirs(
+    spark, root: str, max_files: int = 1
+) -> dict:
+    """Small-file compaction for a HIVE-PARTITIONED layout (the a12
+    event store): every leaf ``col=value`` directory holding more than
+    ``max_files`` parquet files is rewritten to ``max_files`` via
+    coalesce and swapped in with the two-rename protocol — the nightly
+    answer to the streaming-ingest small-files problem (each
+    micro-batch appends a file per partition; scan cost at 100 TB is
+    driven by FILE COUNT as much as bytes, and a partition's read
+    degenerates to open/footer overhead long before data volume
+    matters).
+
+    Only dirty leaves are touched (contrast ``compact_batch_dirs``,
+    which folds a whole batch-keyed root); content multiset per leaf is
+    unchanged (pinned in tests) and a crash at ANY point self-heals via
+    ``recover_partition_swaps``.  Returns {leaf: files_before} for the
+    leaves rewritten.  Offline-maintenance contract: run with ingest
+    paused, like every compactor here."""
+    import os
+    import shutil
+
+    recover_partition_swaps(root)
+    done = {}
+    for leaf in sorted(os.listdir(root)):
+        live = os.path.join(root, leaf)
+        if "=" not in leaf or not os.path.isdir(live):
+            continue
+        files = [f for f in os.listdir(live) if f.endswith(".parquet")]
+        if len(files) <= max_files:
+            continue
+        nxt, old = _leaf_swap_names(root, leaf)
+        spark.read.parquet(live).coalesce(max_files).write.mode(
+            "overwrite"
+        ).parquet(nxt)
+        os.rename(live, old)
+        os.rename(nxt, live)
+        shutil.rmtree(old)
+        done[leaf] = len(files)
+    return done

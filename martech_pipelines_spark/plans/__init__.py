@@ -138,6 +138,7 @@ _WINDOW_PRIORITY = [
     "pipe11_dataset_card",
     "h22_incremental_skyline",
     "a12_partitioned_pruned_scan",
+    "g4_label_propagation",
 ]
 
 

@@ -621,3 +621,69 @@ def a12_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g4: deterministic label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_G4_ITERS = 3
+
+
+def _g4_oracle(iters: int = _G4_ITERS) -> str:
+    """The sync-LPA rounds unrolled as CTEs: round N joins the edge
+    list to round N-1's labels and takes the (count DESC, label ASC)
+    mode per node — the exact update rule of graph.label_propagation."""
+    blocks = [
+        """und AS (
+        SELECT a.p AS a, b.p AS b
+        FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem) b
+          ON a.k = b.k AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), sym AS (
+        SELECT a AS s, b AS d FROM und UNION SELECT b, a FROM und
+    ), lab0 AS (
+        SELECT DISTINCT s AS node, s AS lab FROM sym
+    )"""
+    ]
+    for n in range(1, iters + 1):
+        blocks.append(
+            f"""it{n} AS (
+        SELECT e.s AS node, l.lab, count(*) AS c
+        FROM sym e JOIN lab{n - 1} l ON l.node = e.d
+        GROUP BY 1, 2
+    ), lab{n} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, lab ASC
+            ) AS rn FROM it{n}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(blocks)
+        + f"\n    SELECT node, lab AS label FROM lab{iters}"
+    )
+
+
+@q("g4_label_propagation", _g4_oracle())
+def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the support>=2 co-purchase graph (g2b's
+    graph) via SYNCHRONOUS label propagation with a total tie-break
+    (most frequent neighbor label, ties to the smallest) for a fixed 3
+    rounds — deterministic by construction, so the full assignment
+    carries a DuckDB oracle with the rounds unrolled as CTEs (classic
+    async LPA is unreproducible; this is the verification-first form,
+    the same contract that made the ANN family oracle-able).  Per
+    round: one edge-label join + one two-level mode agg, T keyed
+    shuffles of skinny rows total."""
+    from martech_pipelines_spark.operators.graph import (
+        copurchase_edges_undirected,
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges_undirected(li, min_support=2).select("src", "dst")
+    return label_propagation(edges, iters=_G4_ITERS)

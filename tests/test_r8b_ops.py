@@ -251,3 +251,112 @@ def test_probe_sweep_equals_per_budget_searches(spark, sf_dir):
             if r["nprobe"] == p
         }
         assert got == solo
+
+
+# --- partitioned-layout small-file compaction ---------------------------------
+
+
+def _fragmented_layout(spark, sf_dir, tmp_path, nfiles=6):
+    from martech_pipelines_spark.sources import load_table
+
+    root = str(tmp_path / "events_layout")
+    (
+        load_table(spark, sf_dir, "events")
+        .repartition(nfiles)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(root)
+    )
+    return root
+
+
+def _layout_multiset(spark, root):
+    from collections import Counter
+
+    return Counter(
+        tuple(r) for r in spark.read.parquet(root).collect()
+    )
+
+
+def test_compact_partition_dirs_preserves_content(spark, sf_dir, tmp_path):
+    import glob
+
+    from martech_pipelines_spark.operators.sinks import compact_partition_dirs
+
+    root = _fragmented_layout(spark, sf_dir, tmp_path)
+    before = _layout_multiset(spark, root)
+    done = compact_partition_dirs(spark, root, max_files=1)
+    assert len(done) == 5 and all(n > 1 for n in done.values())
+    for leaf in done:
+        files = glob.glob(f"{root}/{leaf}/*.parquet")
+        assert len(files) == 1
+    assert _layout_multiset(spark, root) == before
+    # idempotent: second pass finds nothing dirty
+    assert compact_partition_dirs(spark, root, max_files=1) == {}
+
+
+def test_partition_swap_crash_recovery(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    from martech_pipelines_spark.operators.sinks import (
+        compact_partition_dirs,
+        recover_partition_swaps,
+    )
+
+    root = _fragmented_layout(spark, sf_dir, tmp_path)
+    before = _layout_multiset(spark, root)
+    leaf = "event_type=click"
+    live = os.path.join(root, leaf)
+
+    # crash A: died mid-write -> stale .next, live intact
+    nxt = os.path.join(root, f".compact.{leaf}.next")
+    shutil.copytree(live, nxt)
+    # readers ignore dot-dirs even before recovery
+    assert _layout_multiset(spark, root) == before
+    recover_partition_swaps(root)
+    assert not os.path.isdir(nxt)
+
+    # crash B: died between the two renames -> live missing, .old holds data
+    old = os.path.join(root, f".compact.{leaf}.old")
+    os.rename(live, old)
+    recover_partition_swaps(root)
+    assert os.path.isdir(live) and not os.path.isdir(old)
+    assert _layout_multiset(spark, root) == before
+
+    # crash C: died before cleanup -> live present, stale .old
+    shutil.copytree(live, old)
+    recover_partition_swaps(root)
+    assert not os.path.isdir(old)
+    assert _layout_multiset(spark, root) == before
+
+    # and a real compaction after all that still round-trips
+    compact_partition_dirs(spark, root, max_files=1)
+    assert _layout_multiset(spark, root) == before
+
+
+# --- label propagation --------------------------------------------------------
+
+
+def test_lpa_two_cliques_converge_to_min_labels(spark):
+    # two 3-cliques joined by nothing: every node adopts its clique min
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    from martech_pipelines_spark.operators.graph import label_propagation
+
+    got = {(r["node"], r["label"]) for r in label_propagation(edges, 3).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # node 5 sees labels {1, 2} once each after round 1 -> picks 1
+    edges = spark.createDataFrame([(1, 5), (2, 5)], "src long, dst long")
+    from martech_pipelines_spark.operators.graph import label_propagation
+
+    got = dict(
+        (r["node"], r["label"])
+        for r in label_propagation(edges, 1).collect()
+    )
+    assert got[5] == 1
