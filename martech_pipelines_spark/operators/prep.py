@@ -244,3 +244,81 @@ def prep_funnel_report(
         .unionByName(stage(3, "train_split", train))
         .unionByName(decon)
     )
+
+
+# --- mergeable dataset-card state (pipe11's incremental form) ----------------
+
+
+def dataset_card_state(docs: DataFrame) -> DataFrame:
+    """Reduce a document batch to MERGEABLE dataset-card state: one row
+    per (source, lang, fp, n_chars) carrying the doc count and token
+    sum.  Every pipe11 card metric is a fold over this table —
+    counts/sums directly, language and exact-dup distincts as
+    state-row counts, exact percentiles from the embedded n_chars
+    histogram — and two states merge by summing counts, so nightly doc
+    deltas fold in without rescanning history.  State size is bounded
+    by |distinct docs| (the fp column IS the exact-dedup index, the
+    honest floor for any card that reports a dup rate)."""
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            TX.token_count(F.col("text")).cast("long").alias("__tk"),
+            TX.fingerprint(F.col("text")).alias("fp"),
+        )
+        .groupBy("source", "lang", "fp", "n_chars")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__tk").cast("long").alias("toks"),
+        )
+    )
+
+
+def merge_card_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two card states (sum the count/token cells per key)."""
+    return (
+        a.unionByName(b)
+        .groupBy("source", "lang", "fp", "n_chars")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("toks").cast("long").alias("toks"),
+        )
+    )
+
+
+def render_dataset_card(state: DataFrame) -> DataFrame:
+    """The pipe11 per-source card read off the state table: one agg for
+    counts/distincts/sums, the r29 histogram rule for exact p50/p90
+    lengths, joined on |sources| rows."""
+    agg = state.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        (F.sum("n") - F.count_distinct("fp")).cast("long").alias("dup_docs"),
+        F.sum(F.col("n") * F.col("n_chars")).cast("long").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )
+    hist = state.groupBy("source", F.col("n_chars").alias("y")).agg(
+        F.sum("n").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "y",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    pct = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.50)), F.col("y"))
+        ).cast("long").alias("p50_chars"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.90)), F.col("y"))
+        ).cast("long").alias("p90_chars"),
+    )
+    return agg.join(pct, "source")

@@ -139,6 +139,8 @@ _WINDOW_PRIORITY = [
     "h22_incremental_skyline",
     "a12_partitioned_pruned_scan",
     "g4_label_propagation",
+    "t50_char_entropy",
+    "pipe12_incremental_dataset_card",
 ]
 
 

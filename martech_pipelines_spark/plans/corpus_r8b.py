@@ -687,3 +687,86 @@ def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges_undirected(li, min_support=2).select("src", "dst")
     return label_propagation(edges, iters=_G4_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# t50: per-document character entropy (gibberish/noise quality signal)
+# ---------------------------------------------------------------------------
+
+_T50_ORACLE = """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+        FROM documents WHERE length(text) > 0
+    ), hist AS (
+        SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           round(ln(CAST(sum(cnt) AS DOUBLE))
+                 - sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))
+                   / CAST(sum(cnt) AS BIGINT), 4) AS entropy_nats
+    FROM hist GROUP BY doc_id
+"""
+
+
+@q("t50_char_entropy", _T50_ORACLE)
+def t50_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats/char via
+    H = ln n - (1/n)*sum c*ln c over the char histogram) — the
+    gibberish/boilerplate detector that catches what word-level filters
+    miss (base64 blobs and key-mash read as 'words'; their char
+    distribution doesn't).  Sits next to t4/t13 in the quality-filter
+    bank.  Plan: one explode collapsed map-side to |docs| x |alphabet|
+    histogram rows, then a per-doc fold — the word-count shape at char
+    granularity.  The log form follows t17's driver-proven contract
+    (identical expression tree both engines, round-4, boundary-audited
+    by tools/audit_rounding.py)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    hist = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "")).alias("c")
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt").cast("long")
+    return hist.groupBy("doc_id").agg(
+        n.alias("n_chars"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.round(
+            F.log(F.sum("cnt").cast("double"))
+            - F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+            / F.sum("cnt").cast("long"),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe12: incrementally-maintained dataset card (shares pipe11's oracle)
+# ---------------------------------------------------------------------------
+
+
+@q("pipe12_incremental_dataset_card", _PIPE11_ORACLE)  # SHARES pipe11's oracle
+def pipe12_incremental_dataset_card(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dataset card maintained INCREMENTALLY (h16/h21/h22 discipline
+    applied to the intake report): three arbitrary doc batches each
+    reduce to mergeable (source, lang, fp, n_chars) state, states fold
+    by summing cells, and the card renders off the folded state —
+    checked against pipe11's full-recompute oracle, so incremental ==
+    full is engine-proven.  The fp column doubles as the exact-dedup
+    index (the honest state floor for a card that reports dup rates);
+    nightly deltas fold in one keyed exchange over |distinct docs|
+    state rows, never rescanning the corpus."""
+    from martech_pipelines_spark.operators import prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = prep.dataset_card_state(docs.where(F.col("doc_id") % 3 == 0))
+    for i in (1, 2):
+        state = prep.merge_card_state(
+            state, prep.dataset_card_state(docs.where(F.col("doc_id") % 3 == i))
+        )
+    return prep.render_dataset_card(state)

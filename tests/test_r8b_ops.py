@@ -360,3 +360,48 @@ def test_lpa_tie_breaks_to_smallest_label(spark):
         for r in label_propagation(edges, 1).collect()
     )
     assert got[5] == 1
+
+
+# --- dataset-card state / char entropy ---------------------------------------
+
+
+def test_card_state_merge_equals_full(spark, sf_dir):
+    from martech_pipelines_spark.operators import prep
+    from martech_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        tuple(r)
+        for r in prep.render_dataset_card(prep.dataset_card_state(docs)).collect()
+    }
+    state = prep.dataset_card_state(docs.where(F.col("doc_id") % 2 == 0))
+    state = prep.merge_card_state(
+        state, prep.dataset_card_state(docs.where(F.col("doc_id") % 2 == 1))
+    )
+    got = {tuple(r) for r in prep.render_dataset_card(state).collect()}
+    assert got == full
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from martech_pipelines_spark.plans.corpus_r8b import t50_char_entropy  # noqa: F401
+    # uniform over 4 chars -> ln(4); single repeated char -> 0
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa")], "doc_id long, text string"
+    )
+    hist = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ent = hist.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("cnt").cast("double"))
+            - F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+            / F.sum("cnt").cast("long"),
+            4,
+        ).alias("h")
+    )
+    got = dict((r["doc_id"], r["h"]) for r in ent.collect())
+    assert got[2] == 0.0 and abs(got[1] - round(math.log(4), 4)) < 1e-9
