@@ -141,6 +141,7 @@ _WINDOW_PRIORITY = [
     "g4_label_propagation",
     "t50_char_entropy",
     "pipe12_incremental_dataset_card",
+    "s26_ivf_cell_balance",
 ]
 
 

@@ -770,3 +770,71 @@ def pipe12_incremental_dataset_card(
             state, prep.dataset_card_state(docs.where(F.col("doc_id") % 3 == i))
         )
     return prep.render_dataset_card(state)
+
+
+# ---------------------------------------------------------------------------
+# s26: IVF cell-balance report (index-quality family)
+# ---------------------------------------------------------------------------
+
+_S26_ORACLE = f"""
+    WITH {_CENT_CTES}, scored AS (
+        SELECT x.vec_id, c.cell,
+               CAST(list_dot_product(x.q, x.q) + list_dot_product(c.cq, c.cq)
+                    - 2*list_dot_product(x.q, c.cq) AS BIGINT) AS d2q
+        FROM xq x CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2q, cell
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), sizes AS (
+        SELECT a.cell, CAST(count(v.vec_id) AS BIGINT) AS n_vecs
+        FROM (SELECT DISTINCT cell FROM cents) a
+        LEFT JOIN assign v USING (cell)
+        GROUP BY a.cell
+    ), tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM sizes)
+    SELECT cell, n_vecs,
+           CAST((n_vecs * 20000 + n) // (2 * n) AS BIGINT) AS share_e4,
+           CAST((n_vecs * CAST({_NLIST} AS BIGINT) * 20000 + n) // (2 * n)
+                AS BIGINT) AS load_factor_e4
+    FROM sizes, tot
+"""
+
+
+@q("s26_ivf_cell_balance", _S26_ORACLE)
+def s26_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance report — the fourth leg of the
+    index-quality suite (s19 recall / s23 distortion / dd16 blocking
+    precision / this): per cell the vector count, corpus share, and
+    load factor (share x nlist, 1e4 == perfectly balanced) including
+    EMPTY cells — skewed lists are why identical nprobe budgets cost
+    wildly different scan volume, and a hot cell is the first thing to
+    check when p99 probe latency drifts.  One map-side-combined count
+    over the s2e assignment + a broadcast total; ratios half-up BIGINT
+    e4."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.modular_representatives(emb, nlist=_NLIST)
+    assigned = SIM.quantized_cell_assignments(emb, cents)
+    sizes = (
+        cents.select("cell")
+        .distinct()
+        .join(assigned, "cell", "left")
+        .groupBy("cell")
+        .agg(F.count("vec_id").cast("long").alias("n_vecs"))
+    )
+    tot = sizes.agg(F.sum("n_vecs").cast("long").alias("n"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        F.expr("(n_vecs * CAST(20000 AS BIGINT) + n) div (2 * n)")
+        .cast("long")
+        .alias("share_e4"),
+        F.expr(
+            f"(n_vecs * CAST({_NLIST} AS BIGINT) * 20000 + n) div (2 * n)"
+        )
+        .cast("long")
+        .alias("load_factor_e4"),
+    )

@@ -1280,3 +1280,60 @@ def read_session_state(
         "user_id", "start_us", "end_us", "n_events"
     )
     return numbered_sessions(coalesce_session_intervals(parts, gap_s))
+
+
+# ---------------------------------------------------------------------------
+# Streaming dataset-card maintenance (pipe12's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def apply_card_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One fold of ``streaming_card_maintenance``: reduce the doc
+    micro-batch to its mergeable card state and write it to the state
+    root's ``batch_id={N}`` partition with OVERWRITE (count cells are
+    not idempotent under union — the covariance/session replay
+    convention)."""
+    from martech_pipelines_spark.operators.prep import dataset_card_state
+
+    dataset_card_state(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_card_maintenance(
+    docs_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain the dataset-card state from a document
+    stream — the streaming twin of ``pipe12_incremental_dataset_card``:
+    each micro-batch lands as one state partition and
+    ``read_card_state`` renders the per-source card on demand, equal to
+    a batch recompute over the same docs (pinned in test_streaming).
+    The intake report every corpus release ships, kept warm while the
+    crawl streams in."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_card_batch(batch_df, batch_id, state_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_card_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Render the dataset card from the per-batch state partitions: one
+    keyed merge over state rows, then the shared render."""
+    from pyspark.sql import functions as F2
+
+    from martech_pipelines_spark.operators.prep import render_dataset_card
+
+    parts = spark.read.parquet(state_path)
+    merged = parts.groupBy("source", "lang", "fp", "n_chars").agg(
+        F2.sum("n").cast("long").alias("n"),
+        F2.sum("toks").cast("long").alias("toks"),
+    )
+    return render_dataset_card(merged)

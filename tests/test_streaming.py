@@ -1344,3 +1344,48 @@ def test_streaming_session_maintenance_matches_batch(spark, tmp_path):
     apply_session_batch(ev.where(F.col("event_id") % 3 == 0), 0, state)
     again = {tuple(r) for r in read_session_state(spark, state).collect()}
     assert again == want
+
+
+def test_streaming_card_maintenance_matches_batch(spark, tmp_path):
+    """pipe12's streaming twin: per-batch card-state partitions merged
+    at read must render the same card as the batch recompute."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.operators.prep import (
+        dataset_card_state,
+        render_dataset_card,
+    )
+    from martech_pipelines_spark.streaming.stream import (
+        read_card_state,
+        streaming_card_maintenance,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    docs = load_table(spark, SF, "documents")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"dslice{i}"))
+        src = _g.glob(str(tmp_path / f"dslice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    state = str(tmp_path / "card_state")
+    q = streaming_card_maintenance(stream, state, str(tmp_path / "card_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_card_state(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in render_dataset_card(dataset_card_state(docs)).collect()
+    }
+    assert got == want
