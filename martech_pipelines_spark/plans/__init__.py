@@ -142,6 +142,7 @@ _WINDOW_PRIORITY = [
     "t50_char_entropy",
     "pipe12_incremental_dataset_card",
     "s26_ivf_cell_balance",
+    "dd18_cluster_size_histogram",
 ]
 
 

@@ -838,3 +838,85 @@ def s26_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("load_factor_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd18: dup-cluster size distribution (dedup diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def _dd18_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import (
+        _CLUSTER_CORPUS_SQL,
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_CLUSTER_CORPUS_SQL)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM verts
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clus AS (
+        SELECT id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY id
+    ),
+    corpus AS ({_CLUSTER_CORPUS_SQL}),
+    allc AS (
+        SELECT c.doc_id AS id, coalesce(cl.cluster, c.doc_id) AS cluster
+        FROM corpus c LEFT JOIN clus cl ON cl.id = c.doc_id
+    ),
+    sizes AS (SELECT cluster, count(*) AS sz FROM allc GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+"""
+
+
+@q("dd18_cluster_size_histogram", _dd18_oracle())
+def dd18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the dedup diagnostic that
+    says where the duplicate mass lives (a long tail of pairs is
+    crawl-level noise; a few giant families are template/boilerplate
+    explosions needing a different fix).  Same constructed dup corpus
+    and MinHash->connected-components chain as pipe4 (singletons keep
+    their own id and land in the size-1 bucket), reduced to the
+    (cluster_size, n_clusters, n_docs) histogram — domain-bounded
+    output rows, two map-side-combined aggs past the clustering.  The
+    oracle composes the recursive-CTE reachability with the histogram
+    tail, so the whole diagnostic is value-checked."""
+    from martech_pipelines_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    exact = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(near)
+    pairs = DD.minhash_near_duplicates(
+        corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
+    )
+    clusters = DD.dup_clusters(pairs)
+    allc = (
+        corpus.select(F.col("doc_id").alias("id"))
+        .join(clusters, "id", "left")
+        .select(F.coalesce("cluster", F.col("id")).alias("cluster"))
+    )
+    sizes = allc.groupBy("cluster").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"), "n_clusters", "n_docs"
+    )
