@@ -725,3 +725,36 @@ def test_prep_index_append_equals_full_rebuild(spark, tmp_path):
     prep.prep_index_append(docs.where(F.col("doc_id") % 2 == 1), inc_idx, w=8)
     got = sorted(map(tuple, prep.prep_funnel_report(spark, inc_idx).collect()))
     assert got == want
+
+
+def test_dd17_cap_is_window_group_limit(spark):
+    """dd17: the per-cell cap must run as WindowGroupLimit (partial
+    top-k before the exchange), and the centroid side must broadcast."""
+    plan = plan_of(QUERIES["dd17_cluster_cap_sample"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r38_skyline_broadcasts_frontier_no_self_join(spark):
+    """r38: the frontier joins back BROADCAST; the part table is never
+    sort-merge self-joined (the oracle's quadratic NOT EXISTS is the
+    definition, not the plan)."""
+    plan = plan_of(QUERIES["r38_skyline"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_h21_merge_is_summary_granularity(spark):
+    """h21: the interval folds shuffle summary rows keyed by user —
+    no join, no cartesian anywhere in the merge chain."""
+    plan = plan_of(QUERIES["h21_incremental_sessionize"](spark, SF))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_pipe11_histogram_and_agg_share_one_scan_each(spark):
+    """pipe11: no joins besides the |sources|-row card join — in
+    particular no doc-level self-join for the dup count."""
+    plan = plan_of(QUERIES["pipe11_dataset_card"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # dup counting is an Expand-based distinct agg, not a self-join
+    assert "Expand" in plan
