@@ -107,6 +107,18 @@ HEADLINE = [
     # round-8: s2i's Arrow scale twin, registered as its own driver
     # query this round (3.7x the SQL form at sf0.1, 15x at sf1)
     "s2i2_ivfpq_arrow",
+    # round-8b additions (no BASELINE floors yet — measured on a host
+    # reading 3.6x slow on the calib probe; floors deferred to the first
+    # healthy-host round per the measurement-contamination rule, solo
+    # numbers with calib context in BENCH_NOTES_r08)
+    "h21_incremental_sessionize",
+    "s25_recall_vs_probes",
+    "g4_label_propagation",
+    "pipe11_dataset_card",
+    "pipe12_incremental_dataset_card",
+    "t49_ngram_novelty",
+    "t50_char_entropy",
+    "dd18_cluster_size_histogram",
 ]
 
 

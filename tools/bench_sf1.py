@@ -114,6 +114,20 @@ HEAVY = [
     # round-8: s2i's Arrow serving twin, now a registered driver query —
     # the full IVFPQ scale lane measured against its SQL anchor at 10x
     "s2i2_ivfpq_arrow",
+    # round-8b: incremental sessionization (event-volume interval folds),
+    # deterministic LPA (3 keyed join+mode rounds over the catalog-bound
+    # graph), the recall-vs-probes sweep (one exact pass + one max-probe
+    # scoring pass serving 3 budgets), per-source novelty (10x corpus
+    # window hashes vs broadcast reference set), char entropy (char-level
+    # word-count shape), the incremental dataset card (fp-granular state
+    # fold), and the cluster-size histogram (minhash + CC + tiny aggs)
+    "h21_incremental_sessionize",
+    "g4_label_propagation",
+    "s25_recall_vs_probes",
+    "t49_ngram_novelty",
+    "t50_char_entropy",
+    "pipe12_incremental_dataset_card",
+    "dd18_cluster_size_histogram",
 ]
 N_RUNS = 2
 
