@@ -143,6 +143,7 @@ _WINDOW_PRIORITY = [
     "pipe12_incremental_dataset_card",
     "s26_ivf_cell_balance",
     "dd18_cluster_size_histogram",
+    "fe5_session_features",
 ]
 
 

@@ -678,7 +678,11 @@ def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     async LPA is unreproducible; this is the verification-first form,
     the same contract that made the ANN family oracle-able).  Per
     round: one edge-label join + one two-level mode agg, T keyed
-    shuffles of skinny rows total."""
+    shuffles of skinny rows total.  A persist() of the symmetric edge
+    list was measured and REJECTED (sf0.1 best-of-4: 2.93s recompute vs
+    3.09s persisted — three parallel cheap recomputes of the support>=2
+    self-join beat the materialization barrier, the mart10/dd12 lesson
+    on a graph workload)."""
     from martech_pipelines_spark.operators.graph import (
         copurchase_edges_undirected,
         label_propagation,
@@ -919,4 +923,71 @@ def dd18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
     ).select(
         F.col("sz").cast("long").alias("cluster_size"), "n_clusters", "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe5: session-derived engagement features
+# ---------------------------------------------------------------------------
+
+_FE5_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > CAST({_GAP_S} AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    ), summ AS (
+        SELECT user_id, sid,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+               count(*) AS n_ev
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS total_events,
+           CAST(CAST(sum(dur_us) AS BIGINT) // 1000000 AS BIGINT)
+               AS total_active_s,
+           CAST((2 * CAST(sum(dur_us) AS BIGINT) + count(*) * 1000000)
+                // (2 * count(*) * 1000000) AS BIGINT) AS mean_session_s,
+           CAST(max(n_ev) AS BIGINT) AS max_session_events
+    FROM summ GROUP BY user_id
+"""
+
+
+@q("fe5_session_features", _FE5_ORACLE)
+def fe5_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement features off the session-interval state
+    (h21's summaries re-read as a feature source — the canonical
+    churn/propensity inputs): session count, event volume, total active
+    seconds (floor of the exact micros sum), half-up mean session
+    length, busiest session.  One interval pass + one |users|-keyed agg
+    — the state a nightly maintenance job already holds (h21/streaming
+    twin) serves the feature read for free, which is the point of
+    keeping sessions as state at all.  Integer arithmetic end to end."""
+    from martech_pipelines_spark.operators import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    st = W.session_intervals(ev, _GAP_S)
+    dur = F.col("end_us") - F.col("start_us")
+    return st.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.expr("sum(end_us - start_us) div CAST(1000000 AS BIGINT)")
+        .cast("long")
+        .alias("total_active_s"),
+        F.expr(
+            "(2 * sum(end_us - start_us) + count(*) * CAST(1000000 AS BIGINT))"
+            " div (2 * count(*) * CAST(1000000 AS BIGINT))"
+        ).cast("long").alias("mean_session_s"),
+        F.max("n_events").cast("long").alias("max_session_events"),
     )
