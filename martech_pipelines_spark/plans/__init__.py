@@ -144,6 +144,8 @@ _WINDOW_PRIORITY = [
     "s26_ivf_cell_balance",
     "dd18_cluster_size_histogram",
     "fe5_session_features",
+    "dq11_benford_deviation",
+    "mart21_revenue_gini",
 ]
 
 

@@ -991,3 +991,165 @@ def fe5_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("mean_session_s"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq11: Benford first-digit deviation (value-plausibility monitor)
+# ---------------------------------------------------------------------------
+
+# Benford shares precomputed in PYTHON as e6 integers (log10(1+1/d)) so
+# both engines compare against the same literals — no log in either plan.
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_DQ11_ORACLE = f"""
+    WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ), d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM v
+    ), obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    bf AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_E6.items()))}
+        ) AS t(digit, benford_e6)
+    )
+    SELECT bf.digit, coalesce(obs.n_obs, 0) AS n_obs,
+           CAST((coalesce(obs.n_obs, 0) * 2000000 + n) // (2 * n) AS BIGINT)
+               AS share_e6,
+           CAST(bf.benford_e6 AS BIGINT) AS benford_e6,
+           abs(CAST((coalesce(obs.n_obs, 0) * 2000000 + n) // (2 * n)
+                    AS BIGINT) - bf.benford_e6) AS abs_dev_e6
+    FROM bf LEFT JOIN obs USING (digit), tot
+"""
+
+
+@q("dq11_benford_deviation", _DQ11_ORACLE)
+def dq11_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit plausibility monitor over order totals — the
+    classic fabricated/corrupted-values detector (a feed that starts
+    inventing amounts drifts off the log-uniform digit law long before
+    any range check fires).  First digit via exact decimal-string
+    arithmetic (no log10 in the plan — boundary values like 10^k stay
+    exact); observed shares as half-up BIGINT e6 against
+    Python-precomputed Benford constants shared by both engines as
+    literals.  One map-side-combined digit histogram + a 9-row
+    broadcast."""
+    bf = spark.createDataFrame(
+        sorted(_BENFORD_E6.items()), "digit long, benford_e6 long"
+    )
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    obs = (
+        v.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    share = F.expr("(n_obs * CAST(2000000 AS BIGINT) + n) div (2 * n)")
+    return (
+        bf.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            share.cast("long").alias("share_e6"),
+            "benford_e6",
+            F.abs(share.cast("long") - F.col("benford_e6"))
+            .cast("long")
+            .alias("abs_dev_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mart21: revenue concentration (exact integer Gini per segment)
+# ---------------------------------------------------------------------------
+
+_MART21_ORACLE = """
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, cents,
+               row_number() OVER (
+                   PARTITION BY segment ORDER BY cents, ck
+               ) AS i
+        FROM rev
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST((2 * (2 * sum(i * cents)
+                      - (count(*) + 1) * sum(cents)) * 1000000
+                 + count(*) * sum(cents))
+                // (2 * count(*) * sum(cents)) AS BIGINT)
+               AS gini_e6
+    FROM ranked GROUP BY segment
+"""
+
+
+@q("mart21_revenue_gini", _MART21_ORACLE)
+def mart21_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as an EXACT integer
+    Gini coefficient (gini = (2*sum(i*x_i) - (n+1)*sum x) / (n*sum x)
+    over ascending-ranked integer-cent revenues, total (cents, custkey)
+    tie-break; emitted as half-up BIGINT e6) — the standard scalar
+    behind mart19's ABC buckets ("how unequal is the revenue base"),
+    the whale-dependency metric every retention review asks for.  One
+    keyed agg + one per-segment rank window over |customers| skinny
+    rows.  Overflow headroom: sum(i*cents) < 2^63 up to ~10^9 customers
+    x 10^5-cent averages per segment — past that, rescale to whole
+    currency units first."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        # numerator ~ gini * n * cents * 2e6 exceeds int64 at realistic
+        # revenue scales -> exact DECIMAL(38,0) on the Spark side,
+        # HUGEINT internally in the oracle (the f12/dq2 recipe), only
+        # the final e6 ratio lands back in BIGINT
+        F.expr(
+            "CAST((2 * CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)"
+            "          AS DECIMAL(38,0)) * 1000000"
+            "      + CAST(count(*) * sum(cents) AS DECIMAL(38,0)))"
+            " div (2 * CAST(count(*) * sum(cents) AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).cast("long").alias("gini_e6"),
+    )
