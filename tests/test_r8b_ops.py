@@ -405,3 +405,44 @@ def test_char_entropy_extremes(spark):
     )
     got = dict((r["doc_id"], r["h"]) for r in ent.collect())
     assert got[2] == 0.0 and abs(got[1] - round(math.log(4), 4)) < 1e-9
+
+
+# --- benford / gini math -------------------------------------------------------
+
+
+def test_gini_extremes(spark):
+    from pyspark.sql import Window as W2
+
+    def gini(rows):
+        df = spark.createDataFrame(rows, "segment string, ck long, cents long")
+        w = W2.partitionBy("segment").orderBy("cents", "ck")
+        r = df.withColumn("i", F.row_number().over(w).cast("long"))
+        out = r.groupBy("segment").agg(
+            F.expr(
+                "CAST((2 * CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)"
+                "          AS DECIMAL(38,0)) * 1000000"
+                "      + CAST(count(*) * sum(cents) AS DECIMAL(38,0)))"
+                " div (2 * CAST(count(*) * sum(cents) AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("g")
+        )
+        return out.collect()[0]["g"]
+
+    # perfectly equal -> 0
+    assert gini([("a", i, 100) for i in range(10)]) == 0
+    # one customer takes all -> (n-1)/n = 0.9
+    assert gini([("a", i, 0) for i in range(9)] + [("a", 9, 1000)]) == 900000
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    from martech_pipelines_spark.plans.corpus_r8b import (
+        _BENFORD_E6,
+        dq11_benford_deviation,
+    )
+
+    assert sum(_BENFORD_E6.values()) == 1_000_000
+    rows = dq11_benford_deviation(spark, sf_dir).collect()
+    assert len(rows) == 9
+    assert sum(r["n_obs"] for r in rows) > 0
+    # shares are half-up e6 of n_obs/n -> sum within rounding of 1e6
+    assert abs(sum(r["share_e6"] for r in rows) - 1_000_000) <= 9
