@@ -146,6 +146,7 @@ _WINDOW_PRIORITY = [
     "fe5_session_features",
     "dq11_benford_deviation",
     "mart21_revenue_gini",
+    "h23_incremental_gini",
 ]
 
 

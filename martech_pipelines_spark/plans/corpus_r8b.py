@@ -1153,3 +1153,90 @@ def mart21_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).cast("long").alias("gini_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# h23: incremental Gini (mergeable customer-total state, rank-free read)
+# ---------------------------------------------------------------------------
+
+
+@q("h23_incremental_gini", _MART21_ORACLE)  # SHARES mart21's oracle
+def h23_incremental_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart21 maintained INCREMENTALLY: customer revenue totals are the
+    mergeable state (orders split by o_orderkey % 3 fold in by summing
+    cents — arbitrary batch order), and the Gini is read RANK-FREE off
+    the value histogram of the merged state: for distinct cents v_k
+    with counts c_k and running count cum, the consecutive ranks of a
+    tie group contribute v_k*c_k*(2*cum_prev + c_k + 1) to 2*sum(i*x_i)
+    exactly — so the read needs a |distinct values| histogram window,
+    not a per-customer row_number, and equals mart21's ranked form by
+    construction (shared oracle proves it).  Same DECIMAL(38)/HUGEINT
+    guard as mart21."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+
+    def totals(batch):
+        return (
+            batch.join(cust, "o_custkey")
+            .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+            .agg(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("long").alias("cents")
+            )
+        )
+
+    state = totals(orders.where(F.col("o_orderkey") % 3 == 0))
+    for i in (1, 2):
+        delta = totals(orders.where(F.col("o_orderkey") % 3 == i))
+        state = (
+            state.unionByName(delta)
+            .groupBy("segment", "o_custkey")
+            .agg(F.sum("cents").cast("long").alias("cents"))
+        )
+
+    hist = state.groupBy("segment", "cents").agg(F.count("*").alias("c"))
+    wprev = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    withcum = hist.withColumn(
+        "cum_prev", F.coalesce(F.sum("c").over(wprev), F.lit(0))
+    )
+    # tie-group rank-sum identity: group at value v with count c after
+    # cum_prev earlier rows contributes v*c*(2*cum_prev + c + 1) to
+    # 2*sum(i*x_i)
+    two_sum_ix = F.sum(
+        (
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("c")
+            * (2 * F.col("cum_prev") + F.col("c") + 1)
+        )
+    )
+    aggs = withcum.groupBy("segment").agg(
+        F.sum("c").cast("long").alias("n_customers"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total_cents"),
+        two_sum_ix.cast("decimal(38,0)").alias("__two_sum_ix"),
+    )
+    # same half-up `div` tree as mart21 (decimal / + cast would round
+    # half-up a second time — measured off-by-one vs the ranked form)
+    return aggs.select(
+        "segment",
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "CAST((2 * (__two_sum_ix"
+            "           - CAST((n_customers + 1) AS DECIMAL(38,0))"
+            "             * CAST(total_cents AS DECIMAL(38,0))) * 1000000"
+            "      + CAST(n_customers AS DECIMAL(38,0))"
+            "        * CAST(total_cents AS DECIMAL(38,0)))"
+            " div (2 * CAST(n_customers AS DECIMAL(38,0))"
+            "        * CAST(total_cents AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).cast("long").alias("gini_e6"),
+    )
