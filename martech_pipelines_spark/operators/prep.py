@@ -275,15 +275,48 @@ def dataset_card_state(docs: DataFrame) -> DataFrame:
     )
 
 
+def fold_card_state(states: DataFrame) -> DataFrame:
+    """Collapse ANY union of card states in one keyed pass (sum the
+    count/token cells per key) — the single definition of the state key
+    and merge rule, shared by the 2-way batch fold and the N-way
+    streaming read."""
+    return states.groupBy("source", "lang", "fp", "n_chars").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("toks").cast("long").alias("toks"),
+    )
+
+
 def merge_card_state(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Fold two card states (sum the count/token cells per key)."""
-    return (
-        a.unionByName(b)
-        .groupBy("source", "lang", "fp", "n_chars")
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.sum("toks").cast("long").alias("toks"),
-        )
+    """Fold two card states — the 2-way form of ``fold_card_state``."""
+    return fold_card_state(a.unionByName(b))
+
+
+def exact_length_percentiles(
+    hist: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Exact per-group p50/p90 from a (group, y, cnt) value histogram by
+    the r29 rank-selection rule min{y : cum(y) >= ceil(q*n)} — the ONE
+    definition both dataset-card forms (pipe11 direct, pipe12/stream
+    state-rendered) read their percentiles through."""
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        "y",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    return cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.50)), F.col("y"))
+        ).cast("long").alias("p50_chars"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.90)), F.col("y"))
+        ).cast("long").alias("p90_chars"),
     )
 
 
@@ -301,24 +334,4 @@ def render_dataset_card(state: DataFrame) -> DataFrame:
     hist = state.groupBy("source", F.col("n_chars").alias("y")).agg(
         F.sum("n").alias("cnt")
     )
-    wc = (
-        Window.partitionBy("source")
-        .orderBy("y")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = Window.partitionBy("source")
-    cum = hist.select(
-        "source",
-        "y",
-        F.sum("cnt").over(wc).alias("c"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    pct = cum.groupBy("source").agg(
-        F.min(
-            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.50)), F.col("y"))
-        ).cast("long").alias("p50_chars"),
-        F.min(
-            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.90)), F.col("y"))
-        ).cast("long").alias("p90_chars"),
-    )
-    return agg.join(pct, "source")
+    return agg.join(exact_length_percentiles(hist), "source")

@@ -3059,6 +3059,8 @@ def cluster_cap_sample(
     partitioned by cell — WindowGroupLimit prunes each partition to the
     cap before the final project, so the post-assignment shuffle
     carries (id, cell, d2q) rows only, never vectors."""
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
     cents = modular_representatives(corpus, nlist, vec_col, id_col)
     assigned = quantized_cell_assignments(corpus, cents, vec_col=vec_col, id_col=id_col)
     order = (

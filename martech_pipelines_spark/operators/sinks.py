@@ -625,8 +625,11 @@ def write_training_shards(
 
 def _leaf_swap_names(root: str, leaf: str) -> tuple[str, str]:
     """Dot-prefixed siblings for the leaf swap: Spark's partition
-    discovery ignores '.'/'_' entries, so readers NEVER see an
-    in-flight or abandoned swap as a phantom partition value."""
+    discovery ignores '.'/'_' entries, so readers never see an
+    in-flight or abandoned swap as a PHANTOM partition value.  (This
+    does NOT make the swap atomic for concurrent readers — between the
+    two renames the live leaf is briefly absent; see
+    ``compact_partition_dirs`` for the maintenance contract.)"""
     import os
 
     return (
@@ -679,8 +682,13 @@ def compact_partition_dirs(
     which folds a whole batch-keyed root); content multiset per leaf is
     unchanged (pinned in tests) and a crash at ANY point self-heals via
     ``recover_partition_swaps``.  Returns {leaf: files_before} for the
-    leaves rewritten.  Offline-maintenance contract: run with ingest
-    paused, like every compactor here."""
+    leaves rewritten.  OFFLINE-maintenance contract — run with ingest
+    AND reads paused: directories cannot be rename-replaced atomically,
+    so between the two renames the live leaf is briefly absent and a
+    concurrent reader would silently miss that partition's rows (the
+    dot-prefix only prevents phantom partitions, not the gap).  A
+    deployment that needs concurrent reads should compact behind a
+    view/manifest flip instead."""
     import os
     import shutil
 

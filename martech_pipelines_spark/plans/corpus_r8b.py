@@ -489,30 +489,12 @@ def pipe11_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     )
+    from martech_pipelines_spark.operators.prep import exact_length_percentiles
+
     hist = docs.groupBy("source", F.col("n_chars").alias("y")).agg(
         F.count("*").alias("cnt")
     )
-    wc = (
-        Window.partitionBy("source")
-        .orderBy("y")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = Window.partitionBy("source")
-    cum = hist.select(
-        "source",
-        "y",
-        F.sum("cnt").over(wc).alias("c"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    pct = cum.groupBy("source").agg(
-        F.min(
-            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.50)), F.col("y"))
-        ).cast("long").alias("p50_chars"),
-        F.min(
-            F.when(F.col("c") >= F.ceil(F.col("n") * F.lit(0.90)), F.col("y"))
-        ).cast("long").alias("p90_chars"),
-    )
-    return agg.join(pct, "source")
+    return agg.join(exact_length_percentiles(hist), "source")
 
 
 # ---------------------------------------------------------------------------
@@ -978,7 +960,6 @@ def fe5_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     st = W.session_intervals(ev, _GAP_S)
-    dur = F.col("end_us") - F.col("start_us")
     return st.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("total_events"),
@@ -1118,9 +1099,10 @@ def mart21_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind mart19's ABC buckets ("how unequal is the revenue base"),
     the whale-dependency metric every retention review asks for.  One
     keyed agg + one per-segment rank window over |customers| skinny
-    rows.  Overflow headroom: sum(i*cents) < 2^63 up to ~10^9 customers
-    x 10^5-cent averages per segment — past that, rescale to whole
-    currency units first."""
+    rows.  The rank-weighted sum accumulates in DECIMAL(38,0) (i*cents
+    alone passes 2^63 around 10^7 customers x 10^5-cent averages), so
+    headroom is the DECIMAL(38) range — effectively unbounded for real
+    revenue scales."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .join(
@@ -1144,12 +1126,18 @@ def mart21_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         # numerator ~ gini * n * cents * 2e6 exceeds int64 at realistic
         # revenue scales -> exact DECIMAL(38,0) on the Spark side,
         # HUGEINT internally in the oracle (the f12/dq2 recipe), only
-        # the final e6 ratio lands back in BIGINT
+        # the final e6 ratio lands back in BIGINT.  The cast happens
+        # PER TERM (inside the sum / before any multiplication): a cast
+        # around an already-overflowed BIGINT expression guards nothing.
         F.expr(
-            "CAST((2 * CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)"
-            "          AS DECIMAL(38,0)) * 1000000"
-            "      + CAST(count(*) * sum(cents) AS DECIMAL(38,0)))"
-            " div (2 * CAST(count(*) * sum(cents) AS DECIMAL(38,0)))"
+            "CAST((2 * (2 * sum(CAST(i * cents AS DECIMAL(38,0)))"
+            "           - CAST(count(*) + 1 AS DECIMAL(38,0))"
+            "             * CAST(sum(CAST(cents AS DECIMAL(38,0)))"
+            "                    AS DECIMAL(38,0))) * 1000000"
+            "      + CAST(count(*) AS DECIMAL(38,0))"
+            "        * CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)))"
+            " div (2 * CAST(count(*) AS DECIMAL(38,0))"
+            "        * CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)))"
             " AS BIGINT)"
         ).cast("long").alias("gini_e6"),
     )

@@ -1327,13 +1327,12 @@ def streaming_card_maintenance(
 def read_card_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Render the dataset card from the per-batch state partitions: one
     keyed merge over state rows, then the shared render."""
-    from pyspark.sql import functions as F2
-
-    from martech_pipelines_spark.operators.prep import render_dataset_card
-
-    parts = spark.read.parquet(state_path)
-    merged = parts.groupBy("source", "lang", "fp", "n_chars").agg(
-        F2.sum("n").cast("long").alias("n"),
-        F2.sum("toks").cast("long").alias("toks"),
+    from martech_pipelines_spark.operators.prep import (
+        fold_card_state,
+        render_dataset_card,
     )
-    return render_dataset_card(merged)
+
+    parts = spark.read.parquet(state_path).select(
+        "source", "lang", "fp", "n_chars", "n", "toks"
+    )
+    return render_dataset_card(fold_card_state(parts))
