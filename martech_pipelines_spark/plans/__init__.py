@@ -147,6 +147,7 @@ _WINDOW_PRIORITY = [
     "dq11_benford_deviation",
     "mart21_revenue_gini",
     "h23_incremental_gini",
+    "dq12_temporal_consistency",
 ]
 
 

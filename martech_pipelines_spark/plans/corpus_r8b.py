@@ -1231,3 +1231,55 @@ def h23_incremental_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).cast("long").alias("gini_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq12: cross-table temporal-ordering consistency
+# ---------------------------------------------------------------------------
+
+_DQ12_ORACLE = """
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS month,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           CAST((CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                              THEN 1 ELSE 0 END) AS BIGINT) * 2000000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS share_e6
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+"""
+
+
+@q("dq12_temporal_consistency", _DQ12_ORACLE)
+def dq12_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE temporal-ordering check — a line item must not ship
+    before its order was placed; the event-order invariant class that
+    range checks (dq1) and referential checks (dq3) both miss, reported
+    per order month as violation counts and half-up e6 shares (the
+    synthetic generator draws ship dates independently, so ~49% of rows
+    violate — real signal for the monitor's arithmetic).  One fact-fact
+    equi-join on the natural key + a |months|-row map-side-combined
+    agg; date comparison only (no timestamp parse, no session tz)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, "o_orderkey")
+    viol = F.sum(
+        F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+    )
+    return j.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        viol.cast("long").alias("violations"),
+        F.expr(
+            "(CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)"
+            " AS BIGINT) * CAST(2000000 AS BIGINT) + count(*))"
+            " div (2 * count(*))"
+        ).cast("long").alias("share_e6"),
+    )
