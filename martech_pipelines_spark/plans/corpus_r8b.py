@@ -35,10 +35,42 @@
                           length percentiles) in two keyed passes over
                           one scan — the intake report every corpus
                           release ships.
+``h22_incremental_skyline`` — the frontier as its own mergeable state
+                          (sky(A∪B) == sky(sky(A)∪sky(B))); shares
+                          r38's oracle, the IVM proof.
+``a12_partitioned_pruned_scan`` — hive partitionBy layout + a
+                          partition-PRUNED read value-checked against
+                          the unpartitioned original.
+``g4_label_propagation`` — sync LPA with a total tie-break for fixed
+                          rounds: the deterministic, oracle-able form
+                          of community detection (rounds unrolled as
+                          CTEs in the oracle).
+``t50_char_entropy``    — per-doc character entropy (the gibberish /
+                          base64 detector word filters miss).
+``pipe12_incremental_dataset_card`` — the card maintained off
+                          mergeable (source, lang, fp, length) state;
+                          shares pipe11's oracle, the IVM proof.
+``s26_ivf_cell_balance`` — inverted-list balance report (fourth leg of
+                          the index-quality suite).
+``dd18_cluster_size_histogram`` — dup-cluster size distribution over
+                          the recursive-CTE-checked CC chain.
+``fe5_session_features`` — per-user engagement features read off the
+                          session-interval state.
+``dq11_benford_deviation`` — Benford first-digit plausibility monitor
+                          (exact decimal-string digits, shared literal
+                          constants).
+``mart21_revenue_gini`` — exact integer Gini per market segment
+                          (DECIMAL(38)/HUGEINT intermediates).
+``h23_incremental_gini`` — Gini off mergeable customer totals with a
+                          RANK-FREE histogram read (tie-group rank-sum
+                          identity); shares mart21's oracle.
+``dq12_temporal_consistency`` — cross-table event-ordering invariant
+                          (ship-before-order), per month.
 
 Reference scope: the reference engine's profile/dedup/search tasks
 motivate the family (SURVEY.md §2 north-star extensions); every query
-is engine-exact (integer comparisons / half-up BIGINT ratios only).
+is engine-exact (integer comparisons / half-up BIGINT ratios / the
+t17-precedent single-rounded log trees only).
 """
 
 from __future__ import annotations
