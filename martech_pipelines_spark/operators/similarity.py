@@ -606,11 +606,21 @@ def ivf_deterministic_topk(
     corpus_vec: str = "embedding",
     quantize: int = 6,
     round_dp: int = 4,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """END-TO-END deterministic IVF search — the complete s2b/s2c search
     path with every stage engine-exact, hence a FULL DuckDB oracle (the
     upgrade past VERDICT r6 #8's component oracles: not just candidate
     generation, the whole ANN query is value-checked).
+
+    ``candidate_filter`` (a predicate over corpus columns) enables
+    FILTERED vector search with INDEX IDENTITY preserved: centroids and
+    per-vector cell assignments are those of the full corpus (each
+    row's assignment depends only on its own vector and the literal
+    centroids, so pre-filtering rows cannot shift anyone's cell), and
+    the predicate only restricts which assigned rows are scored — the
+    post-filter semantics production systems want, as opposed to
+    rebuilding a per-filter index.
 
     Coarse quantizer = the modular-representative centroid table (the
     trained-KMeans variants swap the table, reuse the geometry);
@@ -634,7 +644,15 @@ def ivf_deterministic_topk(
     cells = _quantized_cell_structs(
         _as_double(F.col(corpus_vec)), cent_rows, quantize
     )
-    c = corpus.select(
+    # filter AFTER cent_rows (full-corpus index identity); a row's
+    # assignment depends only on its own vector, so dropping other
+    # rows cannot shift anyone's cell
+    base = (
+        corpus.where(candidate_filter)
+        if candidate_filter is not None
+        else corpus
+    )
+    c = base.select(
         F.col(corpus_id),
         _as_double(F.col(corpus_vec)).alias("__v"),
         F.array_min(cells)["cell"].alias("cell"),
@@ -3165,3 +3183,81 @@ def ivf_probe_sweep_topk(
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact-cosine re-rank of a per-query candidate table — stage 2 of
+    the retrieve-then-rerank serving pattern (a cheap quantized stage
+    proposes n candidates, the exact metric re-scores only those).
+    Same scoring contract as s1 (round-``round_dp`` cosine, ties to the
+    lowest corpus id), so any deterministic retriever composed with
+    this stays fully oracle-able.
+
+    Scale shape: vectors are fetched by TWO keyed joins on the skinny
+    candidate table (|Q| x n rows) — the corpus is never scanned for
+    scoring, which is the entire point of retrieving first."""
+    qv = queries.select(
+        F.col(query_id), _as_double(F.col(query_vec)).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    cv = corpus.select(
+        F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    denom = F.col("__qn") * F.col("__n")
+    scored = (
+        candidates.select(query_id, corpus_id)
+        .join(qv, query_id)
+        .join(cv, corpus_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(
+                F.when(denom > 0, dot(F.col("__qv"), F.col("__v")) / denom),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.col(corpus_id).asc()
+    )
+    return (
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def adc_retrieve_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_retrieve: int = 20,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """The standard two-stage production serving pattern, deterministic
+    end to end: PQ/ADC retrieves ``n_retrieve`` candidates from the
+    code table (cheap — the scan is m-byte codes), exact cosine
+    re-ranks only those to the final ``k``.  Both stages carry full
+    oracles on the deterministic codebook, so the COMPOSITION does too
+    — the refine step the rows-only trained ``s8_pq_topk`` performs,
+    value-checked."""
+    cand = pq_adc_deterministic_topk(
+        queries, corpus, m=m, ksub=ksub, dim=dim, k=n_retrieve,
+        query_id=query_id, corpus_id=corpus_id,
+    ).select(query_id, corpus_id)
+    return exact_rerank(
+        cand, queries, corpus, k=k, query_id=query_id, corpus_id=corpus_id
+    )

@@ -148,6 +148,8 @@ _WINDOW_PRIORITY = [
     "mart21_revenue_gini",
     "h23_incremental_gini",
     "dq12_temporal_consistency",
+    "s27_filtered_ann",
+    "s28_adc_retrieve_rerank",
 ]
 
 

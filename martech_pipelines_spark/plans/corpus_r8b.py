@@ -1315,3 +1315,154 @@ def dq12_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * count(*))"
         ).cast("long").alias("share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s27: filtered vector search (post-filter IVF, index identity preserved)
+# ---------------------------------------------------------------------------
+
+from martech_pipelines_spark.plans.corpus_r7 import _NPROBE  # noqa: E402
+
+_S27_ORACLE = f"""
+    WITH {_CENT_CTES}, assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT x.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT x.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY CAST(list_dot_product(x.q, x.q)
+                                     + list_dot_product(c.cq, c.cq)
+                                     - 2*list_dot_product(x.q, c.cq) AS BIGINT),
+                                cell
+                   ) AS rn
+            FROM xq x CROSS JOIN cents c
+            WHERE x.vec_id % 10 = 0
+        ) WHERE rn <= {_NPROBE}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+    ), scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4) AS cos_sim
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+        WHERE e.label % 2 = 0
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 5
+"""
+
+
+@q("s27_filtered_ann", _S27_ORACLE)
+def s27_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate-constrained ANN
+    query production systems struggle with (and the reason "filtered
+    search" is its own feature in every vector DB): top-5 among
+    EVEN-LABELED vectors only, served through the UNCHANGED IVF index
+    (centroids and cell assignments are the full corpus's — a row's
+    assignment depends only on its own vector, so the predicate cannot
+    shift cells) with the filter applied between assignment and
+    scoring, i.e. post-filter semantics rather than a per-filter index
+    rebuild.  Deterministic end to end, hence a full oracle.  Caveat a
+    real deployment tunes for: a selective filter shrinks the per-cell
+    candidate pool, so recall at fixed nprobe drops — the s25 curve is
+    how that gets re-budgeted."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_deterministic_topk(
+        queries,
+        emb,
+        nlist=_NLIST,
+        nprobe=_NPROBE,
+        k=5,
+        candidate_filter=(F.col("label") % 2 == 0),
+    ).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# s28: two-stage retrieve-then-rerank (ADC propose, exact refine)
+# ---------------------------------------------------------------------------
+
+
+def _s28_oracle(n_retrieve: int = 20, k: int = 5) -> str:
+    from martech_pipelines_spark.plans.corpus_r7 import _S8C_ORACLE
+
+    # reuse s8c's full ADC chain verbatim with a wider cut; a loud
+    # assert keeps this in lockstep with the upstream oracle (the dd16
+    # convention for derived oracles)
+    assert "WHERE rnk <= 5" in _S8C_ORACLE, "s8c oracle shape changed"
+    stage1 = _S8C_ORACLE.replace(
+        "WHERE rnk <= 5", f"WHERE rnk <= {n_retrieve}"
+    )
+    return f"""
+    WITH cand AS (
+        SELECT query_id, vec_id FROM ({stage1})
+    ), scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4) AS cos_sim
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= {k}
+"""
+
+
+@q("s28_adc_retrieve_rerank", _s28_oracle())
+def s28_adc_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard two-stage serving pattern, deterministic end to
+    end: PQ/ADC proposes 20 candidates from the m-byte code table
+    (stage-1 scan cost is codes, never vectors), exact cosine re-scores
+    ONLY those 20 per query to the final top-5 (two keyed joins on the
+    skinny candidate table fetch the vectors).  This is the refine step
+    the rows-only trained ``s8_pq_topk`` performs, value-checked on the
+    deterministic codebook — and the answer to PQ's quantization-tie
+    problem: ADC ties that are arbitrary at stage 1 get broken by the
+    exact metric at stage 2."""
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.adc_retrieve_rerank(queries, emb, n_retrieve=20, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )

@@ -446,3 +446,67 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert sum(r["n_obs"] for r in rows) > 0
     # shares are half-up e6 of n_obs/n -> sum within rounding of 1e6
     assert abs(sum(r["share_e6"] for r in rows) - 1_000_000) <= 9
+
+
+# --- filtered ANN / retrieve-rerank --------------------------------------------
+
+
+def test_filtered_ann_only_returns_matching_candidates(spark, sf_dir):
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_deterministic_topk(
+        queries, emb, nlist=8, nprobe=2, k=4,
+        candidate_filter=(F.col("label") % 2 == 0),
+    )
+    labels = dict(
+        (r["vec_id"], r["label"]) for r in emb.select("vec_id", "label").collect()
+    )
+    rows = out.collect()
+    assert rows and all(labels[r["vec_id"]] % 2 == 0 for r in rows)
+    # index identity: the unfiltered search over the same index must
+    # rank any shared (query, vec) pair with the same cos_sim
+    full = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in SIM.ivf_deterministic_topk(
+            queries, emb, nlist=8, nprobe=2, k=50
+        ).collect()
+    }
+    for r in rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in full:
+            assert full[key] == r["cos_sim"]
+
+
+def test_exact_rerank_matches_bruteforce_on_candidate_set(spark, sf_dir):
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = SIM.pq_adc_deterministic_topk(queries, emb, k=20).select(
+        "query_id", "vec_id"
+    )
+    rer = SIM.exact_rerank(cand, queries, emb, k=5)
+    # re-rank of the FULL corpus as candidates == plain brute force
+    allc = queries.select("query_id").crossJoin(emb.select("vec_id"))
+    got = {
+        tuple(r)
+        for r in SIM.exact_rerank(allc, queries, emb, k=5).collect()
+    }
+    want = {
+        tuple(r)
+        for r in SIM.brute_force_topk(queries, emb, k=5)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+        .collect()
+    }
+    assert got == want
+    # and the two-stage form returns k rows per query from the candidates
+    cand_set = {(r["query_id"], r["vec_id"]) for r in cand.collect()}
+    assert all(
+        (r["query_id"], r["vec_id"]) in cand_set for r in rer.collect()
+    )
