@@ -3261,3 +3261,150 @@ def adc_retrieve_rerank(
     return exact_rerank(
         cand, queries, corpus, k=k, query_id=query_id, corpus_id=corpus_id
     )
+
+
+def graph_ann_beam_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    graph: DataFrame,
+    entry_id: int,
+    hops: int = 3,
+    beam: int = 4,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Graph-based ANN (the NSW/HNSW family's search primitive) in its
+    DETERMINISTIC, oracle-able form: fixed-hop beam search over a
+    prebuilt neighbor graph.  Every query starts at the same entry
+    node; each hop expands the current beam's out-neighbors, scores the
+    frontier exactly (s1's rounded-cosine + id tie-break contract), and
+    keeps the top-``beam``; the answer is the top-``k`` of everything
+    scored.  Fixed hops + total tie-breaks replace HNSW's
+    insertion-order-dependent layers and data-dependent stopping rule —
+    the build is the deterministic kNN graph (s10; swap in the banded
+    LSH graph s10b for the scale build), so the whole search unrolls
+    into CTEs and carries a full DuckDB oracle.
+
+    Scale shape per hop: one keyed join of the (|Q| x beam) beam table
+    against the adjacency list + two skinny vector-fetch joins for
+    scoring — the corpus is never scanned after the graph is built,
+    which is the graph-index trade: walk edges instead of probing
+    cells."""
+    qv = queries.select(
+        F.col(query_id), _as_double(F.col(query_vec)).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    cv = corpus.select(
+        F.col(corpus_id).alias("__node"),
+        _as_double(F.col(corpus_vec)).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    from martech_pipelines_spark import caching
+
+    # The graph IS the index: every hop (and the visited-set union)
+    # joins it, and without a barrier Catalyst re-derives the build —
+    # O(N^2) scoring — once per reference.  A materialized deployment
+    # reads the edge table from storage; inline, the persist is that
+    # materialization.  (The larger build win is algorithmic: see
+    # knn_graph_arrow, 16x the JVM-HOF exact form at sf0.1.)
+    edges = caching.register(
+        graph.select(
+            F.col("src_id").alias("__src"), F.col("nbr_id").alias("__nbr")
+        ).persist()
+    )
+
+    def score(frontier: DataFrame) -> DataFrame:
+        denom = F.col("__qn") * F.col("__n")
+        return (
+            frontier.join(qv, query_id)
+            .join(cv, frontier["node"] == cv["__node"])
+            .select(
+                query_id,
+                F.col("node"),
+                F.round(
+                    F.when(
+                        denom > 0, dot(F.col("__qv"), F.col("__v")) / denom
+                    ),
+                    round_dp,
+                ).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim").isNotNull())
+        )
+
+    beam_df = queries.select(
+        F.col(query_id), F.lit(entry_id).cast("long").alias("node")
+    )
+    visited = score(beam_df)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.col("node").asc()
+    )
+    beam_df = visited.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= beam
+    ).select(query_id, "node")
+    for _ in range(hops):
+        nbrs = beam_df.join(
+            edges, beam_df["node"] == edges["__src"]
+        ).select(query_id, F.col("__nbr").alias("node"))
+        frontier = beam_df.unionByName(nbrs).distinct()
+        scored = score(frontier)
+        beam_df = scored.withColumn("__r", F.row_number().over(w)).where(
+            F.col("__r") <= beam
+        ).select(query_id, "node")
+        visited = visited.unionByName(scored).distinct()
+    return (
+        visited.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            query_id,
+            F.col("node").alias(corpus_id),
+            "cos_sim",
+            "rnk",
+        )
+    )
+
+
+def knn_graph_arrow(
+    vectors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """``knn_graph`` through the Arrow map-side-top-k kernel (the
+    s1/s1b twin pattern applied to the graph BUILD): the kNN graph is
+    just every corpus vector run as a brute-force top-(k+1) query over
+    the corpus, so it rides the existing matmul lane and drops the
+    JVM-HOF all-pairs cost (measured 66.8s -> 2.1s at sf0.1, k=8).
+
+    Self-exclusion detail that keeps this bit-equal to ``knn_graph``
+    (pinned in pytest): self is requested as one extra slot and then
+    filtered.  Under exact-duplicate ties self may rank BELOW a
+    lower-id duplicate (both cos 1.0), but it is always within the
+    top-(k+1), so dropping it and re-ranking reproduces the exact
+    form's (cos DESC, id ASC) neighbor order."""
+    queries = vectors.select(
+        F.col(id_col).alias("__gq"), F.col(vec_col).alias("__gv")
+    )
+    topk1 = brute_force_topk_arrow(
+        queries,
+        vectors,
+        k=k + 1,
+        query_id="__gq",
+        corpus_id=id_col,
+        query_vec="__gv",
+        corpus_vec=vec_col,
+        round_dp=round_dp,
+    )
+    kept = topk1.where(F.col("__gq") != F.col(id_col)).select(
+        F.col("__gq").alias("src_id"),
+        F.col(id_col).alias("nbr_id"),
+        "cos_sim",
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.col("nbr_id").asc()
+    )
+    return kept.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= k
+    )

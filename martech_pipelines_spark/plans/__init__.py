@@ -150,6 +150,7 @@ _WINDOW_PRIORITY = [
     "dq12_temporal_consistency",
     "s27_filtered_ann",
     "s28_adc_retrieve_rerank",
+    "s29_graph_ann_beam",
 ]
 
 

@@ -510,3 +510,36 @@ def test_exact_rerank_matches_bruteforce_on_candidate_set(spark, sf_dir):
     assert all(
         (r["query_id"], r["vec_id"]) in cand_set for r in rer.collect()
     )
+
+
+def test_knn_graph_arrow_bit_equal_to_exact(spark, sf_dir):
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {tuple(r) for r in SIM.knn_graph(emb, k=8).collect()}
+    b = {tuple(r) for r in SIM.knn_graph_arrow(emb, k=8).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_graph_beam_search_reaches_expected_visited_set(spark):
+    # tiny hand graph: entry 0 -> 1 -> 2 (chain); query equals node 2's
+    # vector, so each hop must move the beam toward 2
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.7, 0.7]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    graph = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src_id long, nbr_id long"
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    out = SIM.graph_ann_beam_search(
+        queries, emb, graph, entry_id=0, hops=2, beam=1, k=3
+    ).collect()
+    got = sorted((r["rnk"], r["vec_id"]) for r in out)
+    assert got == [(1, 2), (2, 1), (3, 0)]
