@@ -128,6 +128,13 @@ HEAVY = [
     "t50_char_entropy",
     "pipe12_incremental_dataset_card",
     "dd18_cluster_size_histogram",
+    # round-8b closers: filtered IVF search (post-filter semantics over
+    # the unchanged index), the two-stage ADC-retrieve/exact-rerank
+    # serving pattern, and graph-ANN beam search (Arrow-built kNN graph
+    # + fixed-hop walk — the search never rescans the corpus)
+    "s27_filtered_ann",
+    "s28_adc_retrieve_rerank",
+    "s29_graph_ann_beam",
 ]
 N_RUNS = 2
 
