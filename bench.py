@@ -160,8 +160,12 @@ def main() -> None:
     # scales are jitter-dominated (VERDICT r02: dd4 "+33%" was exactly
     # this), and min is the standard noise-robust floor estimator.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    # Optional subset (comma-separated names) for smoke/debug runs; the
+    # driver never sets it, so driver benches always run the full HEADLINE.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name not in QUERIES:
             continue
         best = None
@@ -194,19 +198,33 @@ def main() -> None:
         pass
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_corpus_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n": n_runs,
-                "calib": calib,
-            }
+    payload = {
+        "metric": "headline_corpus_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n": n_runs,
+        "calib": calib,
+    }
+    # The driver records only a bounded TAIL of stdout: a single giant JSON
+    # line gets its HEAD clipped and becomes unparseable (BENCH_r08.json
+    # "parsed": null).  So: persist the full payload to disk, print it once
+    # for human logs, then end stdout with a COMPACT final line (no
+    # per-query map) that a last-line parse can never lose.
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LAST.json"
         )
-    )
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(payload))
+    compact = {k: payload[k] for k in ("metric", "value", "unit", "sf", "n", "calib")}
+    compact["n_queries"] = len(timings)
+    compact["queries_file"] = "BENCH_FULL_LAST.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -32,32 +32,83 @@ from martech_pipelines_spark.plans import corpus_r8  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r8b  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering (round 8 rotation — VERDICT r7 "Next round" #1/#2).
+# Driver-window ordering (round 9 rotation — VERDICT r8 "Next round" #1).
 #
 # The correctness driver hashes only the FIRST 50 entries of queries() each
-# round.  Round-8 window (slots 1-50): the two r7 driver-hash failures
-# FIRST, freshly hardened (fe2: integer-micros cutoff + BIGINT-cast oracle
-# sums; t39: half-up BIGINT fertility_e4 ratio — the s12 recipe), then the
-# entire never-driver-checked backlog: the 10 round-7 ANN determinism
-# queries + the newly registered s2i2 Arrow twin (VERDICT r7 #5), mm4-mm6,
-# dq1-dq4 (dq2 hardened to exact integer-cent moments), w4, z1, the
-# r7-r20 classics, f12 (same hardening as dq2), dp1, a4/a5, and the
-# rows-only tail minus t14b_bpe_learn/t26_bpe_encode (deferred to round 9
-# per VERDICT #2 — a hash-less check only proves execution, already
-# covered by bare-session rehearsal).  After a green round 8, every
-# registered query except those two has a driver row.
-# Slots 51+: the round-9 queue — t14b/t26, then s2_lsh_topk /
-# s3_embedding_near_dup / s2b_ivf_topk / r3b_approx_distinct, whose only
-# driver checks predate their oracle upgrades (stale rows-only greens,
-# VERDICT r7 #7).  Everything else keeps registration order; nothing is
-# removed.
+# round.  Round-9 window (slots 1-50): the entire never-driver-checked
+# backlog from round 8 — t14b/t26 (rows-only BPE, deferred from r8), the
+# s2/s3/s2b/r3b stale-green refreshes (s2/s3 have never been hash-checked
+# under their upgraded FULL oracles; their only driver rows are r1
+# rows-only), the 12 round-8 additions and the 21 wave-2 additions (every
+# one four-checked locally in the r8 session: check_oracle, 7-vs-32
+# stability sweep, bare-session driver rehearsal, rounding/LIMIT/type
+# audits) — then the 11 OLDEST driver-green queries (r1-era checks, now 8
+# rounds stale) for re-validation currency.  After a green round 9 the
+# never-driver-checked count drops to 0 for the pre-r9 registry.
+# Slots 51+: the round-8 window in its r8 order (all driver-green in r8),
+# then registration order.  Nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # === round-8 window, slots 1-50 ===
-    # -- r7 driver-hash failures, hardened and re-queued at the front --
+    # === round-9 window, slots 1-50: the full never-driver-checked backlog
+    # (39 round-8-session additions + the s2/s3/s2b/r3b stale-green refreshes,
+    # VERDICT r8 "Next round" #1) followed by the 11 OLDEST driver-green
+    # queries (r1-era relational/window classics + the two r2 s1 checks),
+    # oldest first, for re-validation currency. ===
+    "t14b_bpe_learn",
+    "t26_bpe_encode",
+    "s2_lsh_topk",
+    "s3_embedding_near_dup",
+    "s2b_ivf_topk",
+    "r3b_approx_distinct",
+    "s20_mmr_rerank",
+    "dq9_fd_profile",
+    "r37_rank_distribution",
+    "t45_containment_dedup",
+    "s2h2_ivf_asof_probe",
+    "fe4_target_encoding",
+    "t46_mixture_budget",
+    "s23_pq_distortion_report",
+    "dq10_anomaly_attribution",
+    "dd16_lsh_precision_report",
+    "t48_pii_pattern_profile",
+    "s24_rrf_fusion",
+    "h21_incremental_sessionize",
+    "r38_skyline",
+    "dd17_cluster_cap_sample",
+    "t49_ngram_novelty",
+    "s25_recall_vs_probes",
+    "pipe11_dataset_card",
+    "h22_incremental_skyline",
+    "a12_partitioned_pruned_scan",
+    "g4_label_propagation",
+    "t50_char_entropy",
+    "pipe12_incremental_dataset_card",
+    "s26_ivf_cell_balance",
+    "dd18_cluster_size_histogram",
+    "fe5_session_features",
+    "dq11_benford_deviation",
+    "mart21_revenue_gini",
+    "h23_incremental_gini",
+    "dq12_temporal_consistency",
+    "s27_filtered_ann",
+    "s28_adc_retrieve_rerank",
+    "s29_graph_ann_beam",
+    # -- oldest-green refreshes (last driver check r1/r2) --
+    "r1_topk_orders",
+    "r2_set_ops",
+    "r3_distinct_agg",
+    "r4_rollup",
+    "r5_anti_join",
+    "r6_asof_join",
+    "w1_tumbling",
+    "w2_sliding",
+    "w3_session",
+    "s1_bruteforce_topk",
+    "s1b_bruteforce_arrow",
+    # === slots 51+: the round-8 window (all driver-green in r8), kept in
+    # its r8 order; everything after keeps registration order. ===
     "fe2_multiwindow_features",
     "t39_tokenizer_fertility",
-    # -- round-7 ANN determinism program + the s2i2 registration --
     "pipe10b_prep_funnel_materialized",
     "s2e_ivf_cells",
     "s2f_ivf_probe_sets",
@@ -69,7 +120,6 @@ _WINDOW_PRIORITY = [
     "s2i_ivfpq_deterministic_topk",
     "s2i2_ivfpq_arrow",
     "s8c2_pq_adc_arrow",
-    # -- multimodal + data-quality + remaining full-oracle backlog --
     "mm4_resize",
     "mm5_frame_sample",
     "mm6_phash_near_dup",
@@ -98,8 +148,6 @@ _WINDOW_PRIORITY = [
     "dp1_profile_customer",
     "a4_conf_read",
     "a5_csv_scan",
-    # -- rows-only backlog (trained/approximate ops: the driver records
-    # the weaker rows-only check; t14b/t26 deferred to round 9) --
     "s2c_ivf_materialized",
     "s2d_ivfpq_materialized",
     "s8_pq_topk",
@@ -109,48 +157,6 @@ _WINDOW_PRIORITY = [
     "r31b_rolling_active_hll",
     "h7_incremental_distinct",
     "pipe6_tokenize_pack",
-    # === round-9 queue, slots 51+ ===
-    "t14b_bpe_learn",
-    "t26_bpe_encode",
-    "s2_lsh_topk",
-    "s3_embedding_near_dup",
-    "s2b_ivf_topk",
-    "r3b_approx_distinct",
-    # round-8 additions (four-checked this round, never driver-checked)
-    "s20_mmr_rerank",
-    "dq9_fd_profile",
-    "r37_rank_distribution",
-    "t45_containment_dedup",
-    "s2h2_ivf_asof_probe",
-    "fe4_target_encoding",
-    "t46_mixture_budget",
-    "s23_pq_distortion_report",
-    "dq10_anomaly_attribution",
-    "dd16_lsh_precision_report",
-    "t48_pii_pattern_profile",
-    "s24_rrf_fusion",
-    # round-8b additions (four-checked this round, never driver-checked)
-    "h21_incremental_sessionize",
-    "r38_skyline",
-    "dd17_cluster_cap_sample",
-    "t49_ngram_novelty",
-    "s25_recall_vs_probes",
-    "pipe11_dataset_card",
-    "h22_incremental_skyline",
-    "a12_partitioned_pruned_scan",
-    "g4_label_propagation",
-    "t50_char_entropy",
-    "pipe12_incremental_dataset_card",
-    "s26_ivf_cell_balance",
-    "dd18_cluster_size_histogram",
-    "fe5_session_features",
-    "dq11_benford_deviation",
-    "mart21_revenue_gini",
-    "h23_incremental_gini",
-    "dq12_temporal_consistency",
-    "s27_filtered_ann",
-    "s28_adc_retrieve_rerank",
-    "s29_graph_ann_beam",
 ]
 
 

@@ -249,6 +249,16 @@ def measure_recall(spark) -> dict[str, float]:
     return recalls
 
 
+def _compact(out: dict) -> dict:
+    """Small final stdout line (no per-query map): a bounded tail capture
+    clips the head of a giant single-line JSON (BENCH_r08 "parsed": null);
+    the full payload is on disk at BENCH_sf1.json."""
+    c = {k: out[k] for k in ("metric", "value", "unit", "sf", "n") if k in out}
+    c["n_queries"] = len(out.get("queries", {}))
+    c["queries_file"] = "BENCH_sf1.json"
+    return c
+
+
 def main() -> None:
     from martech_pipelines_spark import caching, get_spark
     from martech_pipelines_spark.plans import QUERIES
@@ -287,6 +297,7 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(json.dumps(out) + "\n")
         print(json.dumps(out))
+        print(json.dumps(_compact(out)))
         spark.stop()
         return
 
@@ -310,6 +321,7 @@ def main() -> None:
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
+    print(json.dumps(_compact(out)))
     spark.stop()
 
 
