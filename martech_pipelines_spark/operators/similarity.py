@@ -98,6 +98,16 @@ def brute_force_topk(
     )
 
 
+#: Driver-side budget for the collected query matrix in
+#: ``brute_force_topk_arrow`` (rows * dim float64 cells; 8M = 64 MB).
+#: The kernel's contract is a |Q|-BOUNDED query set — corpus-as-queries
+#: callers (graph builds) must go through ``knn_graph_arrow``'s blocked
+#: path or the banded-LSH build (``knn_graph_lsh`` / s10b), never raise
+#: this blindly.  The loud guard is the linalg overflow-guard convention:
+#: an unbounded queries.collect() is a silent driver OOM at 100 TB.
+_MAX_QUERY_CELLS = 8_000_000
+
+
 def brute_force_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,
@@ -107,6 +117,7 @@ def brute_force_topk_arrow(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     round_dp: int = 4,
+    max_query_cells: int = _MAX_QUERY_CELLS,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow kernel with MAP-SIDE top-k.
 
@@ -120,12 +131,47 @@ def brute_force_topk_arrow(
     difference between a terabyte-scale and a megabyte-scale exchange.
     Scoring is float64 numpy; ranks are taken on the ROUNDED similarity
     (same contract as s1) so 1-ulp summation-order noise cannot flip them.
+
+    The query-matrix collect is BUDGETED: the driver never materializes
+    more than ``max_query_cells`` float64 cells (+1 probe row).  A query
+    set over budget raises loudly with the remediation instead of OOMing
+    the driver — the failure mode VERDICT r8 flagged for corpus-as-queries
+    graph builds at 100 TB.
     """
     import pandas as pd
 
     id_type = dict(queries.dtypes)[query_id]
     cid_type = dict(corpus.dtypes)[corpus_id]
-    q_rows = queries.select(query_id, query_vec).collect()
+    # Bounded collect: peek the dimension (limit-1 job), cap the row
+    # fetch at budget//dim + 1 so the over-budget case collects ONE row
+    # past the cap — never the whole query set — before raising.
+    dim_row = (
+        queries.select(F.size(query_vec).alias("__d"))
+        .where(F.col(query_vec).isNotNull())
+        .first()
+    )
+    dim = int(dim_row["__d"]) if dim_row is not None else 0
+    row_cap = max_query_cells // max(dim, 1) + 1
+    # Null query vectors can never score (cos_sim null is filtered), so
+    # dropping them pre-collect is bit-equal AND makes the truncation
+    # check sound: every collected row carries ~dim cells, so a silently
+    # limit-clipped query set always trips the budget.
+    q_rows = (
+        queries.select(query_id, query_vec)
+        .where(F.col(query_vec).isNotNull())
+        .limit(row_cap + 1)
+        .collect()
+    )
+    if sum(len(r[1]) for r in q_rows if r[1] is not None) > max_query_cells:
+        raise ValueError(
+            f"brute_force_topk_arrow: query matrix exceeds the driver-side "
+            f"budget ({max_query_cells} float64 cells; dim={dim}, >{row_cap} "
+            f"rows). This kernel collects the query side and is only for "
+            f"|Q|-bounded query sets. For corpus-as-queries graph builds use "
+            f"knn_graph_arrow (blocked query side) or knn_graph_lsh (banded "
+            f"self-join, no collect); raise max_query_cells only if the "
+            f"query set is genuinely this large and the driver can hold it."
+        )
     if not q_rows:
         schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cos_sim double, rnk long"
         return corpus.sparkSession.createDataFrame([], schema)
@@ -3371,12 +3417,26 @@ def knn_graph_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    block_cells: int = _MAX_QUERY_CELLS,
 ) -> DataFrame:
     """``knn_graph`` through the Arrow map-side-top-k kernel (the
     s1/s1b twin pattern applied to the graph BUILD): the kNN graph is
     just every corpus vector run as a brute-force top-(k+1) query over
     the corpus, so it rides the existing matmul lane and drops the
     JVM-HOF all-pairs cost (measured 66.8s -> 2.1s at sf0.1, k=8).
+
+    Corpus-as-queries means the query side is NOT |Q|-bounded, so the
+    collect is BLOCKED (VERDICT r8): when the corpus exceeds
+    ``block_cells`` float64 cells, the query side is split into
+    deterministic hash-mod id blocks, each block rides the kernel
+    within budget, and the per-block top-(k+1) results are unioned —
+    per-query output is independent of blocking, so this is bit-equal
+    to the single-pass form (pinned in pytest).  Peak driver memory is
+    one block; the corpus is re-scanned once per block, which is the
+    honest cost of an EXACT O(N^2) build — this path is the oracle
+    anchor and the gate-scale inline build, while the 100-TB production
+    build is ``knn_graph_lsh`` (banded self-join, no collect at all —
+    s10b, and the s29b registered beam-search form).
 
     Self-exclusion detail that keeps this bit-equal to ``knn_graph``
     (pinned in pytest): self is requested as one extra slot and then
@@ -3387,16 +3447,48 @@ def knn_graph_arrow(
     queries = vectors.select(
         F.col(id_col).alias("__gq"), F.col(vec_col).alias("__gv")
     )
-    topk1 = brute_force_topk_arrow(
-        queries,
-        vectors,
-        k=k + 1,
-        query_id="__gq",
-        corpus_id=id_col,
-        query_vec="__gv",
-        corpus_vec=vec_col,
-        round_dp=round_dp,
+    total_cells = (
+        vectors.select(
+            F.sum(F.coalesce(F.size(F.col(vec_col)), F.lit(0))).alias("__c")
+        ).first()["__c"]
+        or 0
     )
+    if total_cells <= block_cells:
+        topk1 = brute_force_topk_arrow(
+            queries,
+            vectors,
+            k=k + 1,
+            query_id="__gq",
+            corpus_id=id_col,
+            query_vec="__gv",
+            corpus_vec=vec_col,
+            round_dp=round_dp,
+            max_query_cells=block_cells,
+        )
+    else:
+        import math
+        from functools import reduce
+
+        n_blocks = math.ceil(total_cells / block_cells)
+        # hash-mod blocks are uniform regardless of id distribution;
+        # 2x slack on the per-block budget absorbs the mod skew.
+        parts = [
+            brute_force_topk_arrow(
+                queries.where(
+                    F.pmod(F.xxhash64(F.col("__gq")), F.lit(n_blocks)) == i
+                ),
+                vectors,
+                k=k + 1,
+                query_id="__gq",
+                corpus_id=id_col,
+                query_vec="__gv",
+                corpus_vec=vec_col,
+                round_dp=round_dp,
+                max_query_cells=2 * block_cells,
+            )
+            for i in range(n_blocks)
+        ]
+        topk1 = reduce(lambda a, b: a.unionByName(b), parts)
     kept = topk1.where(F.col("__gq") != F.col(id_col)).select(
         F.col("__gq").alias("src_id"),
         F.col(id_col).alias("nbr_id"),

@@ -30,6 +30,7 @@ from martech_pipelines_spark.plans import corpus_r6  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r7  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r8  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r8b  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r9  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 9 rotation — VERDICT r8 "Next round" #1).
@@ -105,8 +106,11 @@ _WINDOW_PRIORITY = [
     "w3_session",
     "s1_bruteforce_topk",
     "s1b_bruteforce_arrow",
-    # === slots 51+: the round-8 window (all driver-green in r8), kept in
-    # its r8 order; everything after keeps registration order. ===
+    # === round-10 queue: round-9-session additions, four-checked locally,
+    # never driver-checked — next rotation promotes these to slots 1-50. ===
+    "s29b_graph_ann_beam_lsh",
+    # === then the round-8 window (all driver-green in r8), kept in its r8
+    # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",
     "t39_tokenizer_fertility",
     "pipe10b_prep_funnel_materialized",

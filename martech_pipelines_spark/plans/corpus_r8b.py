@@ -1483,11 +1483,10 @@ _COS_QB = """round(
                       * sqrt(list_dot_product(b.v, b.v))), 4)"""
 
 
-def _s29_oracle() -> str:
-    blocks = [
-        f"""base AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), g AS (
+#: Exact kNN-graph CTE (the s29 oracle-anchor build).  ``_s29_oracle``
+#: accepts an alternative graph block so the s29b production form (beam
+#: over the banded-LSH graph, corpus_r9) reuses the identical hop unroll.
+_S29_EXACT_GRAPH_BLOCK = f"""g AS (
         SELECT src_id, nbr_id FROM (
             SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
                    row_number() OVER (
@@ -1502,7 +1501,14 @@ def _s29_oracle() -> str:
             WHERE list_dot_product(a.v, a.v) > 0
               AND list_dot_product(b.v, b.v) > 0
         ) WHERE rn <= {_S29_GK}
-    ), qs AS (
+    )"""
+
+
+def _s29_oracle(graph_block: str = _S29_EXACT_GRAPH_BLOCK) -> str:
+    blocks = [
+        f"""base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), {graph_block}, qs AS (
         SELECT vec_id AS query_id, v FROM base WHERE vec_id % 10 = 0
     ), f0 AS (
         SELECT q.query_id, e.node

@@ -521,6 +521,36 @@ def test_knn_graph_arrow_bit_equal_to_exact(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_knn_graph_arrow_blocked_bit_equal(spark, sf_dir):
+    # VERDICT r8 scale fix: corpus-as-queries builds over the cell budget
+    # split into hash-mod query blocks; per-query output is independent of
+    # blocking, so a tiny budget (forcing many blocks) must be bit-equal.
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {tuple(r) for r in SIM.knn_graph_arrow(emb, k=5).collect()}
+    b = {
+        tuple(r)
+        for r in SIM.knn_graph_arrow(emb, k=5, block_cells=4000).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_brute_force_arrow_query_budget_raises(spark, sf_dir):
+    # The |Q|-bounded contract is now loud: an over-budget query side
+    # raises with remediation instead of collecting the corpus (the
+    # driver-OOM-at-100TB failure mode), and the bounded probe never
+    # materializes more than the budget plus one row.
+    import pytest
+
+    from martech_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError, match="knn_graph_lsh"):
+        SIM.brute_force_topk_arrow(q, emb, k=3, max_query_cells=1000).count()
+
+
 def test_graph_beam_search_reaches_expected_visited_set(spark):
     # tiny hand graph: entry 0 -> 1 -> 2 (chain); query equals node 2's
     # vector, so each hop must move the beam toward 2
