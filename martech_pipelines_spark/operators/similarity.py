@@ -1736,6 +1736,22 @@ def ivf_compact_index(spark, index_path: str) -> None:
         for d in os.listdir(delta)
         if d.startswith("batch=")
     ]
+    if folded_ids:
+        from martech_pipelines_spark.operators.sinks import (
+            _write_compaction_marker,
+        )
+
+        # Advance the time-travel horizon BEFORE any mutation (ADVICE
+        # r8): a crash mid-compaction then errs CONSERVATIVE (as-of
+        # reads under the horizon are refused even though recovery
+        # restored the deltas), whereas the old write-after-rmtree
+        # ordering could leave a compacted corpus with a stale horizon
+        # silently serving historical reads that include folded
+        # batches.  Markers only advance, so a refused-but-servable
+        # read self-heals on the next successful compaction cycle.
+        _write_compaction_marker(
+            f"{index_path}/_compacted_through", max(folded_ids)
+        )
     os.rename(delta, staging)
     merged = (
         spark.read.parquet(corpus)
@@ -1750,15 +1766,6 @@ def ivf_compact_index(spark, index_path: str) -> None:
     os.rename(nxt, corpus)
     shutil.rmtree(staging)
     shutil.rmtree(old)
-    if folded_ids:
-        from martech_pipelines_spark.operators.sinks import (
-            _write_compaction_marker,
-        )
-
-        # advance the time-travel horizon (see _read_ivf_corpus as_of)
-        _write_compaction_marker(
-            f"{index_path}/_compacted_through", max(folded_ids)
-        )
 
 
 def ivf_probe_topk(
@@ -3046,6 +3053,22 @@ def mmr_rerank(
             dot(F.col("__va"), F.col("__vb")).cast("long").alias("sim"),
         )
     )
+    # Presence rows (null b/sim) keep every candidate in its query's
+    # group even when the a!=b pair join yields nothing for it — a
+    # one-candidate query otherwise VANISHES from the output instead of
+    # returning its sole candidate at mmr_rank 1 (ADVICE r8; reachable
+    # through the external ``candidates`` extension point).  For
+    # multi-candidate queries these rows change nothing: the kernel
+    # reads them for (a, rel_a) presence and skips them in the sim fill.
+    pairs = pairs.unionByName(
+        a.select(
+            query_id,
+            "a",
+            "rel_a",
+            F.lit(None).cast(cid_type).alias("b"),
+            F.lit(None).cast("long").alias("sim"),
+        )
+    )
 
     out_schema = (
         f"{query_id} {qid_type}, {corpus_id} {cid_type}, "
@@ -3062,9 +3085,14 @@ def mmr_rerank(
         n = len(ids)
         pos = {v: i for i, v in enumerate(ids)}
         sim = np.zeros((n, n), dtype=np.int64)
-        sim[
-            pdf["a"].map(pos).to_numpy(), pdf["b"].map(pos).to_numpy()
-        ] = pdf["sim"].to_numpy(dtype=np.int64)
+        real = pdf[pdf["b"].notna()]  # skip the presence rows
+        if len(real):
+            # nullable b arrives float64/object from Arrow: cast the
+            # mapped positions back to int for fancy indexing
+            sim[
+                real["a"].map(pos).to_numpy(dtype=np.int64),
+                real["b"].map(pos).to_numpy(dtype=np.int64),
+            ] = real["sim"].to_numpy(dtype=np.int64)
         remaining = np.ones(n, dtype=bool)
         sel: list[int] = []
         out_ids, out_rank, out_score = [], [], []

@@ -280,18 +280,23 @@ def compact_batch_dirs(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{nxt}/{prefix}-1")
-    os.rename(root, old)
-    os.rename(nxt, root)
-    shutil.rmtree(old)
-    # Record the time-travel horizon: as-of reads below the max folded
-    # batch id are now impossible (compaction trades history depth for
-    # file counts — the VACUUM tradeoff).  Sibling file, not inside the
-    # root: the swap above replaces the root wholesale.
+    # Record the time-travel horizon BEFORE the destructive swap: as-of
+    # reads below the max folded batch id are now impossible (compaction
+    # trades history depth for file counts — the VACUUM tradeoff).  A
+    # crash between marker and swap errs CONSERVATIVE — the marker
+    # refuses an as-of read the intact deltas could still serve — while
+    # the old after-the-rmtree ordering could leave a compacted root
+    # with a stale horizon silently answering a historical read with
+    # folded-in later batches (ADVICE r8).  Sibling file, not inside the
+    # root: the swap below replaces the root wholesale.
     folded_ids = [
         int(d[len(prefix):]) for d in batches if d[len(prefix):] != "-1"
     ]
     if folded_ids:
         _write_compaction_marker(root + ".compacted_through", max(folded_ids))
+    os.rename(root, old)
+    os.rename(nxt, root)
+    shutil.rmtree(old)
     return True
 
 

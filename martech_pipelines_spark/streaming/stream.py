@@ -1124,6 +1124,18 @@ def streaming_rolling_zscore(
     ROUND's semantics) — so emitted rows are pinned EQUAL to the batch
     window's (tests/test_streaming.py).
 
+    INPUT-PRECISION CONTRACT (ADVICE r8): ``value`` must be an exact
+    2-decimal quantity (money cents — what the events table carries).
+    Each event is quantized to cents on arrival (round-then-sum), while
+    the batch twin sums raw doubles per day and rounds the SUM
+    (sum-then-round); the two orders agree exactly when every input is
+    cent-exact, and diverge on sub-cent inputs (three 0.004 events: 1
+    cent in batch, 0 here).  This is deliberate — keeping floats out of
+    long-lived state avoids the accumulation-order ulp hazard that
+    WOULD break the emitted-rows-equal-batch pin nondeterministically;
+    sub-cent telemetry should be scaled to an exact integer unit (e.g.
+    micros) upstream of both twins instead.
+
     State per key: the newest ``window_periods`` (day, cents) entries —
     mirroring the batch ROWS BETWEEN window over existing days (gap
     days don't pad) — plus the last-emitted day.  O(keys * w) longs

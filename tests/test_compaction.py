@@ -159,3 +159,45 @@ def test_recover_dir_swap_crash_states(spark, tmp_path):
     recover_dir_swap(root)
     assert not os.path.isdir(root + ".old") and ids() == want
     assert _batch_dirs(root) == ["batch_id=-1"]
+
+
+def test_horizon_marker_written_before_swap(spark, tmp_path, monkeypatch):
+    """ADVICE r8: the time-travel horizon marker must land BEFORE the
+    destructive root swap.  A crash between marker and swap then errs
+    conservative — recovery restores the deltas and an as-of read under
+    the premature horizon is REFUSED — instead of the old ordering's
+    silent wrong answer (compacted root, stale horizon)."""
+    import pytest
+
+    from martech_pipelines_spark.operators.sinks import read_batched_index
+
+    root = str(tmp_path / "t")
+    spark.range(10).write.parquet(f"{root}/batch_id=-1")
+    spark.range(10, 20).write.parquet(f"{root}/batch_id=0")
+    spark.range(20, 30).write.parquet(f"{root}/batch_id=1")
+    want = set(range(30))
+
+    real_rename = os.rename
+
+    def boom(src, dst):  # crash at the FIRST swap rename
+        raise OSError("simulated crash between marker write and swap")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_batch_dirs(spark, root)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # marker landed before the crash; the deltas are intact
+    assert os.path.exists(root + ".compacted_through")
+    recover_dir_swap(root)
+    assert {
+        r["id"] for r in read_batched_index(spark, root).select("id").collect()
+    } == want
+    # conservative refusal: as-of under the premature horizon raises
+    with pytest.raises(ValueError):
+        read_batched_index(spark, root, as_of=0).collect()
+    # and the next successful compaction cycle self-heals the surface
+    assert compact_batch_dirs(spark, root) is True
+    assert {
+        r["id"] for r in read_batched_index(spark, root).select("id").collect()
+    } == want

@@ -285,3 +285,48 @@ def test_read_batched_index_flat_layout_tolerates_as_of(spark, tmp_path):
     assert rows(prep.prep_funnel_report(spark, idx, as_of=5)) == rows(
         prep.prep_funnel_report(spark, idx)
     )
+
+
+def test_mmr_singleton_candidate_emits_rank1(spark):
+    # ADVICE r8: a query whose candidate set has exactly ONE member used
+    # to vanish (the a!=b pair join yields no rows, so its group never
+    # formed).  It must return the sole candidate at mmr_rank 1 with
+    # score = rel, alongside an unaffected multi-candidate query.
+    corpus = _emb_df(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.98, 0.05]), (3, [0.60, 0.80])],
+    )
+    queries = _emb_df(
+        spark, [(100, [0.9, 0.1]), (200, [0.1, 0.9])]
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    rel = SIM.dot(
+        SIM.quantized_vec(F.col("q.embedding")),
+        SIM.quantized_vec(F.col("c.embedding")),
+    ).cast("long")
+    cand = (
+        queries.alias("q")
+        .crossJoin(corpus.alias("c"))
+        .select(F.col("q.query_id"), F.col("c.vec_id"), rel.alias("rel"))
+        # query 200 keeps ONE candidate; query 100 keeps all three
+        .where((F.col("query_id") == 100) | (F.col("vec_id") == 3))
+    )
+    got = {
+        r["query_id"]: r
+        for r in SIM.mmr_rerank(
+            queries, corpus, n_candidates=3, k=2, candidates=cand
+        ).collect()
+        if r["mmr_rank"] == 1
+    }
+    assert set(got) == {100, 200}
+    # first pick's score is the raw relevance: quantized dot of
+    # [0.1, 0.9] and [0.60, 0.80] at 1e6 scale
+    want_rel = 100_000 * 600_000 + 900_000 * 800_000
+    assert got[200]["vec_id"] == 3 and got[200]["mmr_score"] == want_rel
+    only_200 = [
+        r
+        for r in SIM.mmr_rerank(
+            queries, corpus, n_candidates=3, k=2, candidates=cand
+        ).collect()
+        if r["query_id"] == 200
+    ]
+    assert len(only_200) == 1 and only_200[0]["mmr_rank"] == 1
