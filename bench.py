@@ -119,6 +119,10 @@ HEADLINE = [
     "t49_ngram_novelty",
     "t50_char_entropy",
     "dd18_cluster_size_histogram",
+    # round-9: production graph-ANN (LSH build + beam search, no collect)
+    "s29b_graph_ann_beam_lsh",
+    # round-9: deterministic Lloyd's k-means (the training loop, oracled)
+    "s2j_kmeans_lloyd_det",
 ]
 
 

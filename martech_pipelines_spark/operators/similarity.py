@@ -598,6 +598,86 @@ def quantized_cell_assignments(
     )
 
 
+def kmeans_lloyd_det(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    quantize: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means in a DETERMINISTIC, fully value-checkable form —
+    the LAST unoracled stage of the ANN program (VERDICT r8 #6): fixed
+    ``iters`` update rounds from the modular-representative init, all
+    geometry in exact integer arithmetic, all ties total.  Output is the
+    final (id, cell, d2q) assignment under the post-iteration centroids.
+
+    What makes each piece engine-exact:
+    - assignment: the s2e kernel — integer squared distance over
+      quantized vectors, ties to the lowest cell id;
+    - centroid update: per-(cell, component) INTEGER sums and counts,
+      new component = round-half-away-from-zero integer ratio
+      ``sign(s) * ((2*|s| + n) div (2*n))`` — the h23 ``div``-on-both-
+      engines recipe, so Spark and DuckDB produce bit-identical
+      centroids;
+    - empty cells vanish on both engines identically (standard Lloyd
+      drop-empty-cell).
+
+    Scale shape per iteration: centroids broadcast for the assignment
+    (nlist x dim); the update shuffles only map-side-combined partial
+    (cell, pos) sums — partitions * nlist * dim cells, the linalg Gram
+    discipline — never the corpus.  The trained MLlib-style float
+    KMeans stays rows-only behind recall gates; this is its
+    value-checked geometry twin."""
+    xq = corpus.select(
+        F.col(id_col), quantized_vec(F.col(vec_col), quantize).alias("__xq")
+    )
+    cents = modular_representatives(
+        corpus, nlist=nlist, vec_col=vec_col, id_col=id_col
+    ).select(F.col("cell"), quantized_vec(F.col("centroid"), quantize).alias("__cq"))
+
+    def _assign(cq: DataFrame) -> DataFrame:
+        scored = xq.crossJoin(F.broadcast(cq)).select(
+            id_col,
+            "cell",
+            quantized_sqdist(F.col("__xq"), F.col("__cq")).alias("d2q"),
+        )
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct("d2q", "cell")).alias("__b")
+        )
+        return best.select(
+            id_col,
+            F.col("__b.cell").alias("cell"),
+            F.col("__b.d2q").alias("d2q"),
+        )
+
+    for _ in range(iters):
+        assign = _assign(cents)
+        comp = (
+            assign.select(id_col, "cell")
+            .join(xq, id_col)
+            .select("cell", F.posexplode("__xq").alias("pos", "val"))
+        )
+        agg = comp.groupBy("cell", "pos").agg(
+            F.sum("val").cast("long").alias("s"), F.count("*").alias("n")
+        )
+        newv = agg.select(
+            "cell",
+            "pos",
+            (
+                F.when(F.col("s") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr("(2 * abs(s) + n) div (2 * n)")
+            ).cast("long").alias("cv"),
+        )
+        cents = newv.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda st: st["cv"],
+            ).alias("__cq")
+        )
+    return _assign(cents)
+
+
 def _quantized_cell_structs(
     vec: Column, cent_rows: list, quantize: int = 6
 ) -> Column:

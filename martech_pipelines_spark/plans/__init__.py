@@ -109,6 +109,7 @@ _WINDOW_PRIORITY = [
     # === round-10 queue: round-9-session additions, four-checked locally,
     # never driver-checked — next rotation promotes these to slots 1-50. ===
     "s29b_graph_ann_beam_lsh",
+    "s2j_kmeans_lloyd_det",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -1,0 +1,100 @@
+"""Round-9 operator tests: deterministic Lloyd's k-means and the
+production graph-ANN registration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators import similarity as SIM
+from martech_pipelines_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lloyd_zero_iters_equals_s2e_assignment(spark):
+    emb = load_table(spark, SF, "embeddings")
+    cents = SIM.modular_representatives(emb, nlist=8)
+    want = sorted(
+        map(
+            tuple,
+            SIM.quantized_cell_assignments(emb, cents)
+            .select("vec_id", "cell", "d2q")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            SIM.kmeans_lloyd_det(emb, nlist=8, iters=0)
+            .select("vec_id", "cell", "d2q")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_lloyd_separates_two_obvious_clusters(spark):
+    # two tight groups on opposite axes; one update round must pull the
+    # centroids to the group means and assign each point to its group
+    rows = [
+        (0, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (4, [0.95, 0.02]),
+        (1, [0.0, 1.0]),
+        (3, [0.1, 0.9]),
+        (5, [0.02, 0.95]),
+    ]
+    emb = _emb_df(spark, rows)
+    out = SIM.kmeans_lloyd_det(emb, nlist=2, iters=2).collect()
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+    assert sorted(by_cell.values(), key=min) == [{0, 2, 4}, {1, 3, 5}]
+
+
+def test_lloyd_objective_nonincreasing(spark):
+    # Lloyd's invariant: total within-cluster squared distance never
+    # increases with more iterations (exact integers, so comparable)
+    emb = load_table(spark, SF, "embeddings")
+    costs = [
+        SIM.kmeans_lloyd_det(emb, nlist=16, iters=i)
+        .agg(F.sum("d2q"))
+        .collect()[0][0]
+        for i in range(4)
+    ]
+    assert all(a >= b for a, b in zip(costs, costs[1:])), costs
+
+
+def test_lloyd_every_vector_assigned_exactly_once(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = SIM.kmeans_lloyd_det(emb, nlist=16, iters=2)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+
+
+def test_s29b_beam_results_subset_of_scored_corpus(spark):
+    # every returned neighbor must be a node the beam could have reached:
+    # rank 1..k per query, scores are valid rounded cosines
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    graph = SIM.knn_graph_lsh(emb, dim=64, k=8, bits=32, bands=4).select(
+        "src_id", "nbr_id"
+    )
+    entry = emb.agg(F.min("vec_id")).collect()[0][0]
+    out = SIM.graph_ann_beam_search(
+        queries, emb, graph, entry_id=entry, hops=3, beam=4, k=5
+    ).collect()
+    assert len(out) > 0
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

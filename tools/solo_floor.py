@@ -32,15 +32,22 @@ def main() -> None:
     spark = get_spark("solo_floor")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    t0 = time.perf_counter()
-    (
-        spark.range(30_000_000)
-        .selectExpr("xxhash64(id) % 1000 AS b", "id")
-        .groupBy("b")
-        .agg({"id": "sum"})
-        .count()
-    )
-    print(f"calib {time.perf_counter() - t0:.3f}")
+    # best-of-3, matching bench.py's probe exactly — a single cold run
+    # pays whole-stage codegen compilation and overstates calib ~3x
+    # (round-9 finding), which would misclassify a healthy host.
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(30_000_000)
+            .selectExpr("xxhash64(id) % 1000 AS b", "id")
+            .groupBy("b")
+            .agg({"id": "sum"})
+            .count()
+        )
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    print(f"calib {best:.3f}")
 
     for name in args:
         fn = QUERIES[name]
