@@ -123,6 +123,8 @@ HEADLINE = [
     "s29b_graph_ann_beam_lsh",
     # round-9: deterministic Lloyd's k-means (the training loop, oracled)
     "s2j_kmeans_lloyd_det",
+    # round-9: graph-ANN recall-vs-hops tuning curve (one-walk sweep)
+    "s30_graph_recall_curve",
 ]
 
 

@@ -3430,6 +3430,7 @@ def graph_ann_beam_search(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     round_dp: int = 4,
+    sweep_hops: "list[int] | None" = None,
 ) -> DataFrame:
     """Graph-based ANN (the NSW/HNSW family's search primitive) in its
     DETERMINISTIC, oracle-able form: fixed-hop beam search over a
@@ -3442,6 +3443,12 @@ def graph_ann_beam_search(
     the build is the deterministic kNN graph (s10; swap in the banded
     LSH graph s10b for the scale build), so the whole search unrolls
     into CTEs and carries a full DuckDB oracle.
+
+    ``sweep_hops`` turns one walk into the tuning curve (the s25
+    sweep-kernel pattern): visited sets are nested across hops, so the
+    per-hop top-k snapshots come from the SAME single walk — an extra
+    ``hops`` column marks each budget; rows match running the search
+    independently per hop count (pinned in pytest).
 
     Scale shape per hop: one keyed join of the (|Q| x beam) beam table
     against the adjacency list + two skinny vector-fetch joins for
@@ -3497,7 +3504,21 @@ def graph_ann_beam_search(
     beam_df = visited.withColumn("__r", F.row_number().over(w)).where(
         F.col("__r") <= beam
     ).select(query_id, "node")
-    for _ in range(hops):
+
+    def topk(vis: DataFrame) -> DataFrame:
+        return (
+            vis.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select(
+                query_id,
+                F.col("node").alias(corpus_id),
+                "cos_sim",
+                "rnk",
+            )
+        )
+
+    per_hop: list[DataFrame] = []
+    for h in range(1, hops + 1):
         nbrs = beam_df.join(
             edges, beam_df["node"] == edges["__src"]
         ).select(query_id, F.col("__nbr").alias("node"))
@@ -3507,16 +3528,16 @@ def graph_ann_beam_search(
             F.col("__r") <= beam
         ).select(query_id, "node")
         visited = visited.unionByName(scored).distinct()
-    return (
-        visited.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select(
-            query_id,
-            F.col("node").alias(corpus_id),
-            "cos_sim",
-            "rnk",
-        )
-    )
+        if sweep_hops and h in sweep_hops:
+            per_hop.append(
+                topk(visited).withColumn("hops", F.lit(h).cast("long"))
+            )
+    if sweep_hops:
+        out = per_hop[0]
+        for nxt in per_hop[1:]:
+            out = out.unionByName(nxt)
+        return out
+    return topk(visited)
 
 
 def knn_graph_arrow(

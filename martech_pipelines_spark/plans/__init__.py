@@ -110,6 +110,7 @@ _WINDOW_PRIORITY = [
     # never driver-checked — next rotation promotes these to slots 1-50. ===
     "s29b_graph_ann_beam_lsh",
     "s2j_kmeans_lloyd_det",
+    "s30_graph_recall_curve",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -204,3 +204,161 @@ def s2j_kmeans_lloyd_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd_det(
         emb, nlist=_S2J_NLIST, iters=_S2J_ITERS
     ).select("vec_id", "cell", "d2q")
+
+
+# ---------------------------------------------------------------------------
+# s30: graph-ANN tuning curve — recall@5 vs hop budget (s25's counterpart
+# for the graph index family)
+# ---------------------------------------------------------------------------
+
+_S30_HOPS = (1, 2, 3)
+
+
+def _s30_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_r8b import _COS_QB
+
+    blocks = [
+        f"""base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), {_S29B_GRAPH_BLOCK}, qs AS (
+        SELECT vec_id AS query_id, v FROM base WHERE vec_id % 10 = 0
+    ), exact AS (
+        SELECT query_id, node FROM (
+            SELECT q.query_id, b.vec_id AS node, {_COS_QB} AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS_QB} DESC, b.vec_id ASC
+                   ) AS rn
+            FROM qs q CROSS JOIN base b
+            WHERE {_COS_QB} IS NOT NULL
+        ) WHERE rn <= {_S29_K}
+    ), f0 AS (
+        SELECT q.query_id, e.node
+        FROM qs q, (SELECT min(vec_id) AS node FROM base) e
+    ), s0 AS (
+        SELECT f.query_id, f.node, {_COS_QB} AS cos_sim
+        FROM f0 f JOIN qs q USING (query_id) JOIN base b ON b.vec_id = f.node
+        WHERE {_COS_QB} IS NOT NULL
+    ), b0 AS (
+        SELECT query_id, node FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, node ASC
+            ) AS rn FROM s0
+        ) WHERE rn <= {_S29_BEAM}
+    )"""
+    ]
+    max_h = max(_S30_HOPS)
+    for i in range(1, max_h + 1):
+        blocks.append(
+            f"""f{i} AS (
+        SELECT query_id, node FROM b{i - 1}
+        UNION
+        SELECT p.query_id, g.nbr_id FROM b{i - 1} p JOIN g ON g.src_id = p.node
+    ), s{i} AS (
+        SELECT f.query_id, f.node, {_COS_QB} AS cos_sim
+        FROM f{i} f JOIN qs q USING (query_id) JOIN base b ON b.vec_id = f.node
+        WHERE {_COS_QB} IS NOT NULL
+    ), b{i} AS (
+        SELECT query_id, node FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, node ASC
+            ) AS rn FROM s{i}
+        ) WHERE rn <= {_S29_BEAM}
+    )"""
+        )
+    rows = []
+    for h in _S30_HOPS:
+        united = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(h + 1))
+        blocks.append(
+            f"""top{h} AS (
+        SELECT query_id, node FROM (
+            SELECT query_id, node, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, node ASC
+            ) AS rnk
+            FROM (SELECT DISTINCT query_id, node, cos_sim FROM ({united}))
+        ) WHERE rnk <= {_S29_K}
+    )"""
+        )
+        rows.append(
+            f"""SELECT CAST({h} AS BIGINT) AS hops,
+           CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(a.node) AS BIGINT) AS hits,
+           CAST((CAST(count(a.node) AS BIGINT) * 20000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS recall_e4
+    FROM exact x LEFT JOIN top{h} a
+      ON a.query_id = x.query_id AND a.node = x.node"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+@q("s30_graph_recall_curve", _s30_oracle())
+def s30_graph_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-ANN tuning curve: recall@5 of the PRODUCTION beam
+    search (s29b — banded-LSH graph, fixed entry) as a function of the
+    hop budget (1/2/3), against the exact ranker — s25's accuracy-vs-
+    cost report re-read for the graph family, where the candidate
+    budget grows with hops the way IVF's grows with nprobe.  Every
+    stage is deterministic, so the whole curve is value-checked.
+
+    Plan shape: the exact side runs ONCE through the Arrow map-side
+    top-k twin (persisted |Q| x k rows); the graph side is ONE walk —
+    visited sets are nested across hops, so per-hop snapshots reuse the
+    same frontier scoring (``sweep_hops``, the s25 sweep-kernel
+    discipline) instead of three independent searches.  Hits land in
+    one inner join grouped by hops; the ratio is a half-up BIGINT e4."""
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = caching.register(
+        SIM.brute_force_topk_arrow(queries, emb, k=_S29_K)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    graph = SIM.knn_graph_lsh(
+        emb, dim=64, k=_S29_GK, bits=_S29B_BITS, bands=_S29B_BANDS
+    ).select("src_id", "nbr_id")
+    entry = emb.agg(F.min("vec_id")).collect()[0][0]  # 1-row control plane
+    sweep = SIM.graph_ann_beam_search(
+        queries,
+        emb,
+        graph,
+        entry_id=entry,
+        hops=max(_S30_HOPS),
+        beam=_S29_BEAM,
+        k=_S29_K,
+        sweep_hops=list(_S30_HOPS),
+    ).select("hops", "query_id", "vec_id")
+    hits = (
+        exact.join(sweep, ["query_id", "vec_id"])
+        .groupBy("hops")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    totals = exact.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    grid = spark.createDataFrame([(int(h),) for h in _S30_HOPS], "hops long")
+    return (
+        grid.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(hits), "hops", "left")
+        .select(
+            "hops",
+            "n_queries",
+            "n_pairs",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                "(coalesce(hits, 0) * CAST(20000 AS BIGINT) + n_pairs)"
+                " div (2 * n_pairs)"
+            ).cast("long").alias("recall_e4"),
+        )
+    )

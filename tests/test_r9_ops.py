@@ -98,3 +98,33 @@ def test_s29b_beam_results_subset_of_scored_corpus(spark):
         assert -1.0001 <= r["cos_sim"] <= 1.0001
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_beam_sweep_matches_independent_runs(spark):
+    # sweep_hops snapshots from ONE walk must equal running the search
+    # independently at each hop count
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    graph = SIM.knn_graph_lsh(emb, dim=64, k=8, bits=32, bands=4).select(
+        "src_id", "nbr_id"
+    )
+    entry = emb.agg(F.min("vec_id")).collect()[0][0]
+    sweep = SIM.graph_ann_beam_search(
+        queries, emb, graph, entry_id=entry, hops=3, beam=4, k=5,
+        sweep_hops=[1, 2, 3],
+    ).collect()
+    by_h: dict = {}
+    for r in sweep:
+        by_h.setdefault(r["hops"], set()).add(
+            (r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+        )
+    for h in (1, 2, 3):
+        solo = {
+            (r["query_id"], r["vec_id"], r["cos_sim"], r["rnk"])
+            for r in SIM.graph_ann_beam_search(
+                queries, emb, graph, entry_id=entry, hops=h, beam=4, k=5
+            ).collect()
+        }
+        assert by_h[h] == solo and len(solo) > 0
