@@ -125,6 +125,8 @@ HEADLINE = [
     "s2j_kmeans_lloyd_det",
     # round-9: graph-ANN recall-vs-hops tuning curve (one-walk sweep)
     "s30_graph_recall_curve",
+    # round-9: deterministic KMV distinct sketch (value-checked cardinality)
+    "r3c_kmv_distinct_det",
 ]
 
 

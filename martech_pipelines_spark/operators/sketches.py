@@ -215,3 +215,91 @@ def histogram_percentile_bins(
         F.col("cum_cnt").cast("long").alias("cum_cnt"),
         F.col("total_cnt").cast("long").alias("total_cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the DETERMINISTIC, cross-engine
+# value-checkable member of the cardinality-sketch family (round 9).  HLL
+# above stays the production mergeable state; KMV's md5-derived hashes are
+# bit-identical on Spark and DuckDB, so the SKETCH ALGORITHM itself (build,
+# merge, estimate) carries a full oracle (r3c) — the same promotion the ANN
+# program got via modular centroids.
+# ---------------------------------------------------------------------------
+
+_KMV_M = 4_294_967_296  # hash range: 32-bit md5 prefix + 1 -> [1, 2^32]
+
+
+def _kmv_hash(col: Column) -> Column:
+    """Deterministic 32-bit hash in [1, 2^32]: md5 prefix, the corpus's
+    engine-portable hashing idiom (DuckDB: ('0x'||substr(md5(..),1,8))::BIGINT)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+
+
+def kmv_sketch_table(
+    df: DataFrame, key_cols: str | list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-key KMV sketch: the ``k`` smallest DISTINCT hash values of
+    ``col`` — (keys..., h) rows, at most k per key.  Mergeable state like
+    the HLL table, but order-free and engine-exact.
+
+    Scale shape: distinct-by-group collapses map-side (groupBy key+h),
+    then ONE window pass whose rank<=k filter pushes down as
+    WindowGroupLimit — the dd17 top-k discipline; the shuffle carries
+    pre-combined (key, h) rows, never raw events."""
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hx = (
+        df.select(*keys, _kmv_hash(F.col(col)).alias("h"))
+        .groupBy(*keys, "h")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
+    return (
+        hx.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, key_cols: str | list[str], k: int = 64) -> DataFrame:
+    """Fold two sketch tables: union, re-distinct, keep the k smallest per
+    key.  sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly (k smallest
+    of a union = k smallest of the unions' k-smallest) — pinned in pytest."""
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    u = a.unionByName(b).dropDuplicates([*keys, "h"])
+    w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, key_cols: str | list[str], k: int = 64,
+    out_col: str = "kmv_est",
+) -> DataFrame:
+    """Distinct-count estimate per key: exact (= sketch size) below k
+    distinct hashes, else the classic (k-1)/h_(k) estimator as a half-up
+    BIGINT — ``(2*(k-1)*M + h_k) div (2*h_k)`` with M = 2^32, the h23
+    div-on-both-engines recipe.  Hash collisions undercount identically
+    on both engines (same hashes), so the whole estimate is value-exact."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    agg = sketch.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("__cnt"), F.max("h").alias("__hk")
+    )
+    est = F.when(F.col("__cnt") < k, F.col("__cnt")).otherwise(
+        F.expr(f"(2 * {k - 1} * CAST({_KMV_M} AS BIGINT) + __hk) div (2 * __hk)")
+    )
+    return agg.select(*keys, est.cast("long").alias(out_col))

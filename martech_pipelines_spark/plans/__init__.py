@@ -111,6 +111,7 @@ _WINDOW_PRIORITY = [
     "s29b_graph_ann_beam_lsh",
     "s2j_kmeans_lloyd_det",
     "s30_graph_recall_curve",
+    "r3c_kmv_distinct_det",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -362,3 +362,66 @@ def s30_graph_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("recall_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r3c: deterministic KMV distinct sketch — the value-checkable twin of the
+# rows-only HLL family (r3b/r31b/h7)
+# ---------------------------------------------------------------------------
+
+_R3C_K = 64
+_KMV_M = 4_294_967_296
+
+_R3C_ORACLE = f"""
+    WITH hx AS (
+        SELECT event_type,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1 AS h
+        FROM events GROUP BY 1, 2
+    ), sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hx
+        ) WHERE rn <= {_R3C_K}
+    ), est AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+               max(h) AS hk
+        FROM sk GROUP BY 1
+    ), ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, x.n_exact,
+           CAST(CASE WHEN e.cnt < {_R3C_K} THEN e.cnt
+                ELSE (2 * {_R3C_K - 1} * {_KMV_M} + e.hk) // (2 * e.hk)
+                END AS BIGINT) AS kmv_est
+    FROM est e JOIN ex x USING (event_type)
+"""
+
+
+@q("r3c_kmv_distinct_det", _R3C_ORACLE)
+def r3c_kmv_distinct_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketching itself, value-checked: a KMV (k-minimum-
+    values) distinct sketch of users per event type with md5-derived
+    32-bit hashes — both engines compute IDENTICAL hashes, so the build
+    (k smallest distinct hash values), the estimator ((k-1)/h_(k) as a
+    half-up BIGINT) and the reported exact count all carry a full
+    oracle.  This is the HLL family's r3b promotion: the production
+    mergeable state stays datasketches HLL (rows-only, error/merge
+    gates in pytest), while the SKETCH ALGORITHM class is now engine-
+    exact — sketch(A∪B) == merge(sketch(A), sketch(B)) pinned in
+    pytest.  Scale shape: distinct (type, h) collapses map-side, the
+    rank<=k filter pushes down as WindowGroupLimit, the estimate reads
+    k rows per key."""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_sketch_table(ev, "event_type", "user_id", k=_R3C_K)
+    est = SK.kmv_estimate(sk, "event_type", k=_R3C_K)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "kmv_est"
+    )

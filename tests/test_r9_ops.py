@@ -128,3 +128,63 @@ def test_beam_sweep_matches_independent_runs(spark):
             ).collect()
         }
         assert by_h[h] == solo and len(solo) > 0
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    # KMV mergeability: k smallest of A∪B == merge of per-batch sketches
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, SF, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    whole = {
+        tuple(r)
+        for r in SK.kmv_sketch_table(ev, "event_type", "user_id", k=32).collect()
+    }
+    merged = {
+        tuple(r)
+        for r in SK.kmv_merge(
+            SK.kmv_sketch_table(a, "event_type", "user_id", k=32),
+            SK.kmv_sketch_table(b, "event_type", "user_id", k=32),
+            "event_type",
+            k=32,
+        ).collect()
+    }
+    assert whole == merged and len(whole) > 0
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    # below k distinct values the sketch IS the distinct set: estimate
+    # must equal the exact distinct count
+    from martech_pipelines_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "a"), (3, "b")], "user_id long, g string"
+    )
+    sk = SK.kmv_sketch_table(df, "g", "user_id", k=64)
+    got = {
+        r["g"]: r["kmv_est"]
+        for r in SK.kmv_estimate(sk, "g", k=64).collect()
+    }
+    assert got == {"a": 2, "b": 1}
+
+
+def test_kmv_estimate_error_bounded_at_k64(spark):
+    # standard KMV relative error ~ 1/sqrt(k-2) (~12.7% at k=64);
+    # gate at 3 sigma on the real table
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, SF, "events")
+    sk = SK.kmv_sketch_table(ev, "event_type", "user_id", k=64)
+    est = {
+        r["event_type"]: r["kmv_est"]
+        for r in SK.kmv_estimate(sk, "event_type", k=64).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(3, 0.38 * n), (t, est[t], n)

@@ -135,6 +135,12 @@ HEAVY = [
     "s27_filtered_ann",
     "s28_adc_retrieve_rerank",
     "s29_graph_ann_beam",
+    # round-9: the production graph-ANN lane (banded-LSH build, no
+    # collect), deterministic Lloyd's (2 broadcast-assign + partial-sum
+    # update rounds at 10x), and the one-walk recall-vs-hops curve
+    "s29b_graph_ann_beam_lsh",
+    "s2j_kmeans_lloyd_det",
+    "s30_graph_recall_curve",
 ]
 N_RUNS = 2
 
