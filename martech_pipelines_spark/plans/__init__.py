@@ -112,6 +112,7 @@ _WINDOW_PRIORITY = [
     "s2j_kmeans_lloyd_det",
     "s30_graph_recall_curve",
     "r3c_kmv_distinct_det",
+    "h24_incremental_kmv",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -425,3 +425,37 @@ def r3c_kmv_distinct_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select(
         "event_type", "n_exact", "kmv_est"
     )
+
+
+@q("h24_incremental_kmv", _R3C_ORACLE)
+def h24_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r3c maintained INCREMENTALLY (SHARES r3c's oracle — the IVM
+    proof): the event log split at an integer-micros watermark into two
+    batches, each reduced to its own KMV sketch, folded with
+    ``kmv_merge`` — merge-of-sketches == sketch-of-union exactly (k
+    smallest of a union = k smallest of the unions' k-smallest), so the
+    estimate read off merged state must equal the full recompute
+    bit-for-bit.  This is the distinct-count view-maintenance shape at
+    100 TB: each batch shuffles only its pre-combined (key, hash) rows,
+    history is never re-scanned; the HLL twin (h7) does the same with
+    engine-specific sketches behind pytest gates.  (The n_exact column
+    is the report's reference field, recomputed from the full log — the
+    oracle anchor, not part of the maintained state.)"""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    cut_us = 1705276800000000  # 2024-01-15T00:00:00Z (integer micros, tz-proof)
+    b1 = ev.where(F.unix_micros("ts") < F.lit(cut_us))
+    b2 = ev.where(F.unix_micros("ts") >= F.lit(cut_us))
+    state = SK.kmv_sketch_table(b1, "event_type", "user_id", k=_R3C_K)
+    state = SK.kmv_merge(
+        state, SK.kmv_sketch_table(b2, "event_type", "user_id", k=_R3C_K),
+        "event_type", k=_R3C_K,
+    )
+    est = SK.kmv_estimate(state, "event_type", k=_R3C_K)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "kmv_est"
+    )
