@@ -127,6 +127,12 @@ HEADLINE = [
     "s30_graph_recall_curve",
     # round-9: deterministic KMV distinct sketch (value-checked cardinality)
     "r3c_kmv_distinct_det",
+    # round-9: fixed-round min-label CC over the co-purchase graph
+    "g5_cc_label_min",
+    # round-9: RFM quintile segmentation (rank-free histogram ranks)
+    "mart22_rfm_scores",
+    # round-9: feed-distribution drift monitor
+    "dq13_feed_drift",
 ]
 
 

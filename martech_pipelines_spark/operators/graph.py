@@ -431,3 +431,38 @@ def label_propagation(
         )
         labels = best.select("node", (-F.col("__b.nl")).alias("lab"))
     return labels.select("node", F.col("lab").alias("label"))
+
+
+def cc_label_min_rounds(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Connected-components labeling by SYNC min-label propagation for a
+    FIXED number of rounds — the deterministic, oracle-able member of
+    the CC family (the g4 label-propagation discipline applied to the
+    min-label rule): after ``rounds`` steps every node carries the
+    smallest node id within ``rounds`` hops, which equals the true
+    component min once rounds >= the component diameter.  The
+    fixpoint-iterating production form (used by the dedup clustering)
+    keeps its convergence loop; this fixed-round twin unrolls into CTEs
+    and carries a full DuckDB oracle (g5).
+
+    Expects DIRECTED edges with both orientations present (the
+    copurchase_edges contract).  Scale shape per round: one keyed join
+    of the label table against the edge list + one map-side-combined
+    min agg — labels and edges shuffle, never any payload."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
+        incoming = (
+            edges.join(lab, edges["src"] == lab["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("__minlbl"))
+        )
+        lab = (
+            lab.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("__minlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return lab

@@ -113,6 +113,9 @@ _WINDOW_PRIORITY = [
     "s30_graph_recall_curve",
     "r3c_kmv_distinct_det",
     "h24_incremental_kmv",
+    "g5_cc_label_min",
+    "mart22_rfm_scores",
+    "dq13_feed_drift",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

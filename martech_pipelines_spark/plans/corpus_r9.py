@@ -459,3 +459,263 @@ def h24_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select(
         "event_type", "n_exact", "kmv_est"
     )
+
+
+# ---------------------------------------------------------------------------
+# g5: fixed-round min-label connected components (oracle-able CC twin)
+# ---------------------------------------------------------------------------
+
+_G5_ROUNDS = 3
+
+
+def _g5_oracle() -> str:
+    blocks = [
+        """li AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), l0 AS (
+        SELECT node, node AS lbl FROM nodes
+    )"""
+    ]
+    for i in range(_G5_ROUNDS):
+        blocks.append(
+            f"""l{i + 1} AS (
+        SELECT n.node,
+               least(n.lbl, coalesce(m.minlbl, n.lbl)) AS lbl
+        FROM l{i} n LEFT JOIN (
+            SELECT e.dst AS node, min(l.lbl) AS minlbl
+            FROM edges e JOIN l{i} l ON l.node = e.src
+            GROUP BY 1
+        ) m USING (node)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT node, lbl FROM l{_G5_ROUNDS}\n"
+    )
+
+
+@q("g5_cc_label_min", _g5_oracle())
+def g5_cc_label_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components in its deterministic, value-checkable form:
+    SYNC min-label propagation over the co-purchase graph for
+    {_G5_ROUNDS} fixed rounds (the g4 discipline applied to the
+    min-label rule) — each node ends with the smallest id within
+    {_G5_ROUNDS} hops, the true component min wherever the diameter
+    fits.  The fixpoint production loop (dedup clustering) stays
+    convergence-checked in pytest; this twin unrolls into CTEs and
+    carries a full oracle, completing the graph family's
+    value-checked set (PageRank g1 / triangles g2 / LPA g4 / CC here).
+    Per round: one keyed label-edge join + a map-side-combined min."""
+    from martech_pipelines_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li)
+    return G.cc_label_min_rounds(edges, rounds=_G5_ROUNDS).select("node", "lbl")
+
+
+# ---------------------------------------------------------------------------
+# mart22: RFM quintile scoring (the classic martech segmentation)
+# ---------------------------------------------------------------------------
+
+_MART22_ORACLE = """
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                              (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                    AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+    ranked AS (
+        SELECT c.*,
+               row_number() OVER (ORDER BY recency_days ASC, custkey ASC) AS rr,
+               row_number() OVER (ORDER BY frequency ASC, custkey ASC) AS rf,
+               row_number() OVER (ORDER BY monetary_cents ASC, custkey ASC) AS rm
+        FROM cust c
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           CAST(5 - ((rr - 1) * 5) // n.n AS BIGINT) AS r_score,
+           CAST(1 + ((rf - 1) * 5) // n.n AS BIGINT) AS f_score,
+           CAST(1 + ((rm - 1) * 5) // n.n AS BIGINT) AS m_score,
+           CAST((5 - ((rr - 1) * 5) // n.n) * 100
+                + (1 + ((rf - 1) * 5) // n.n) * 10
+                + (1 + ((rm - 1) * 5) // n.n) AS BIGINT) AS rfm_cell
+    FROM ranked, n
+"""
+
+
+@q("mart22_rfm_scores", _MART22_ORACLE)
+def mart22_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — THE classic martech scoring model the
+    reference's CRM exports feed (recency / frequency / monetary
+    quintiles per customer): recency in integer days against the
+    dataset's own max order date (data-derived anchor, no wall-clock),
+    monetary as exact half-up order cents, every quintile boundary an
+    integer expression ``((rank-1)*5) div n`` over a totally tie-broken
+    row_number — engine-exact end to end, no percentile convention in
+    the comparison.  Scale shape (the h23 rank-free discipline — a
+    global ``row_number() OVER (ORDER BY metric)`` would single-
+    partition-sort every customer): per metric, rank = cumulative count
+    of SMALLER metric values (one window over the |distinct values|
+    histogram) + a within-tie row_number PARTITIONED by the metric
+    value (a keyed window) — identical to the totally tie-broken global
+    rank, with the only unpartitioned pass over the tiny histogram."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__anchor")
+    )
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("__anchor"), F.col("__last"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    n = cust.count()  # 1-scalar control plane (quintile denominator)
+
+    def rank_col(df: DataFrame, metric: str, out: str) -> DataFrame:
+        hist = df.groupBy(metric).agg(F.count("*").alias("__c"))
+        hw = Window.orderBy(F.asc(metric)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        hist = hist.select(
+            metric,
+            F.coalesce(F.sum("__c").over(hw), F.lit(0)).alias("__cum_prev"),
+        )
+        within = F.row_number().over(
+            Window.partitionBy(metric).orderBy(F.asc("custkey"))
+        )
+        return (
+            df.withColumn("__within", within)
+            .join(F.broadcast(hist), metric)
+            .withColumn(out, F.col("__cum_prev") + F.col("__within"))
+            .drop("__within", "__cum_prev")
+        )
+
+    ranked = rank_col(cust, "recency_days", "__rr")
+    ranked = rank_col(ranked, "frequency", "__rf")
+    ranked = rank_col(ranked, "monetary_cents", "__rm")
+    r_s = F.expr(f"5 - ((__rr - 1) * 5) div {n}")
+    f_s = F.expr(f"1 + ((__rf - 1) * 5) div {n}")
+    m_s = F.expr(f"1 + ((__rm - 1) * 5) div {n}")
+    return ranked.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.cast("long").alias("r_score"),
+        f_s.cast("long").alias("f_score"),
+        m_s.cast("long").alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).cast("long").alias("rfm_cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq13: feed-distribution drift across a time split (did the source change?)
+# ---------------------------------------------------------------------------
+
+_DQ13_CUT_US = 1705276800000000  # 2024-01-15T00:00:00Z (integer micros)
+
+_DQ13_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) < {_DQ13_CUT_US} THEN 0 ELSE 1 END AS half,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN half = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(sum(CASE WHEN half = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b
+        FROM ev GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b
+        FROM agg
+    )
+    SELECT a.event_type, a.n_a, a.n_b,
+           CAST((a.n_a * 2000000 + t.t_a) // (2 * t.t_a) AS BIGINT) AS share_a_e6,
+           CAST((a.n_b * 2000000 + t.t_b) // (2 * t.t_b) AS BIGINT) AS share_b_e6,
+           CAST(abs((a.n_a * 2000000 + t.t_a) // (2 * t.t_a)
+                    - (a.n_b * 2000000 + t.t_b) // (2 * t.t_b))
+                AS BIGINT) AS share_drift_e6,
+           CAST(CASE WHEN a.n_a > 0
+                THEN (2 * a.s_a + a.n_a) // (2 * a.n_a) END AS BIGINT) AS mean_a_cents,
+           CAST(CASE WHEN a.n_b > 0
+                THEN (2 * a.s_b + a.n_b) // (2 * a.n_b) END AS BIGINT) AS mean_b_cents
+    FROM agg a, tot t
+"""
+
+
+@q("dq13_feed_drift", _DQ13_ORACLE)
+def dq13_feed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-distribution drift monitor — the "did the upstream source
+    change?" check that catches silent schema-preserving regressions
+    (a partner swaps SDKs, a type's volume share or value scale moves):
+    the event log split at an integer-micros watermark, per event type
+    the count SHARE of each half (half-up e6 against the half's total)
+    plus its share drift, and the mean value in half-up cents — all
+    exact integer arithmetic, one map-side-combined agg over the log
+    and a 1-row totals broadcast.  Complements dq2 (time-series
+    z-score), dq4 (freshness), dq12 (cross-table ordering): this one
+    compares POPULATIONS across the split, not points on a curve."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.unix_micros("ts") < F.lit(_DQ13_CUT_US), F.lit(0)
+    ).otherwise(F.lit(1))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        ev.select("event_type", half.alias("__half"), cents.alias("__cents"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("__half") == 0, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("__half") == 1, 1).otherwise(0))
+            .cast("long").alias("n_b"),
+            F.sum(F.when(F.col("__half") == 0, F.col("__cents")).otherwise(0))
+            .cast("long").alias("__s_a"),
+            F.sum(F.when(F.col("__half") == 1, F.col("__cents")).otherwise(0))
+            .cast("long").alias("__s_b"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("n_a").cast("long").alias("__t_a"),
+        F.sum("n_b").cast("long").alias("__t_b"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    share_a = F.expr("(n_a * CAST(2000000 AS BIGINT) + __t_a) div (2 * __t_a)")
+    share_b = F.expr("(n_b * CAST(2000000 AS BIGINT) + __t_b) div (2 * __t_b)")
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        share_a.cast("long").alias("share_a_e6"),
+        share_b.cast("long").alias("share_b_e6"),
+        F.abs(share_a - share_b).cast("long").alias("share_drift_e6"),
+        F.when(F.col("n_a") > 0, F.expr("(2 * __s_a + n_a) div (2 * n_a)"))
+        .cast("long").alias("mean_a_cents"),
+        F.when(F.col("n_b") > 0, F.expr("(2 * __s_b + n_b) div (2 * n_b)"))
+        .cast("long").alias("mean_b_cents"),
+    )

@@ -188,3 +188,58 @@ def test_kmv_estimate_error_bounded_at_k64(spark):
     }
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(3, 0.38 * n), (t, est[t], n)
+
+
+def test_cc_label_min_converges_to_true_components(spark):
+    # fixed-round min-label must, at convergence (rounds >= diameter),
+    # carry each component's true min id — checked against a driver-side
+    # union-find over the same (small) edge set
+    from martech_pipelines_spark.operators import graph as G
+
+    li = load_table(spark, SF, "lineitem")
+    edges = G.copurchase_edges(li)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    # converge: double rounds until labels stop changing
+    rounds = 4
+    prev = None
+    while True:
+        got = {
+            r["node"]: r["lbl"]
+            for r in G.cc_label_min_rounds(edges, rounds=rounds).collect()
+        }
+        if got == prev:
+            break
+        prev, rounds = got, rounds * 2
+        assert rounds <= 64, "did not converge"
+    assert got == want and len(got) > 0
+
+
+def test_rfm_scores_partition_into_quintiles(spark):
+    # every score in 1..5; per dimension, bucket sizes differ by at most
+    # ceil/floor of n/5 (the exact-rank quintile contract)
+    from martech_pipelines_spark.plans.corpus_r9 import mart22_rfm_scores
+
+    out = mart22_rfm_scores(spark, SF).collect()
+    n = len(out)
+    assert n > 0
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes: dict = {}
+        for r in out:
+            assert 1 <= r[dim] <= 5, (dim, r[dim])
+            sizes[r[dim]] = sizes.get(r[dim], 0) + 1
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1 + (n % 5 != 0)
