@@ -141,6 +141,11 @@ HEAVY = [
     "s29b_graph_ann_beam_lsh",
     "s2j_kmeans_lloyd_det",
     "s30_graph_recall_curve",
+    # round-9: KMV sketch + feed drift run on the 10x event log; g5's
+    # edge set is catalog-bound like g1/g2 (only the fold scales)
+    "r3c_kmv_distinct_det",
+    "dq13_feed_drift",
+    "g5_cc_label_min",
 ]
 N_RUNS = 2
 
