@@ -3494,9 +3494,16 @@ def graph_ann_beam_search(
             .where(F.col("cos_sim").isNotNull())
         )
 
-    beam_df = queries.select(
-        F.col(query_id), F.lit(entry_id).cast("long").alias("node")
+    # The entry node rides in as a 1-row broadcast RELATION, not a
+    # literal: F.lit(entry) constant-folds through the first beam
+    # selection, degenerating the hop-1 adjacency join (node = __src)
+    # into a CartesianProduct (bounded — |Q| x deg(entry) — but the
+    # flagged plan shape); an attribute from a LocalRelation keeps every
+    # hop a plain equi join (round-9 SHUFFLES audit finding).
+    entry_df = corpus.sparkSession.createDataFrame(
+        [(int(entry_id),)], "node long"
     )
+    beam_df = queries.select(F.col(query_id)).crossJoin(F.broadcast(entry_df))
     visited = score(beam_df)
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cos_sim"), F.col("node").asc()
