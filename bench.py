@@ -133,6 +133,8 @@ HEADLINE = [
     "mart22_rfm_scores",
     # round-9: feed-distribution drift monitor
     "dq13_feed_drift",
+    # round-9: MinHash estimator-calibration report
+    "dd19_minhash_estimator_accuracy",
 ]
 
 

@@ -116,6 +116,8 @@ _WINDOW_PRIORITY = [
     "g5_cc_label_min",
     "mart22_rfm_scores",
     "dq13_feed_drift",
+    "dd19_minhash_estimator_accuracy",
+    "h25_incremental_rfm",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

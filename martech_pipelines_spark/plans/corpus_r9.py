@@ -552,47 +552,12 @@ _MART22_ORACLE = """
 """
 
 
-@q("mart22_rfm_scores", _MART22_ORACLE)
-def mart22_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation — THE classic martech scoring model the
-    reference's CRM exports feed (recency / frequency / monetary
-    quintiles per customer): recency in integer days against the
-    dataset's own max order date (data-derived anchor, no wall-clock),
-    monetary as exact half-up order cents, every quintile boundary an
-    integer expression ``((rank-1)*5) div n`` over a totally tie-broken
-    row_number — engine-exact end to end, no percentile convention in
-    the comparison.  Scale shape (the h23 rank-free discipline — a
-    global ``row_number() OVER (ORDER BY metric)`` would single-
-    partition-sort every customer): per metric, rank = cumulative count
-    of SMALLER metric values (one window over the |distinct values|
-    histogram) + a within-tie row_number PARTITIONED by the metric
-    value (a keyed window) — identical to the totally tie-broken global
-    rank, with the only unpartitioned pass over the tiny histogram."""
+def _rfm_scores(cust: DataFrame) -> DataFrame:
+    """Shared RFM scoring tail (mart22 + its IVM twin h25): rank-free
+    quintile ranks (histogram cum-prev + keyed within-tie row_number)
+    over a (custkey, recency_days, frequency, monetary_cents) frame."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    anchor = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("__anchor")
-    )
-    cust = (
-        orders.groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(
-            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
-            F.count("*").cast("long").alias("frequency"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-            ).cast("long").alias("monetary_cents"),
-        )
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            "custkey",
-            F.datediff(F.col("__anchor"), F.col("__last"))
-            .cast("long")
-            .alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
-    )
     n = cust.count()  # 1-scalar control plane (quintile denominator)
 
     def rank_col(df: DataFrame, metric: str, out: str) -> DataFrame:
@@ -630,6 +595,67 @@ def mart22_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_s.cast("long").alias("m_score"),
         (r_s * 100 + f_s * 10 + m_s).cast("long").alias("rfm_cell"),
     )
+
+
+def _rfm_cust_from_state(state: DataFrame) -> DataFrame:
+    """Derive the (custkey, recency_days, frequency, monetary_cents)
+    frame from mergeable per-customer state (last order date / order
+    count / cents total) — the anchor is the state-wide max last date,
+    identical to the full recompute's."""
+    anchor = state.agg(F.max("__last").alias("__anchor"))
+    return state.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff(F.col("__anchor"), F.col("__last"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+
+
+def _rfm_state(orders: DataFrame) -> DataFrame:
+    """Per-customer mergeable RFM state from an order batch: max last
+    order date, additive count, additive half-up cents total."""
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("monetary_cents"),
+    )
+
+
+def _rfm_merge_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two RFM state tables: max/sum/sum per customer."""
+    return (
+        a.unionByName(b)
+        .groupBy("custkey")
+        .agg(
+            F.max("__last").alias("__last"),
+            F.sum("frequency").cast("long").alias("frequency"),
+            F.sum("monetary_cents").cast("long").alias("monetary_cents"),
+        )
+    )
+
+
+@q("mart22_rfm_scores", _MART22_ORACLE)
+def mart22_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — THE classic martech scoring model the
+    reference's CRM exports feed (recency / frequency / monetary
+    quintiles per customer): recency in integer days against the
+    dataset's own max order date (data-derived anchor, no wall-clock),
+    monetary as exact half-up order cents, every quintile boundary an
+    integer expression ``((rank-1)*5) div n`` over a totally tie-broken
+    row_number — engine-exact end to end, no percentile convention in
+    the comparison.  Scale shape (the h23 rank-free discipline — a
+    global ``row_number() OVER (ORDER BY metric)`` would single-
+    partition-sort every customer): per metric, rank = cumulative count
+    of SMALLER metric values (one window over the |distinct values|
+    histogram) + a within-tie row_number PARTITIONED by the metric
+    value (a keyed window) — identical to the totally tie-broken global
+    rank, with the only unpartitioned pass over the tiny histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    return _rfm_scores(_rfm_cust_from_state(_rfm_state(orders)))
 
 
 # ---------------------------------------------------------------------------
@@ -719,3 +745,179 @@ def dq13_feed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_b") > 0, F.expr("(2 * __s_b + n_b) div (2 * n_b)"))
         .cast("long").alias("mean_b_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd19: MinHash estimator-accuracy report (completes the index-quality suite)
+# ---------------------------------------------------------------------------
+
+
+def _dd19_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import (
+        _DUCK_NORM,
+        _DUCK_TOKENS,
+        _MINHASH_CORPUS_SQL,
+    )
+
+    toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
+    perm_mins = ",\n               ".join(
+        "list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) AS m{i}".format(i=i)
+        for i in range(16)
+    )
+    bands = "\n        UNION ALL\n".join(
+        """        SELECT doc_id, {b} AS band,
+               md5(m{j0}::VARCHAR || '|' || m{j1}::VARCHAR || '|' || m{j2}::VARCHAR || '|' || m{j3}::VARCHAR) AS bk
+        FROM sigs""".format(b=b, j0=4 * b, j1=4 * b + 1, j2=4 * b + 2, j3=4 * b + 3)
+        for b in range(4)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN ga.m{i} = gb.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH corpus AS (
+{_MINHASH_CORPUS_SQL}
+    ), toksrc AS (
+        SELECT doc_id, {toks} AS t FROM corpus
+    ), shs AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sh
+        FROM toksrc
+    ), sigs AS (
+        SELECT doc_id,
+               {perm_mins}
+        FROM shs WHERE len(sh) > 0
+    ), bands AS (
+{bands}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN (len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh))) > 0
+                    THEN (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 20000
+                          + (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                         // (2 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                    ELSE 0 END AS jacc_e4,
+               (CAST({matches} AS BIGINT) * 20000 + 16) // 32 AS est_e4
+        FROM cand c
+        JOIN shs sa ON sa.doc_id = c.id_a
+        JOIN shs sb ON sb.doc_id = c.id_b
+        JOIN sigs ga ON ga.doc_id = c.id_a
+        JOIN sigs gb ON gb.doc_id = c.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((2 * sum(jacc_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_jacc_e4,
+           CAST((2 * sum(est_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_est_e4,
+           CAST((2 * sum(abs(est_e4 - jacc_e4)) + count(*)) // (2 * count(*))
+                AS BIGINT) AS mae_e4,
+           CAST(max(abs(est_e4 - jacc_e4)) AS BIGINT) AS max_ae_e4
+    FROM scored
+    """
+
+
+@q("dd19_minhash_estimator_accuracy", _dd19_oracle())
+def dd19_minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-accuracy report closing the dedup-index quality suite
+    (s19 recall / s23 distortion / dd16 blocking precision / THIS —
+    estimator calibration): over all banded candidate pairs, the
+    per-pair MinHash Jaccard ESTIMATE (matching signature slots / 16 as
+    a half-up e4) against the EXACT shingle Jaccard (same e4 recipe),
+    reported as mean-exact, mean-estimate, MAE, and max error — the
+    number that says whether 16 permutations are enough for the dedup
+    threshold in use (expected sd ~ sqrt(J(1-J)/16) ~ 0.125 at J=0.5).
+    Same corpus, signatures, and banding as dd3 (md5 arithmetic is
+    engine-portable, so the whole report carries a full oracle); one
+    skinny pair join + a 1-row aggregate."""
+    from martech_pipelines_spark.operators import dedup as DD
+    from martech_pipelines_spark.operators.dedup import minhash_signature, shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    cand = DD.lsh_candidate_pairs(corpus, num_perm=16, bands=4, shingle_n=3)
+    sh = corpus.select(
+        "doc_id",
+        shingles(F.col("text"), 3).alias("sh"),
+        minhash_signature(F.col("text"), 16, 3).alias("sig"),
+    ).where(F.size("sh") > 0)
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    un = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.when(
+                un > 0,
+                (inter * 20000 + un).cast("long"),
+            ).otherwise(F.lit(0)).alias("__num"),
+            un.alias("__un"),
+            matches.alias("__m"),
+        )
+        .select(
+            F.when(
+                F.col("__un") > 0, F.expr("__num div (2 * __un)")
+            ).otherwise(F.lit(0)).cast("long").alias("jacc_e4"),
+            F.expr("(__m * 20000 + 16) div 32").cast("long").alias("est_e4"),
+        )
+    )
+    n = F.count("*")
+    return scored.agg(
+        n.cast("long").alias("n_pairs"),
+        F.expr("(2 * sum(jacc_e4) + count(*)) div (2 * count(*))")
+        .cast("long").alias("mean_jacc_e4"),
+        F.expr("(2 * sum(est_e4) + count(*)) div (2 * count(*))")
+        .cast("long").alias("mean_est_e4"),
+        F.expr(
+            "(2 * sum(abs(est_e4 - jacc_e4)) + count(*)) div (2 * count(*))"
+        ).cast("long").alias("mae_e4"),
+        F.max(F.abs(F.col("est_e4") - F.col("jacc_e4")))
+        .cast("long").alias("max_ae_e4"),
+    )
+
+
+@q("h25_incremental_rfm", _MART22_ORACLE)
+def h25_incremental_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart22 maintained INCREMENTALLY (SHARES mart22's oracle — the
+    IVM proof): the order log split at an integer-micros watermark into
+    two batches, each reduced to per-customer mergeable RFM state (max
+    last-order date / additive count / additive half-up cents), folded
+    with ``_rfm_merge_state`` — later data folded FIRST so the second
+    fold's earlier orders must shift recency/frequency correctly (the
+    h10 hard-IVM convention).  Quintile scores recomputed from merged
+    state must equal the full recompute bit-for-bit.  Nightly segment
+    refresh shape: each batch shuffles one keyed agg of its own orders;
+    history is never re-scanned, and the scoring tail reads only the
+    customer-sized state."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut_us = 1718409600000000  # 2024-06-15T00:00:00Z (integer micros)
+    b1 = orders.where(F.unix_micros("o_orderdate") < F.lit(cut_us))
+    b2 = orders.where(F.unix_micros("o_orderdate") >= F.lit(cut_us))
+    state = _rfm_state(b2)            # later data first (hard IVM case)
+    state = _rfm_merge_state(state, _rfm_state(b1))
+    return _rfm_scores(_rfm_cust_from_state(state))
