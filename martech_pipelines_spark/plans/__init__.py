@@ -31,6 +31,7 @@ from martech_pipelines_spark.plans import corpus_r7  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r8  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r8b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r9b  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 9 rotation — VERDICT r8 "Next round" #1).
@@ -118,6 +119,9 @@ _WINDOW_PRIORITY = [
     "dq13_feed_drift",
     "dd19_minhash_estimator_accuracy",
     "h25_incremental_rfm",
+    "mart23_ab_lift",
+    "h26_incremental_ab",
+    "dq14_join_key_skew",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",
