@@ -122,6 +122,9 @@ _WINDOW_PRIORITY = [
     "mart23_ab_lift",
     "h26_incremental_ab",
     "dq14_join_key_skew",
+    "mart24_journey_regex",
+    "r39_ewma_last8",
+    "t51_calibration_bins",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -293,3 +293,245 @@ def dq14_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("over_mean_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mart24: journey pattern matching (MATCH_RECOGNIZE-lite over event strings)
+# ---------------------------------------------------------------------------
+
+# Single-char event codes keep the journey string 1 byte/event; the
+# funnel pattern "a view, then a click, then a purchase, with no
+# intervening purchase" compiles to a regex whose [^p]* gaps make every
+# match unique (the trailing literal anchors at the FIRST purchase), so
+# greedy-vs-lazy engine differences cannot change the count.
+_MART24_PATTERN = "v[^p]*c[^p]*p"
+
+_MART24_ORACLE = f"""
+    WITH j AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(CASE event_type
+                              WHEN 'view' THEN 'v'
+                              WHEN 'click' THEN 'c'
+                              WHEN 'purchase' THEN 'p'
+                              WHEN 'signup' THEN 's'
+                              ELSE 'e' END,
+                          '' ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(journey, '{_MART24_PATTERN}'))
+                AS BIGINT) AS n_funnels,
+           CAST(contains(journey, 'p') AS BIGINT) AS did_convert
+    FROM j
+"""
+
+
+@q("mart24_journey_regex", _MART24_ORACLE)
+def mart24_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential PATTERN matching over per-user journeys — the
+    MATCH_RECOGNIZE workload (how many times did this user travel
+    view -> ... -> click -> ... -> purchase with no purchase in
+    between?) that funnel counts (mart1/mart14, one conversion per
+    user) and path histograms (mart12, whole-string equality) cannot
+    express.  Each user's history compresses to a 1-byte-per-event
+    code string in total (ts, event_id) order — ``collect_list`` of
+    structs + ``array_sort`` (collect_list alone has NO cross-partition
+    order guarantee) — and one regexp_count per user does the matching;
+    the [^p]* gaps anchor every match at the first purchase, so the
+    count is engine-exact (leftmost non-overlapping scanning is common
+    to Java regex and RE2).  Scale shape: ONE user-keyed shuffle whose
+    fan-in is the user's own event count, then pure codegen — no
+    self-joins, no window cascades; the classic SQL alternative is a
+    quadratic chain of EXISTS subqueries."""
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    j = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", code.alias("code")))
+                ),
+                lambda s: s["code"],
+            ),
+            "",
+        ).alias("journey"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("journey", F.lit(_MART24_PATTERN))
+        .cast("long")
+        .alias("n_funnels"),
+        F.col("journey").contains("p").cast("long").alias("did_convert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r39: exponentially-weighted moving average (integer halving weights)
+# ---------------------------------------------------------------------------
+
+_R39_DEPTH = 8  # EWMA window: current event + 7 lags, weights 2^7 .. 2^0
+
+
+def _r39_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(cents, {j}) OVER w AS l{j}" for j in range(1, _R39_DEPTH)
+    )
+    num_terms = " + ".join(
+        f"coalesce(l{j} * {1 << (_R39_DEPTH - 1 - j)}, 0)"
+        for j in range(1, _R39_DEPTH)
+    )
+    den_terms = " + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN {1 << (_R39_DEPTH - 1 - j)} ELSE 0 END)"
+        for j in range(1, _R39_DEPTH)
+    )
+    top = 1 << (_R39_DEPTH - 1)
+    return f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
+        FROM events
+    ), lagged AS (
+        SELECT event_id, user_id, cents,
+               {lag_cols}
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, cents,
+           CAST((2 * (cents * {top} + {num_terms})
+                 + ({top} + {den_terms}))
+                // (2 * ({top} + {den_terms})) AS BIGINT) AS ewma_cents
+    FROM lagged
+"""
+
+
+@q("r39_ewma_last8", _r39_oracle())
+def r39_ewma_last8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the classic
+    monitoring smoother (alpha = 1/2) in an exact-integer form: the
+    newest event weighs 2^7, each older one half that, truncated at
+    {depth} events so every weight is an integer power of two and the
+    whole statistic is one half-up integer ratio (partial histories
+    renormalize over the weights actually present — no warm-up bias).
+    The infinite-history EWMA is a per-row recursion no engine's
+    window algebra expresses; the power-of-two truncation is the form
+    that IS expressible — 7 lag() reads in ONE user-keyed window
+    pass (a single exchange), identical on both engines, and the tail
+    it drops is bounded by 2^-8 of the signal.  Complements dq2's
+    rolling z-score (alarm) with the smoothed level the alarm compares
+    against."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    df = ev.select("event_id", "user_id", cents.alias("cents"), "ts")
+    for j in range(1, _R39_DEPTH):
+        df = df.withColumn(f"l{j}", F.lag("cents", j).over(w))
+    top = 1 << (_R39_DEPTH - 1)
+    num = " + ".join(
+        f"coalesce(l{j} * {1 << (_R39_DEPTH - 1 - j)}, 0)"
+        for j in range(1, _R39_DEPTH)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN {1 << (_R39_DEPTH - 1 - j)} ELSE 0 END)"
+        for j in range(1, _R39_DEPTH)
+    )
+    ewma = F.expr(
+        f"(2 * (cents * {top} + {num}) + ({top} + {den}))"
+        f" div (2 * ({top} + {den}))"
+    )
+    return df.select(
+        "event_id", "user_id", "cents", ewma.cast("long").alias("ewma_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t51: classifier calibration bins (reliability diagram for t29's scorer)
+# ---------------------------------------------------------------------------
+
+_T51_BINS = 10
+
+
+def _t51_oracle() -> str:
+    from martech_pipelines_spark.plans.corpus_extended import _DUCK_TOKENS
+    from martech_pipelines_spark.plans.corpus_r5d import _T31_SCORE
+
+    return f"""
+    WITH toks AS (
+        SELECT (lang = 'en') AS pos,
+               {_DUCK_TOKENS.format(col='text')} AS tok
+        FROM documents
+    ), scored AS (
+        SELECT pos, {_T31_SCORE} AS score FROM toks
+    ), rng AS (
+        SELECT min(score) AS mn, max(score) AS mx FROM scored
+    ), binned AS (
+        SELECT CAST((score - mn) * {_T51_BINS} // (mx - mn + 1) AS BIGINT) AS bin,
+               pos, score
+        FROM scored, rng
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+           CAST((count(*) FILTER (WHERE pos) * 2000000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS pos_rate_e6,
+           CAST(CASE WHEN sum(score) >= 0
+                THEN (2 * sum(score) + count(*)) // (2 * count(*))
+                ELSE -((2 * (-CAST(sum(score) AS BIGINT)) + count(*))
+                       // (2 * count(*)))
+           END AS BIGINT) AS mean_score_milli
+    FROM binned GROUP BY 1
+"""
+
+
+@q("t51_calibration_bins", _t51_oracle())
+def t51_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) bins for the t29 hashed linear
+    scorer against the t31 ground truth — the model-eval step AFTER
+    discrimination (t31's AUC): does a higher score bucket actually
+    contain more positives?  Scores bin into 10 equal-width integer
+    buckets between the data min/max (a 1-row broadcast; the +1 keeps
+    the max in the top bin with pure floor division), and each bin
+    reports its size, positive count, half-up e6 positive rate, and
+    round-half-away-from-zero mean score (the h23 signed recipe —
+    scores go negative).  Scale shape: one scan scores every doc in a
+    codegen projection (zero Python), one map-side-combined agg per
+    bin; the global min/max is a second tiny agg, not a sort."""
+    from martech_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.hashed_linear_score(docs, extra_cols=("lang",)).select(
+        F.col("score_milli").alias("score"), (F.col("lang") == "en").alias("pos")
+    )
+    rng = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.expr(f"(score - mn) * {_T51_BINS} div (mx - mn + 1)")
+        .cast("long")
+        .alias("bin"),
+        "pos",
+        "score",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col("pos"), 1)).cast("long").alias("n_pos"),
+        F.expr(
+            "(count(CASE WHEN pos THEN 1 END) * CAST(2000000 AS BIGINT)"
+            " + count(*)) div (2 * count(*))"
+        )
+        .cast("long")
+        .alias("pos_rate_e6"),
+        F.expr(
+            "CASE WHEN sum(score) >= 0"
+            " THEN (2 * sum(score) + count(*)) div (2 * count(*))"
+            " ELSE -((2 * (-sum(score)) + count(*)) div (2 * count(*))) END"
+        )
+        .cast("long")
+        .alias("mean_score_milli"),
+    )
