@@ -135,6 +135,16 @@ HEADLINE = [
     "dq13_feed_drift",
     # round-9: MinHash estimator-calibration report
     "dd19_minhash_estimator_accuracy",
+    # round-9 wave 2: A/B experiment readout (per-user 2x2 + half-up lift)
+    "mart23_ab_lift",
+    # round-9 wave 2: join/shuffle-key skew diagnostic
+    "dq14_join_key_skew",
+    # round-9 wave 2: sequential journey-pattern matching
+    "mart24_journey_regex",
+    # round-9 wave 2: integer EWMA over each user's last-8 events
+    "r39_ewma_last8",
+    # round-9 wave 2: calibration (reliability-diagram) bins for t29
+    "t51_calibration_bins",
 ]
 
 
