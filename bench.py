@@ -145,6 +145,12 @@ HEADLINE = [
     "r39_ewma_last8",
     # round-9 wave 2: calibration (reliability-diagram) bins for t29
     "t51_calibration_bins",
+    # round-9 wave 3: k-core decomposition (decrement peeling)
+    "g6_kcore",
+    # round-9 wave 3: discrete-time churn hazard with censoring
+    "mart25_churn_hazard",
+    # round-9 wave 3: Matryoshka dimension-truncation recall curve
+    "s31_dim_truncation_recall",
 ]
 
 

@@ -466,3 +466,58 @@ def cc_label_min_rounds(edges: DataFrame, rounds: int = 3) -> DataFrame:
             )
         )
     return lab
+
+
+def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """K-core decomposition by SYNC peeling for a FIXED number of
+    rounds — the deterministic, oracle-able member of the density
+    family (the g5 fixed-round discipline applied to the peel rule):
+    each round recomputes every surviving node's degree within the
+    survivor-induced subgraph and drops nodes below ``k``; after
+    ``rounds`` passes the survivor set equals the true k-core whenever
+    peeling stabilizes that fast (peeling removes at least one node per
+    round until fixpoint, so round count bounds the cascade depth
+    honored).  Returns (node, deg): the survivors of the final round
+    with the degree that round measured.
+
+    Expects DIRECTED edges with both orientations present (the
+    copurchase_edges contract), so a groupBy(src) count IS the
+    undirected degree.  Scale shape — DECREMENT peeling, not
+    recount-from-scratch: round 1 computes full degrees once; every
+    later round joins the edge list against only the NEWLY DROPPED
+    node set (small once the peel bites — AQE broadcasts it at
+    runtime) and subtracts the per-survivor decrement, so the
+    survivor-induced degree is maintained without ever semi-joining
+    edges against the full alive set.  deg_i(v) = deg_{i-1}(v) −
+    |edges v→dropped_{i-1}| restricted to survivors is exactly the
+    degree within the survivor-induced subgraph: edges between two
+    dropped nodes produce decrements only for dropped sources, which
+    the survivor filter discards, and a node dropped in round j never
+    reappears, so no edge is subtracted twice.  (A measured
+    alternative was rejected: persisting the edge list for the
+    recount form read 3x SLOWER at sf0.1 — 5.6s → 16.6s solo
+    best-of-5 — materializing tens of millions of edge rows costs
+    more than the reuse saves.)"""
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    for _ in range(rounds - 1):
+        dropped = deg.where(F.col("deg") < k).select(
+            F.col("node").alias("__gone")
+        )
+        dec = (
+            edges.join(dropped, edges["dst"] == F.col("__gone"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("long").alias("__dec"))
+        )
+        deg = (
+            deg.where(F.col("deg") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce("__dec", F.lit(0)))
+                .cast("long")
+                .alias("deg"),
+            )
+        )
+    return deg.where(F.col("deg") >= k)

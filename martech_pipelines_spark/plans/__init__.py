@@ -32,6 +32,7 @@ from martech_pipelines_spark.plans import corpus_r8  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r8b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9b  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r9c  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 9 rotation — VERDICT r8 "Next round" #1).
@@ -125,6 +126,10 @@ _WINDOW_PRIORITY = [
     "mart24_journey_regex",
     "r39_ewma_last8",
     "t51_calibration_bins",
+    "g6_kcore",
+    "mart25_churn_hazard",
+    "h27_incremental_journey",
+    "s31_dim_truncation_recall",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

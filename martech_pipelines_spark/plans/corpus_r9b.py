@@ -327,24 +327,15 @@ _MART24_ORACLE = f"""
 """
 
 
-@q("mart24_journey_regex", _MART24_ORACLE)
-def mart24_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequential PATTERN matching over per-user journeys — the
-    MATCH_RECOGNIZE workload (how many times did this user travel
-    view -> ... -> click -> ... -> purchase with no purchase in
-    between?) that funnel counts (mart1/mart14, one conversion per
-    user) and path histograms (mart12, whole-string equality) cannot
-    express.  Each user's history compresses to a 1-byte-per-event
-    code string in total (ts, event_id) order — ``collect_list`` of
-    structs + ``array_sort`` (collect_list alone has NO cross-partition
-    order guarantee) — and one regexp_count per user does the matching;
-    the [^p]* gaps anchor every match at the first purchase, so the
-    count is engine-exact (leftmost non-overlapping scanning is common
-    to Java regex and RE2).  Scale shape: ONE user-keyed shuffle whose
-    fan-in is the user's own event count, then pure codegen — no
-    self-joins, no window cascades; the classic SQL alternative is a
-    quadratic chain of EXISTS subqueries."""
-    ev = load_table(spark, sf_dir, "events")
+def journey_state(ev: DataFrame) -> DataFrame:
+    """Per-user journey STATE from an event batch: (user_id, n_events,
+    journey) where journey is the 1-byte-per-event code string in total
+    (ts, event_id) order — ``collect_list`` of structs + ``array_sort``
+    (collect_list alone has NO cross-partition order guarantee).  The
+    state is MERGEABLE across time-split batches: ts-ordered
+    concatenation of the per-batch strings equals the full-log string
+    (same-ts events can never straddle a ts cut), which is what the
+    h27 IVM twin folds."""
     code = (
         F.when(F.col("event_type") == "view", "v")
         .when(F.col("event_type") == "click", "c")
@@ -352,7 +343,7 @@ def mart24_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", "s")
         .otherwise("e")
     )
-    j = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),
         F.array_join(
             F.transform(
@@ -364,7 +355,12 @@ def mart24_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("journey"),
     )
-    return j.select(
+
+
+def journey_readout(state: DataFrame) -> DataFrame:
+    """Pattern-match readout over journey state (shared by mart24 and
+    its IVM twin h27): one regexp_count per user over the code string."""
+    return state.select(
         "user_id",
         "n_events",
         F.regexp_count("journey", F.lit(_MART24_PATTERN))
@@ -372,6 +368,25 @@ def mart24_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_funnels"),
         F.col("journey").contains("p").cast("long").alias("did_convert"),
     )
+
+
+@q("mart24_journey_regex", _MART24_ORACLE)
+def mart24_journey_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential PATTERN matching over per-user journeys — the
+    MATCH_RECOGNIZE workload (how many times did this user travel
+    view -> ... -> click -> ... -> purchase with no purchase in
+    between?) that funnel counts (mart1/mart14, one conversion per
+    user) and path histograms (mart12, whole-string equality) cannot
+    express.  Each user's history compresses to a 1-byte-per-event
+    code string in total (ts, event_id) order and one regexp_count per
+    user does the matching; the [^p]* gaps anchor every match at the
+    first purchase, so the count is engine-exact (leftmost
+    non-overlapping scanning is common to Java regex and RE2).  Scale
+    shape: ONE user-keyed shuffle whose fan-in is the user's own event
+    count, then pure codegen — no self-joins, no window cascades; the
+    classic SQL alternative is a quadratic chain of EXISTS subqueries."""
+    ev = load_table(spark, sf_dir, "events")
+    return journey_readout(journey_state(ev))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Round-9 wave-3 operator tests: k-core peeling, journey-state IVM,
+churn-hazard censoring, and the dimension-truncation recall curve."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.operators.graph import kcore_rounds
+from martech_pipelines_spark.plans import QUERIES
+from martech_pipelines_spark.plans.corpus_r9b import journey_readout, journey_state
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    # undirected input -> both orientations (the copurchase_edges contract)
+    both = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_kcore_peel_cascades(spark):
+    # triangle {1,2,3} + chain 3-4-5.  k=2: round 1 drops 5 (deg 1),
+    # round 2 drops 4 (its degree FELL to 1 when 5 left), round 3 keeps
+    # the triangle at degree 2 — the cascade is the whole point of
+    # recomputing degrees inside the survivor-induced subgraph.
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    out = {r["node"]: r["deg"] for r in kcore_rounds(e, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_clique_survives_intact(spark):
+    # 4-clique at k=3: nothing peels, every degree is 3
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = {r["node"]: r["deg"] for r in kcore_rounds(_edges(spark, clique), k=3, rounds=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_journey_merge_counts_boundary_spanning_funnel(spark):
+    # view+click land before the cut, purchase after: only the MERGED
+    # string contains the full v..c..p pattern — per-batch match counts
+    # would report zero funnels for this user.
+    t = datetime.datetime
+    rows = [
+        (1, 7, "view", t(2024, 1, 10)),
+        (2, 7, "click", t(2024, 1, 12)),
+        (3, 7, "purchase", t(2024, 1, 20)),
+    ]
+    ev = _events(spark, rows)
+    cut = 1705276800000000  # 2024-01-15T00:00:00Z
+    early, late = (
+        ev.where(F.unix_micros("ts") < cut),
+        ev.where(F.unix_micros("ts") >= cut),
+    )
+    # per-batch readouts: no funnel on either side
+    for half in (early, late):
+        got = journey_readout(journey_state(half)).collect()
+        assert all(r["n_funnels"] == 0 for r in got)
+    # merged state finds it (same fold as h27)
+    a = journey_state(early).select(
+        "user_id", F.col("n_events").alias("n_a"), F.col("journey").alias("j_a")
+    )
+    b = journey_state(late).select(
+        "user_id", F.col("n_events").alias("n_b"), F.col("journey").alias("j_b")
+    )
+    state = a.join(b, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        F.concat(F.coalesce("j_a", F.lit("")), F.coalesce("j_b", F.lit(""))).alias(
+            "journey"
+        ),
+    )
+    [r] = journey_readout(state).collect()
+    assert (r["n_events"], r["n_funnels"], r["did_convert"]) == (3, 1, 1)
+
+
+def test_h27_equals_mart24(spark):
+    # the IVM fold reproduces the full-recompute answer on real data
+    full = sorted(map(tuple, QUERIES["mart24_journey_regex"](spark, SF).collect()))
+    ivm = sorted(map(tuple, QUERIES["h27_incremental_journey"](spark, SF).collect()))
+    assert ivm == full
+
+
+def test_churn_hazard_invariants(spark):
+    rows = QUERIES["mart25_churn_hazard"](spark, SF).collect()
+    assert rows, "hazard table must not be empty"
+    by_m = sorted(rows, key=lambda r: r["life_month"])
+    # at-risk is a reverse cumulative count: nonincreasing in month, and
+    # month 0's at-risk equals the full customer population
+    at_risk = [r["n_at_risk"] for r in by_m]
+    assert all(a >= b for a, b in zip(at_risk, at_risk[1:]))
+    from martech_pipelines_spark.sources import load_table
+
+    total = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    # the smallest bucket's at-risk covers the whole population
+    assert by_m[0]["n_at_risk"] == total
+    for r in rows:
+        # censoring: never more events than customers at risk; hazard in [0, 1e6]
+        assert 0 <= r["n_events"] <= r["n_at_risk"]
+        assert 0 <= r["hazard_e6"] <= 1_000_000
+
+
+def test_s31_full_dim_row_is_exact(spark):
+    rows = {r["dim"]: r for r in QUERIES["s31_dim_truncation_recall"](spark, SF).collect()}
+    assert set(rows) == {16, 32, 64}
+    # full-dimension ranker vs itself: recall 1.0 by construction
+    assert rows[64]["recall_e4"] == 10000 and rows[64]["hits"] == rows[64]["n_pairs"]
+    for r in rows.values():
+        assert 0 <= r["recall_e4"] <= 10000
