@@ -151,6 +151,8 @@ HEADLINE = [
     "mart25_churn_hazard",
     # round-9 wave 3: Matryoshka dimension-truncation recall curve
     "s31_dim_truncation_recall",
+    # round-9 wave 3: degree-distribution histogram (graph-shape profile)
+    "g7_degree_histogram",
 ]
 
 

@@ -130,6 +130,8 @@ _WINDOW_PRIORITY = [
     "mart25_churn_hazard",
     "h27_incremental_journey",
     "s31_dim_truncation_recall",
+    "h28_incremental_hazard",
+    "g7_degree_histogram",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

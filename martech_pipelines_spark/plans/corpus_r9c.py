@@ -144,28 +144,27 @@ _MART25_ORACLE = f"""
 """
 
 
-@q("mart25_churn_hazard", _MART25_ORACLE)
-def mart25_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete-time churn hazard — survival analysis with RIGHT
-    CENSORING, the lifecycle view that point-in-time churn flags
-    (mart17) and retention grids (mart2/mart15) cannot give: per
-    lifetime month m, how many customers were still at risk, how many
-    churned exactly at m, and the hazard rate.  A customer's observed
-    lifetime is their first-to-last order span in {md}-day months;
-    churned = inactive for {cd} days before the dataset's own max date
-    (data-derived anchor, no wall-clock); active customers are CENSORED
-    — they stay in every at-risk denominator their lifetime covers but
-    never count as an event, exactly the Kaplan-Meier hazard input.
-    All integer: day diffs, floor-div month buckets, half-up e6 rates.
-    Scale shape: one customer-keyed map-side-combined agg, a 1-row max
-    broadcast, then a reverse-cumulative window over the MONTH
-    HISTOGRAM (domain-bounded rows — the r29 discipline: the single-
-    partition pass touches ~lifetime-months rows, never customers)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
+def _hazard_state(orders: DataFrame) -> DataFrame:
+    """Mergeable per-customer survival state from an order batch: first
+    and last order date (min/max fold)."""
+    return orders.groupBy("o_custkey").agg(
         F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
     )
+
+
+def _hazard_merge_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two survival-state tables: min first, max last per customer."""
+    return (
+        a.unionByName(b)
+        .groupBy("o_custkey")
+        .agg(F.min("first_d").alias("first_d"), F.max("last_d").alias("last_d"))
+    )
+
+
+def _hazard_curve(cust: DataFrame) -> DataFrame:
+    """Shared hazard-table tail (mart25 + its IVM twin h28): label,
+    month histogram, reverse-cumulative at-risk, half-up e6 hazard."""
     mx = cust.agg(F.max("last_d").alias("maxd"))
     lab = cust.crossJoin(F.broadcast(mx)).select(
         F.expr(f"datediff(last_d, first_d) div {_MART25_MONTH_DAYS}")
@@ -200,6 +199,49 @@ def mart25_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hazard_e6"),
     )
+
+
+@q("mart25_churn_hazard", _MART25_ORACLE)
+def mart25_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard — survival analysis with RIGHT
+    CENSORING, the lifecycle view that point-in-time churn flags
+    (mart17) and retention grids (mart2/mart15) cannot give: per
+    lifetime month m, how many customers were still at risk, how many
+    churned exactly at m, and the hazard rate.  A customer's observed
+    lifetime is their first-to-last order span in {md}-day months;
+    churned = inactive for {cd} days before the dataset's own max date
+    (data-derived anchor, no wall-clock); active customers are CENSORED
+    — they stay in every at-risk denominator their lifetime covers but
+    never count as an event, exactly the Kaplan-Meier hazard input.
+    All integer: day diffs, floor-div month buckets, half-up e6 rates.
+    Scale shape: one customer-keyed map-side-combined agg, a 1-row max
+    broadcast, then a reverse-cumulative window over the MONTH
+    HISTOGRAM (domain-bounded rows — the r29 discipline: the single-
+    partition pass touches ~lifetime-months rows, never customers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return _hazard_curve(_hazard_state(orders))
+
+
+_H28_CUT_DATE = "1995-06-01"  # order-date split for the IVM twin
+
+
+@q("h28_incremental_hazard", _MART25_ORACLE)
+def h28_incremental_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart25's IVM proof (SHARES its oracle): per-customer survival
+    state is just (first order date, last order date) — a min/max fold,
+    mergeable in any batch order — so two order batches split at a date
+    cut and folded must reproduce the full-recompute hazard table
+    bit-for-bit.  This is how a retention dashboard stays warm: each
+    delta batch shuffles only its own customers' rows, the censoring
+    anchor (max date) is re-read from merged state at render time (a
+    stale anchor would silently shift every censoring decision), and
+    history is never re-scanned."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.to_date(F.lit(_H28_CUT_DATE))
+    early = orders.where(F.col("o_orderdate").cast("date") < cut)
+    late = orders.where(F.col("o_orderdate").cast("date") >= cut)
+    state = _hazard_merge_state(_hazard_state(late), _hazard_state(early))
+    return _hazard_curve(state)
 
 
 # ---------------------------------------------------------------------------
@@ -402,3 +444,58 @@ mart25_churn_hazard.__doc__ = mart25_churn_hazard.__doc__.format(
 s31_dim_truncation_recall.__doc__ = s31_dim_truncation_recall.__doc__.format(
     k=_S31_K
 )
+
+
+# ---------------------------------------------------------------------------
+# g7: degree-distribution histogram (the graph-shape profile)
+# ---------------------------------------------------------------------------
+
+_G7_ORACLE = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+    )
+    SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(deg) AS BIGINT) AS total_deg,
+           CAST(min(deg) AS BIGINT) AS min_deg,
+           CAST(max(deg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY 1
+"""
+
+
+@q("g7_degree_histogram", _G7_ORACLE)
+def g7_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the co-purchase graph in
+    power-of-two buckets — the SHAPE profile that sizes every other
+    graph job before it runs: a heavy tail here is why g2's triangle
+    count needs degree-ordered orientation, why a hub key skews the g1
+    rank join, and what dq14 reports for relational shuffle keys,
+    measured for the graph.  The bucket is ``length(bin(deg)) - 1`` =
+    floor(log2(deg)) computed in INTEGER string space on both engines —
+    never float log2, whose 2^k boundaries round unpredictably (the
+    t17/t50 log-contract discipline applied to bucketing).  Scale
+    shape: one map-side-combined degree count, then a second
+    map-side-combined agg over |V| skinny rows into ~32 buckets; no
+    joins, no windows."""
+    from martech_pipelines_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        G.copurchase_edges(li)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return deg.groupBy(
+        F.expr("length(bin(deg)) - 1").cast("long").alias("deg_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("total_deg"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )

@@ -1425,3 +1425,68 @@ def read_kmv_state(
         .drop("__rn")
     )
     return kmv_estimate(folded, key_col, k=k)
+
+
+def apply_journey_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One fold of ``streaming_journey_maintenance``: reduce the
+    micro-batch to per-user (n_events, journey code string) state and
+    land it as the state root's ``batch_id={N}`` partition with
+    OVERWRITE (replay = idempotent, the card/KMV convention).  Raw
+    events never persist — only the 1-byte-per-event code strings."""
+    from martech_pipelines_spark.plans.corpus_r9b import journey_state
+
+    journey_state(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_journey_maintenance(
+    events_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain per-user journey strings from an event
+    stream — the streaming twin of ``h27_incremental_journey``: each
+    micro-batch lands one state partition; ``read_journey_state``
+    concatenates in batch order and pattern-matches on demand, EQUAL to
+    the batch mart24 readout over the same events (pinned in
+    test_streaming) because matches are computed at READ — funnels that
+    span micro-batch boundaries are counted.
+
+    Contract (same as streaming_rolling_zscore): micro-batches must
+    arrive in event-time order (an append stream with ordered ingestion
+    — same-ts events never straddle a trigger), because the read-side
+    fold concatenates by batch_id."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_journey_batch(batch_df, batch_id, state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_journey_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Pattern-match readout over the per-batch journey state: fold
+    each user's batch strings in batch_id order (collect_list carries
+    no order guarantee — sort explicitly, the mart24 discipline), sum
+    the event counts, then run the shared regex readout."""
+    from martech_pipelines_spark.plans.corpus_r9b import journey_readout
+
+    parts = spark.read.parquet(state_path)
+    state = parts.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("batch_id", "journey"))
+                ),
+                lambda s: s["journey"],
+            ),
+            "",
+        ).alias("journey"),
+    )
+    return journey_readout(state)

@@ -118,3 +118,32 @@ def test_s31_full_dim_row_is_exact(spark):
     assert rows[64]["recall_e4"] == 10000 and rows[64]["hits"] == rows[64]["n_pairs"]
     for r in rows.values():
         assert 0 <= r["recall_e4"] <= 10000
+
+
+def test_h28_equals_mart25(spark):
+    # min/max survival state folded across a date split reproduces the
+    # full-recompute hazard table
+    full = sorted(map(tuple, QUERIES["mart25_churn_hazard"](spark, SF).collect()))
+    ivm = sorted(map(tuple, QUERIES["h28_incremental_hazard"](spark, SF).collect()))
+    assert ivm == full
+
+
+def test_degree_histogram_buckets(spark):
+    # star with 4 leaves: center degree 4 -> bucket 2, leaves degree 1
+    # -> bucket 0 (length(bin(deg)) - 1 == floor(log2(deg)))
+    e = _edges(spark, [(100, 1), (100, 2), (100, 3), (100, 4)])
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    hist = {
+        r["deg_bucket"]: (r["n_nodes"], r["max_deg"])
+        for r in deg.groupBy(
+            F.expr("length(bin(deg)) - 1").cast("long").alias("deg_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+        .collect()
+    }
+    assert hist == {0: (4, 1), 2: (1, 4)}

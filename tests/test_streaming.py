@@ -1442,3 +1442,58 @@ def test_streaming_kmv_maintenance_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_journey_maintenance_matches_batch(spark, tmp_path):
+    """h27's streaming twin: per-batch journey-state partitions folded
+    at read (batch_id order) must reproduce the batch mart24 readout —
+    including funnels that SPAN micro-batch boundaries, which is why
+    matches are computed at read and never per batch."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.plans.corpus_r9b import (
+        journey_readout,
+        journey_state,
+    )
+    from martech_pipelines_spark.streaming.stream import (
+        read_journey_state,
+        streaming_journey_maintenance,
+    )
+
+    ev = load_table(spark, SF, "events")
+    # event-time-ordered slices (the documented ingestion contract):
+    # tercile cuts on integer micros
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slices = [
+        ev.where(F.unix_micros("ts") < c1),
+        ev.where((F.unix_micros("ts") >= c1) & (F.unix_micros("ts") < c2)),
+        ev.where(F.unix_micros("ts") >= c2),
+    ]
+    d = tmp_path / "jr_stream"
+    d.mkdir()
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"jrslice{i}")
+        )
+        src = _g.glob(str(tmp_path / f"jrslice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    state = str(tmp_path / "jr_state")
+    q = streaming_journey_maintenance(stream, state, str(tmp_path / "jr_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_journey_state(spark, state).collect()))
+    want = sorted(map(tuple, journey_readout(journey_state(ev)).collect()))
+    assert got == want
