@@ -153,6 +153,10 @@ HEADLINE = [
     "s31_dim_truncation_recall",
     # round-9 wave 3: degree-distribution histogram (graph-shape profile)
     "g7_degree_histogram",
+    # round-9 wave 4: shingle-width separation (dedup tuning report)
+    "dd20_shingle_width_separation",
+    # round-9 wave 4: dedup-induced source-mixture shift (governance)
+    "pipe13_dedup_mixture_shift",
 ]
 
 

@@ -33,6 +33,7 @@ from martech_pipelines_spark.plans import corpus_r8b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9c  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r9d  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 9 rotation — VERDICT r8 "Next round" #1).
@@ -132,6 +133,8 @@ _WINDOW_PRIORITY = [
     "s31_dim_truncation_recall",
     "h28_incremental_hazard",
     "g7_degree_histogram",
+    "dd20_shingle_width_separation",
+    "pipe13_dedup_mixture_shift",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -1,0 +1,303 @@
+"""Round-9 wave-4 corpus additions — dedup tuning and governance.
+
+``dd20_shingle_width_separation`` — which shingle width actually
+                          separates near-duplicates from unrelated
+                          documents: the LAST dedup tuning knob the
+                          index-quality suite (s19/s23/dd16/dd19) did
+                          not yet measure.
+``pipe13_dedup_mixture_shift`` — how exact dedup MOVES the source
+                          mixture: the governance report that catches
+                          dedup disproportionately deleting one source
+                          before the mixture weights (t16/t46) are
+                          fit on the deduped corpus.
+
+Reference parity: the reference repo (gauravkumar-ny/martech-pipelines)
+computes neither; both extend the training-data preparation families
+per SURVEY.md's "beyond the reference" mandate on the driver-generated
+``documents`` table.
+
+Determinism contract: md5 fingerprints and half-up integer ratios on
+both engines; the dd19 synthetic near-dup construction (base ∪
+suffix-modified twin) reused so true/false pair labels are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES, q  # noqa: F401
+from martech_pipelines_spark.plans.corpus_extended import (
+    _DUCK_NORM,
+    _DUCK_TOKENS,
+    _MINHASH_CORPUS_SQL,
+)
+from martech_pipelines_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# dd20: shingle-width separation report (true vs false pair Jaccard by w)
+# ---------------------------------------------------------------------------
+
+_DD20_WIDTHS = (2, 3, 5)
+
+
+def _dd20_shingle_cte(w: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(w))
+    return f"""sh{w} AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= {w}
+                   THEN list_transform(generate_series(1, len(t) - {w - 1}),
+                                       i -> {gram})
+                   ELSE [] END) AS sh
+        FROM toksrc
+    )"""
+
+
+def _dd20_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
+    blocks = [
+        f"""corpus AS (
+{_MINHASH_CORPUS_SQL}
+    ), toksrc AS (
+        SELECT doc_id, {toks} AS t FROM corpus
+    ), pairs AS (
+        SELECT doc_id AS id_a, doc_id + 2000000 AS id_b, 1 AS is_true
+        FROM corpus WHERE doc_id < 2000000
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, 0
+        FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 10
+        WHERE a.doc_id < 2000000 AND b.doc_id < 2000000
+    )"""
+    ]
+    rows = []
+    for w in _DD20_WIDTHS:
+        blocks.append(_dd20_shingle_cte(w))
+        blocks.append(
+            f"""scored{w} AS (
+        SELECT p.is_true,
+               (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 20000
+                + (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+               // (2 * (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)))) AS jacc_e4
+        FROM pairs p
+        JOIN sh{w} sa ON sa.doc_id = p.id_a AND len(sa.sh) > 0
+        JOIN sh{w} sb ON sb.doc_id = p.id_b AND len(sb.sh) > 0
+    )"""
+        )
+        rows.append(
+            f"""SELECT CAST({w} AS BIGINT) AS w,
+           CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST(sum(1 - is_true) AS BIGINT) AS n_false,
+           CAST(CASE WHEN sum(is_true) > 0
+                THEN (2 * sum(CASE WHEN is_true = 1 THEN jacc_e4 ELSE 0 END)
+                      + sum(is_true)) // (2 * sum(is_true))
+                ELSE 0 END AS BIGINT) AS mean_true_e4,
+           CAST(CASE WHEN sum(1 - is_true) > 0
+                THEN (2 * sum(CASE WHEN is_true = 0 THEN jacc_e4 ELSE 0 END)
+                      + sum(1 - is_true)) // (2 * sum(1 - is_true))
+                ELSE 0 END AS BIGINT) AS mean_false_e4,
+           CAST(CASE WHEN sum(is_true) > 0
+                THEN (2 * sum(CASE WHEN is_true = 1 THEN jacc_e4 ELSE 0 END)
+                      + sum(is_true)) // (2 * sum(is_true))
+                ELSE 0 END
+                - CASE WHEN sum(1 - is_true) > 0
+                THEN (2 * sum(CASE WHEN is_true = 0 THEN jacc_e4 ELSE 0 END)
+                      + sum(1 - is_true)) // (2 * sum(1 - is_true))
+                ELSE 0 END AS BIGINT) AS sep_e4
+    FROM scored{w}"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+@q("dd20_shingle_width_separation", _dd20_oracle())
+def dd20_shingle_width_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-width tuning report — the dedup knob the index-quality
+    suite had not yet measured (s19 recall / s23 distortion / dd16
+    blocking precision / dd19 estimator calibration / THIS — feature
+    separation): for word-shingle widths w in {widths}, the mean exact
+    Jaccard of TRUE near-duplicate pairs (each base doc vs its
+    suffix-modified twin, the dd19 construction) against FALSE pairs
+    (each base doc vs the next unrelated base doc), and their
+    separation.  Wider shingles push unrelated-pair similarity toward
+    zero but make true near-dups more fragile to small edits — this
+    report measures both sides of that trade on the corpus itself, so
+    the dd3/dd5 thresholds are chosen from evidence.  All-integer
+    (half-up e4), one ~|base| pair join per width over skinny
+    (doc_id, shingle-array) rows — documents are scanned once per
+    width, never joined wide."""
+    from martech_pipelines_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    true_pairs = base.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2000000).alias("id_b"),
+        F.lit(1).alias("is_true"),
+    )
+    a_ids = base.select(F.col("doc_id").alias("id_a"))
+    b_ids = base.select(F.col("doc_id").alias("id_b"))
+    false_pairs = a_ids.join(
+        b_ids, F.col("id_b") == F.col("id_a") + 10
+    ).select("id_a", "id_b", F.lit(0).alias("is_true"))
+    pairs = true_pairs.unionByName(false_pairs)
+
+    out = None
+    for w in _DD20_WIDTHS:
+        sh = corpus.select(
+            "doc_id", shingles(F.col("text"), w).alias("sh")
+        ).where(F.size("sh") > 0)
+        sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        un = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+        scored = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "is_true",
+                F.expr(
+                    "(CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 20000"
+                    " + (size(sh_a) + size(sh_b)"
+                    "    - size(array_intersect(sh_a, sh_b))))"
+                    " div (2 * (size(sh_a) + size(sh_b)"
+                    "           - size(array_intersect(sh_a, sh_b))))"
+                )
+                .cast("long")
+                .alias("jacc_e4"),
+            )
+        )
+        mean_true = (
+            "CASE WHEN sum(is_true) > 0"
+            " THEN (2 * sum(CASE WHEN is_true = 1 THEN jacc_e4 ELSE 0 END)"
+            " + sum(is_true)) div (2 * sum(is_true)) ELSE 0 END"
+        )
+        mean_false = (
+            "CASE WHEN sum(1 - is_true) > 0"
+            " THEN (2 * sum(CASE WHEN is_true = 0 THEN jacc_e4 ELSE 0 END)"
+            " + sum(1 - is_true)) div (2 * sum(1 - is_true)) ELSE 0 END"
+        )
+        row = scored.agg(
+            F.lit(w).cast("long").alias("w"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.sum(F.lit(1) - F.col("is_true")).cast("long").alias("n_false"),
+            F.expr(mean_true).cast("long").alias("mean_true_e4"),
+            F.expr(mean_false).cast("long").alias("mean_false_e4"),
+            F.expr(f"({mean_true}) - ({mean_false})").cast("long").alias("sep_e4"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipe13: dedup-induced source-mixture shift (governance report)
+# ---------------------------------------------------------------------------
+
+_PIPE13_ORACLE = f"""
+    WITH corpus AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT 'recrawl', doc_id + 3000000, text
+        FROM documents WHERE doc_id % 4 = 0
+    ), base AS (
+        SELECT source, doc_id,
+               md5({_DUCK_NORM.format(col='text')}) AS fp
+        FROM corpus
+    ), keep AS (
+        SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY 1
+    ), surv AS (
+        SELECT b.source FROM base b JOIN keep k ON b.doc_id = k.doc_id
+    ), pre AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY 1
+    ), post AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM surv GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS t_pre FROM pre
+    ), tot2 AS (
+        SELECT CAST(sum(n_kept) AS BIGINT) AS t_post FROM post
+    )
+    SELECT p.source, p.n_docs,
+           CAST(coalesce(q.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST((p.n_docs * 2000000 + t_pre) // (2 * t_pre) AS BIGINT)
+               AS share_pre_e6,
+           CAST((coalesce(q.n_kept, 0) * 2000000 + t_post) // (2 * t_post)
+               AS BIGINT) AS share_post_e6,
+           CAST((coalesce(q.n_kept, 0) * 2000000 + t_post) // (2 * t_post)
+                - (p.n_docs * 2000000 + t_pre) // (2 * t_pre) AS BIGINT)
+               AS shift_e6
+    FROM pre p LEFT JOIN post q USING (source), tot, tot2
+"""
+
+
+@q("pipe13_dedup_mixture_shift", _PIPE13_ORACLE)
+def pipe13_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How exact dedup MOVES the source mixture — the governance report
+    a training-data release runs between dedup (dd1) and mixture
+    fitting (t16/t46): global keep-one-per-fingerprint (min doc_id, the
+    deterministic winner rule), then per source the doc count and
+    mixture share BEFORE and AFTER, and the signed share shift in
+    half-up e6.  A template-heavy source loses disproportionally under
+    global dedup, silently re-weighting the corpus the mixture step
+    then bakes in — this report makes that shift a reviewed number
+    instead of an accident.  Scale shape: one fingerprint agg
+    (map-side-combined min over md5 keys), one keyed join back on the
+    unique winner doc_id, two |sources|-row aggs, two 1-row total
+    broadcasts — raw text is scanned exactly once.
+
+    The driver corpus contains no exact duplicates, so the shift under
+    test is INJECTED deterministically (the dd19 synthetic-construction
+    discipline): a 'recrawl' source of exact copies of every 4th doc —
+    the re-ingested-feed accident this report exists to catch.  Global
+    dedup keeps the originals (min doc_id), the recrawl source
+    collapses to zero, and every organic source's share rises."""
+    from martech_pipelines_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    recrawl = docs.where(F.col("doc_id") % 4 == 0).select(
+        F.lit("recrawl").alias("source"),
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        "text",
+    )
+    corpus = docs.select("source", "doc_id", "text").unionByName(recrawl)
+    base = corpus.select(
+        "source", "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    keep = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = base.join(keep.select("doc_id"), "doc_id", "left_semi")
+    pre = base.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    post = surv.groupBy("source").agg(F.count("*").cast("long").alias("n_kept"))
+    t_pre = pre.agg(F.sum("n_docs").cast("long").alias("t_pre"))
+    t_post = post.agg(F.sum("n_kept").cast("long").alias("t_post"))
+    j = (
+        pre.join(post, "source", "left")
+        .crossJoin(F.broadcast(t_pre))
+        .crossJoin(F.broadcast(t_post))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "t_pre",
+            "t_post",
+        )
+    )
+    share_pre = F.expr("(n_docs * CAST(2000000 AS BIGINT) + t_pre) div (2 * t_pre)")
+    share_post = F.expr(
+        "(n_kept * CAST(2000000 AS BIGINT) + t_post) div (2 * t_post)"
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        share_pre.cast("long").alias("share_pre_e6"),
+        share_post.cast("long").alias("share_post_e6"),
+        (share_post - share_pre).cast("long").alias("shift_e6"),
+    )

@@ -147,3 +147,27 @@ def test_degree_histogram_buckets(spark):
         .collect()
     }
     assert hist == {0: (4, 1), 2: (1, 4)}
+
+
+def test_dd20_wider_shingles_separate_better_on_false_pairs(spark):
+    rows = {r["w"]: r for r in QUERIES["dd20_shingle_width_separation"](spark, SF).collect()}
+    assert set(rows) == {2, 3, 5}
+    for r in rows.values():
+        # near-dup twins must score far above unrelated docs at every width
+        assert r["mean_true_e4"] > r["mean_false_e4"]
+        assert r["n_true"] > 0 and r["n_false"] > 0
+    # unrelated-pair similarity falls (weakly) as shingles widen — the
+    # reason wider shingles exist
+    assert rows[2]["mean_false_e4"] >= rows[3]["mean_false_e4"] >= rows[5]["mean_false_e4"]
+
+
+def test_pipe13_recrawl_source_collapses(spark):
+    rows = {r["source"]: r for r in QUERIES["pipe13_dedup_mixture_shift"](spark, SF).collect()}
+    rc = rows.pop("recrawl")
+    # every injected copy loses to its original (min doc_id wins)
+    assert rc["n_kept"] == 0 and rc["share_post_e6"] == 0 and rc["shift_e6"] < 0
+    # organic sources: nothing removed, share rises
+    for r in rows.values():
+        assert r["n_kept"] == r["n_docs"] and r["shift_e6"] > 0
+    # post-dedup shares are a probability vector over organic sources
+    assert abs(sum(r["share_post_e6"] for r in rows.values()) - 1_000_000) <= len(rows)
