@@ -157,6 +157,8 @@ HEADLINE = [
     "dd20_shingle_width_separation",
     # round-9 wave 4: dedup-induced source-mixture shift (governance)
     "pipe13_dedup_mixture_shift",
+    # round-9 wave 4: vocabulary-growth (Heaps-law) curve
+    "t52_vocab_growth",
 ]
 
 

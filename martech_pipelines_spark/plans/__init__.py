@@ -135,6 +135,8 @@ _WINDOW_PRIORITY = [
     "g7_degree_histogram",
     "dd20_shingle_width_separation",
     "pipe13_dedup_mixture_shift",
+    "t52_vocab_growth",
+    "h29_incremental_vocab",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -23,7 +23,7 @@ suffix-modified twin) reused so true/false pair labels are exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from martech_pipelines_spark.plans.corpus import ORACLE, QUERIES, q  # noqa: F401
@@ -301,3 +301,150 @@ def pipe13_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_post.cast("long").alias("share_post_e6"),
         (share_post - share_pre).cast("long").alias("shift_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t52: vocabulary-growth (Heaps-law) curve + h29, its IVM twin
+# ---------------------------------------------------------------------------
+
+_T52_ORACLE = f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+    base AS (
+        SELECT doc_id * 10 // n_ids AS decile,
+               {_DUCK_TOKENS.format(col='text')} AS t
+        FROM documents, mx
+    ), per_d AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(t)) AS BIGINT) AS n_toks
+        FROM base GROUP BY 1
+    ), tok AS (
+        SELECT decile, unnest(t) AS token FROM base
+    ), first AS (
+        SELECT token, min(decile) AS decile FROM tok GROUP BY 1
+    ), nv AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS vocab_new
+        FROM first GROUP BY 1
+    )
+    SELECT p.decile, p.n_docs,
+           CAST(sum(p.n_toks) OVER (ORDER BY p.decile) AS BIGINT) AS toks_cum,
+           CAST(coalesce(nv.vocab_new, 0) AS BIGINT) AS vocab_new,
+           CAST(sum(coalesce(nv.vocab_new, 0)) OVER (ORDER BY p.decile)
+                AS BIGINT) AS vocab_cum
+    FROM per_d p LEFT JOIN nv USING (decile)
+"""
+
+
+def vocab_state(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Mergeable vocabulary-growth state from a document batch: skinny
+    (doc_id, n_toks) rows (disjoint-union mergeable) and (token,
+    first_id) vocabulary attribution (min-fold mergeable).  Raw text is
+    tokenized exactly once per batch — the expensive pass the IVM twin
+    never repeats."""
+    from martech_pipelines_spark.operators.text import tokens
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    docrows = toks.select(
+        "doc_id", F.size("t").cast("long").alias("n_toks")
+    )
+    tokmin = (
+        toks.select(F.explode("t").alias("token"), "doc_id")
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    return docrows, tokmin
+
+
+def vocab_merge(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Fold two vocab states: doc rows are disjoint (union), token
+    attribution min-folds."""
+    docrows = a[0].unionByName(b[0])
+    tokmin = (
+        a[1].unionByName(b[1])
+        .groupBy("token")
+        .agg(F.min("first_id").alias("first_id"))
+    )
+    return docrows, tokmin
+
+
+def vocab_growth_curve(state: tuple[DataFrame, DataFrame]) -> DataFrame:
+    """Render the Heaps curve from vocab state: the decile anchor
+    (max doc_id + 1) is re-read from MERGED state at render time (the
+    h28 anchor discipline — a per-batch anchor would bucket each batch
+    against a different id domain), then per-decile doc/token totals,
+    new-vocabulary attribution, and running cumulatives over the
+    10-row spine."""
+    docrows, tokmin = state
+    mx = docrows.agg((F.max("doc_id") + 1).alias("n_ids"))
+    per_d = (
+        docrows.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("doc_id * 10 div n_ids").cast("long").alias("decile"),
+            "n_toks",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
+        )
+    )
+    nv = (
+        tokmin.crossJoin(F.broadcast(mx))
+        .select(F.expr("first_id * 10 div n_ids").cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("vocab_new"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_d.join(nv, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            F.sum("n_toks").over(w).cast("long").alias("toks_cum"),
+            F.coalesce("vocab_new", F.lit(0)).cast("long").alias("vocab_new"),
+            F.sum(F.coalesce("vocab_new", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+    )
+
+
+@q("t52_vocab_growth", _T52_ORACLE)
+def t52_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve — the corpus-scaling report
+    that sizes tokenizers and vocab budgets: over ingestion-order
+    deciles of the corpus, cumulative token volume vs cumulative
+    DISTINCT vocabulary, with each decile's newly-first-seen token
+    count.  A flattening curve says the crawl is saturating its
+    domain; a linear one says the vocab (and the BPE merge table,
+    t14b) is still growing with the data.  All integer: decile =
+    doc_id * 10 div (max_id + 1) against a 1-row broadcast anchor,
+    attribution = min first-occurrence decile per token.  Scale shape:
+    one tokenize pass, a map-side-combined (token -> min doc_id) agg
+    (vocabulary-sized shuffle, the t1 discipline), two domain-bounded
+    10-row spines, cumsum windows over 10 rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_growth_curve(vocab_state(docs))
+
+
+@q("h29_incremental_vocab", _T52_ORACLE)
+def h29_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t52's IVM proof (SHARES its oracle): vocabulary-growth state is
+    mergeable — (doc_id, n_toks) rows union disjointly, (token,
+    first_id) attribution min-folds — so two document batches, each
+    tokenized ONCE, fold to the bit-identical Heaps curve.  The decile
+    anchor is re-read from merged state at render (the h28 anchor
+    discipline): per-batch deciles would bucket each batch against a
+    different id domain and silently mis-attribute vocabulary.  This
+    is the intake shape at 100 TB: the expensive tokenize pass runs
+    per delta batch, the curve re-renders from skinny integer/token
+    state, raw text is never re-scanned."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    return vocab_growth_curve(vocab_merge(vocab_state(b2), vocab_state(b1)))

@@ -171,3 +171,25 @@ def test_pipe13_recrawl_source_collapses(spark):
         assert r["n_kept"] == r["n_docs"] and r["shift_e6"] > 0
     # post-dedup shares are a probability vector over organic sources
     assert abs(sum(r["share_post_e6"] for r in rows.values()) - 1_000_000) <= len(rows)
+
+
+def test_h29_equals_t52(spark):
+    # vocab state folded across an id split reproduces the Heaps curve
+    full = sorted(map(tuple, QUERIES["t52_vocab_growth"](spark, SF).collect()))
+    ivm = sorted(map(tuple, QUERIES["h29_incremental_vocab"](spark, SF).collect()))
+    assert ivm == full
+
+
+def test_t52_curve_invariants(spark):
+    rows = sorted(
+        QUERIES["t52_vocab_growth"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    # cumulatives are nondecreasing; vocab never grows faster than tokens
+    for a, b in zip(rows, rows[1:]):
+        assert b["toks_cum"] >= a["toks_cum"] and b["vocab_cum"] >= a["vocab_cum"]
+    for r in rows:
+        assert r["vocab_cum"] <= r["toks_cum"]
+    # every decile-0 token is "new" by construction
+    assert rows[0]["vocab_new"] == rows[0]["vocab_cum"] > 0
