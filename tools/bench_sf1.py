@@ -146,6 +146,19 @@ HEAVY = [
     "r3c_kmv_distinct_det",
     "dq13_feed_drift",
     "g5_cc_label_min",
+    # round-9 session waves 3/4: k-core (decrement peel — only the
+    # initial degree pass scales, the catalog-bound peel is constant),
+    # the Arrow dimension-truncation sweep over the 10x corpus, the
+    # 3-width shingle sweep (corpus-proportional shingle arrays), the
+    # journey regex fold (event-volume keyed agg + codegen regex), the
+    # vocabulary-growth curve (10x token explode into a vocab-sized
+    # min-fold), and the dedup mixture-shift governance scan
+    "g6_kcore",
+    "s31_dim_truncation_recall",
+    "dd20_shingle_width_separation",
+    "mart24_journey_regex",
+    "t52_vocab_growth",
+    "pipe13_dedup_mixture_shift",
 ]
 N_RUNS = 2
 
