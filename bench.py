@@ -159,6 +159,10 @@ HEADLINE = [
     "pipe13_dedup_mixture_shift",
     # round-9 wave 4: vocabulary-growth (Heaps-law) curve
     "t52_vocab_growth",
+    # round-9 wave 5: error-budget / SLO burn monitor
+    "dq15_error_budget",
+    # round-9 wave 5: sessionized bounce rate by entry type
+    "mart26_bounce_rate",
 ]
 
 

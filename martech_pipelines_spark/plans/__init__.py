@@ -137,6 +137,8 @@ _WINDOW_PRIORITY = [
     "pipe13_dedup_mixture_shift",
     "t52_vocab_growth",
     "h29_incremental_vocab",
+    "dq15_error_budget",
+    "mart26_bounce_rate",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

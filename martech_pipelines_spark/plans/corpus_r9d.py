@@ -448,3 +448,176 @@ def h29_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = docs.where(F.col("doc_id") % 2 == 0)
     b2 = docs.where(F.col("doc_id") % 2 == 1)
     return vocab_growth_curve(vocab_merge(vocab_state(b2), vocab_state(b1)))
+
+
+# ---------------------------------------------------------------------------
+# dq15: error-budget / SLO burn monitor (daily error share vs budget)
+# ---------------------------------------------------------------------------
+
+_DQ15_BUDGET_E6 = 210_000  # 21% daily error-share budget (data mean ~20%)
+
+_DQ15_ORACLE = f"""
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ), shared AS (
+        SELECT day_s, n_events, n_errors,
+               CAST((n_errors * 2000000 + n_events) // (2 * n_events)
+                    AS BIGINT) AS err_share_e6
+        FROM daily
+    )
+    SELECT day_s, n_events, n_errors, err_share_e6,
+           CAST(CASE WHEN err_share_e6 > {_DQ15_BUDGET_E6} THEN 1 ELSE 0 END
+                AS BIGINT) AS breach,
+           CAST(sum(CASE WHEN err_share_e6 > {_DQ15_BUDGET_E6} THEN 1 ELSE 0 END)
+                OVER (ORDER BY day_s) AS BIGINT) AS breaches_cum
+    FROM shared
+"""
+
+
+@q("dq15_error_budget", _DQ15_ORACLE)
+def dq15_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget / SLO burn monitor — the ops report the 'error'
+    event stream exists to feed: per day, event volume, error count,
+    half-up e6 error share, a budget-breach flag against a fixed
+    210000ppm share budget, and the RUNNING breach count (the burn
+    curve an on-call rotation reads: two breaches in week one spends
+    half a monthly budget of four).  Complements dq2 (z-score anomaly —
+    relative to history) with an ABSOLUTE contract check, and dq13
+    (population drift) with a time-series view.  Scale shape: one
+    map-side-combined daily agg, then windows over the ~days-sized
+    spine (r29 discipline — the single-partition pass never touches
+    events)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day_s")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    shared = daily.select(
+        "day_s",
+        "n_events",
+        "n_errors",
+        F.expr("(n_errors * CAST(2000000 AS BIGINT) + n_events) div (2 * n_events)")
+        .cast("long")
+        .alias("err_share_e6"),
+    )
+    breach = F.when(
+        F.col("err_share_e6") > _DQ15_BUDGET_E6, F.lit(1)
+    ).otherwise(F.lit(0))
+    w = Window.orderBy("day_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return shared.select(
+        "day_s",
+        "n_events",
+        "n_errors",
+        "err_share_e6",
+        breach.cast("long").alias("breach"),
+        F.sum(breach).over(w).cast("long").alias("breaches_cum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mart26: sessionized bounce rate by entry event type
+# ---------------------------------------------------------------------------
+
+_MART26_GAP_S = 30 * 60  # the r35/w3 session gap
+
+_MART26_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > CAST({_MART26_GAP_S} AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), labeled AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flagged
+    ), sess AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_seq ORDER BY ts, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id, session_seq) AS n_in_sess
+        FROM labeled
+    )
+    SELECT event_type AS entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_in_sess = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST((sum(CASE WHEN n_in_sess = 1 THEN 1 ELSE 0 END) * 2000000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS bounce_e6
+    FROM sess WHERE rn = 1
+    GROUP BY 1
+"""
+
+
+@q("mart26_bounce_rate", _MART26_ORACLE)
+def mart26_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized bounce rate by ENTRY event type — the classic web/
+    app-analytics KPI the session machinery (w3 windows, r35 labels,
+    h21 state) had not yet rolled up: of sessions that OPEN with a
+    given event type, what share end after that single event?  A high
+    view-bounce is a landing-page problem; a high click-bounce is a
+    broken funnel step — the split by entry type is what makes the
+    number actionable.  Determinism: the r35 session labeling verbatim
+    (integer-microsecond gap, (ts, event_id) total order), entry = the
+    same total order's first row, half-up e6 rate.  Scale shape: ONE
+    user-keyed exchange feeds the gap flag, the running session_seq,
+    and both per-session windows (all share the partitioning), then a
+    |event-types|-row agg — no joins, no second shuffle of events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col("ts")) - prev_us > _MART26_GAP_S * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    labeled = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_sess).over(run).alias("session_seq"),
+    )
+    sw = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    sess = labeled.select(
+        "event_type",
+        F.row_number().over(sw).alias("rn"),
+        F.count("*")
+        .over(W.partitionBy("user_id", "session_seq"))
+        .alias("n_in_sess"),
+    )
+    return (
+        sess.where(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("entry_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_in_sess") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            F.expr(
+                "(sum(CASE WHEN n_in_sess = 1 THEN 1 ELSE 0 END)"
+                " * CAST(2000000 AS BIGINT) + count(*)) div (2 * count(*))"
+            )
+            .cast("long")
+            .alias("bounce_e6"),
+        )
+    )

@@ -193,3 +193,35 @@ def test_t52_curve_invariants(spark):
         assert r["vocab_cum"] <= r["toks_cum"]
     # every decile-0 token is "new" by construction
     assert rows[0]["vocab_new"] == rows[0]["vocab_cum"] > 0
+
+
+def test_dq15_burn_curve_invariants(spark):
+    rows = sorted(
+        QUERIES["dq15_error_budget"](spark, SF).collect(), key=lambda r: r["day_s"]
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert 0 <= r["n_errors"] <= r["n_events"]
+        assert r["breach"] in (0, 1)
+        assert r["breach"] == (1 if r["err_share_e6"] > 210_000 else 0)
+        cum += r["breach"]
+        assert r["breaches_cum"] == cum
+
+
+def test_mart26_bounce_bounded_and_complete(spark):
+    rows = QUERIES["mart26_bounce_rate"](spark, SF).collect()
+    # every session has exactly one entry row: totals match the session count
+    from martech_pipelines_spark.plans import QUERIES as Q
+
+    n_sessions = (
+        Q["r35_sessionize"](spark, SF)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("m"))
+        .agg(F.sum("m"))
+        .first()[0]
+    )
+    assert sum(r["n_sessions"] for r in rows) == n_sessions
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0 <= r["bounce_e6"] <= 1_000_000
