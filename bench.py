@@ -163,6 +163,8 @@ HEADLINE = [
     "dq15_error_budget",
     # round-9 wave 5: sessionized bounce rate by entry type
     "mart26_bounce_rate",
+    # round-9 wave 5: LSH band/row trade-off (the S-curve tuning dial)
+    "dd21_lsh_band_tradeoff",
 ]
 
 

@@ -139,6 +139,7 @@ _WINDOW_PRIORITY = [
     "h29_incremental_vocab",
     "dq15_error_budget",
     "mart26_bounce_rate",
+    "dd21_lsh_band_tradeoff",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

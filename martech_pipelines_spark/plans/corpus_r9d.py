@@ -621,3 +621,159 @@ def mart26_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bounce_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd21: LSH band/row trade-off (the S-curve tuning report)
+# ---------------------------------------------------------------------------
+
+_DD21_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows_per_band), 16 perms
+
+
+def _dd21_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col=_DUCK_NORM.format(col="text"))
+    perm_mins = ",\n               ".join(
+        "list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) AS m{i}".format(i=i)
+        for i in range(16)
+    )
+    blocks = [
+        f"""corpus AS (
+{_MINHASH_CORPUS_SQL}
+    ), toksrc AS (
+        SELECT doc_id, {toks} AS t FROM corpus
+    ), shs AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sh
+        FROM toksrc
+    ), sigs AS (
+        SELECT doc_id,
+               {perm_mins}
+        FROM shs WHERE len(sh) > 0
+    ), tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true_total
+        FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 2000000
+    )"""
+    ]
+    rows = []
+    for nb, r in _DD21_CONFIGS:
+        band_sel = "\n        UNION ALL\n".join(
+            "        SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sigs".format(
+                b=b,
+                key=" || '|' || ".join(
+                    f"m{b * r + j}::VARCHAR" for j in range(r)
+                ),
+            )
+            for b in range(nb)
+        )
+        blocks.append(
+            f"""bands{nb} AS (
+{band_sel}
+    ), cand{nb} AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands{nb} a
+        JOIN bands{nb} b ON a.band = b.band AND a.bk = b.bk
+                         AND a.doc_id < b.doc_id
+    ), m{nb} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN id_b = id_a + 2000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_found
+        FROM cand{nb}
+    )"""
+        )
+        rows.append(
+            f"""SELECT CAST({nb} AS BIGINT) AS bands,
+           CAST({r} AS BIGINT) AS rows_per_band,
+           n_candidates, n_true_found, n_true_total,
+           CAST(CASE WHEN n_candidates > 0
+                THEN (n_true_found * 20000 + n_candidates)
+                     // (2 * n_candidates) ELSE 0 END AS BIGINT)
+               AS precision_e4,
+           CAST(CASE WHEN n_true_total > 0
+                THEN (n_true_found * 20000 + n_true_total)
+                     // (2 * n_true_total) ELSE 0 END AS BIGINT)
+               AS recall_e4
+    FROM m{nb}, tt"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+@q("dd21_lsh_band_tradeoff", _dd21_oracle())
+def dd21_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve tuning report — bands x rows IS the dedup
+    index's recall/cost dial, and this measures it on the corpus
+    instead of trusting the 1-(1-J^r)^b formula: for (bands,
+    rows_per_band) in (2,8)/(4,4)/(8,2) over the SAME 16-perm
+    signatures, the candidate count, how many of the constructed
+    near-dup twins (the dd19 pair set) were found, and precision /
+    recall against that exact label set.  More bands with shorter rows
+    = more candidates = higher recall, lower precision; this report
+    says where the knee is for the corpus's actual similarity
+    distribution.  Completes the dedup tuning suite (dd16 one-config
+    precision / dd19 estimator calibration / dd20 shingle width / THIS
+    — the banding dial).  Scale shape: signatures computed ONCE
+    (map-side-combined min-hash agg), each config is a narrow
+    band-projection union + an in-bucket self-join on (band, key) —
+    the dd3 plan replayed 3x over vocabulary-free signature rows."""
+    from martech_pipelines_spark.operators import dedup as DD
+    from martech_pipelines_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    near = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    sh = corpus.select("doc_id", shingles(F.col("text"), 3).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    tt = (
+        sh.select(F.col("doc_id").alias("id_a"))
+        .join(
+            sh.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 2000000,
+        )
+        .agg(F.count("*").cast("long").alias("n_true_total"))
+    )
+    out = None
+    for nb, r in _DD21_CONFIGS:
+        cand = DD.lsh_candidate_pairs(corpus, num_perm=16, bands=nb, shingle_n=3)
+        m = cand.agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("id_b") == F.col("id_a") + 2000000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_true_found"),
+        )
+        row = m.crossJoin(F.broadcast(tt)).select(
+            F.lit(nb).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            "n_true_found",
+            "n_true_total",
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN"
+                " (n_true_found * CAST(20000 AS BIGINT) + n_candidates)"
+                " div (2 * n_candidates) ELSE 0 END"
+            )
+            .cast("long")
+            .alias("precision_e4"),
+            F.expr(
+                "CASE WHEN n_true_total > 0 THEN"
+                " (n_true_found * CAST(20000 AS BIGINT) + n_true_total)"
+                " div (2 * n_true_total) ELSE 0 END"
+            )
+            .cast("long")
+            .alias("recall_e4"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

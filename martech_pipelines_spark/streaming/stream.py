@@ -1490,3 +1490,85 @@ def read_journey_state(spark: SparkSession, state_path: str) -> DataFrame:
         ).alias("journey"),
     )
     return journey_readout(state)
+
+
+def apply_slo_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One fold of ``streaming_slo_maintenance``: reduce the micro-batch
+    to per-day (n_events, n_errors) counter cells and land them as the
+    state root's ``batch_id={N}`` partition with OVERWRITE (replay =
+    idempotent, the card/KMV/journey convention)."""
+    (
+        batch_df.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day_s")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{state_path}/batch_id={batch_id}")
+    )
+
+
+def streaming_slo_maintenance(
+    events_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain the dq15 error-budget state from an event
+    stream — per-day counter cells are additive, so the daily error
+    share, breach flags, and the running burn curve re-render from
+    folded state EQUAL to the batch dq15 readout over the same events
+    (pinned in test_streaming).  Batches may arrive in any order: the
+    state is a commutative sum."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_slo_batch(batch_df, batch_id, state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_slo_state(
+    spark: SparkSession, state_path: str, budget_e6: int = 210_000
+) -> DataFrame:
+    """Render the error-budget report from per-batch counter state: sum
+    the cells per day, then the dq15 share/breach/burn arithmetic."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.read.parquet(state_path)
+        .groupBy("day_s")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        )
+    )
+    shared = daily.select(
+        "day_s",
+        "n_events",
+        "n_errors",
+        F.expr(
+            "(n_errors * CAST(2000000 AS BIGINT) + n_events) div (2 * n_events)"
+        )
+        .cast("long")
+        .alias("err_share_e6"),
+    )
+    breach = F.when(F.col("err_share_e6") > budget_e6, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    w = Window.orderBy("day_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return shared.select(
+        "day_s",
+        "n_events",
+        "n_errors",
+        "err_share_e6",
+        breach.cast("long").alias("breach"),
+        F.sum(breach).over(w).cast("long").alias("breaches_cum"),
+    )

@@ -225,3 +225,19 @@ def test_mart26_bounce_bounded_and_complete(spark):
     for r in rows:
         assert 0 <= r["n_bounces"] <= r["n_sessions"]
         assert 0 <= r["bounce_e6"] <= 1_000_000
+
+
+def test_dd21_s_curve_monotonicity(spark):
+    # more bands with shorter rows => (weakly) more candidates, higher
+    # recall, lower-or-equal precision: the S-curve direction itself
+    rows = sorted(
+        QUERIES["dd21_lsh_band_tradeoff"](spark, SF).collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [(r["bands"], r["rows_per_band"]) for r in rows] == [(2, 8), (4, 4), (8, 2)]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"]
+        assert b["recall_e4"] >= a["recall_e4"]
+    for r in rows:
+        assert r["n_true_found"] <= r["n_true_total"]
+        assert r["n_true_found"] <= r["n_candidates"]

@@ -1497,3 +1497,43 @@ def test_streaming_journey_maintenance_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, read_journey_state(spark, state).collect()))
     want = sorted(map(tuple, journey_readout(journey_state(ev)).collect()))
     assert got == want
+
+
+def test_streaming_slo_maintenance_matches_batch(spark, tmp_path):
+    """dq15's streaming twin: per-batch daily counter cells folded at
+    read must reproduce the batch error-budget report — counters are
+    commutative sums, so slices are deliberately NOT time-ordered."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.plans import QUERIES
+    from martech_pipelines_spark.streaming.stream import (
+        read_slo_state,
+        streaming_slo_maintenance,
+    )
+
+    ev = load_table(spark, SF, "events")
+    d = tmp_path / "slo_stream"
+    d.mkdir()
+    for i in range(3):  # arbitrary id-mod slices: order must not matter
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"sloslice{i}"))
+        src = _g.glob(str(tmp_path / f"sloslice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    state = str(tmp_path / "slo_state")
+    q = streaming_slo_maintenance(stream, state, str(tmp_path / "slo_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_slo_state(spark, state).collect()))
+    want = sorted(map(tuple, QUERIES["dq15_error_budget"](spark, SF).collect()))
+    assert got == want
