@@ -165,6 +165,8 @@ HEADLINE = [
     "mart26_bounce_rate",
     # round-9 wave 5: LSH band/row trade-off (the S-curve tuning dial)
     "dd21_lsh_band_tradeoff",
+    # round-9 wave 5: per-segment A/B readout (Simpson's-paradox check)
+    "mart27_ab_by_segment",
 ]
 
 

@@ -777,3 +777,110 @@ def dd21_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mart27: A/B readout BY SEGMENT (the Simpson's-paradox check)
+# ---------------------------------------------------------------------------
+
+_M27_SEGS = 3
+_M27_ASSIGN_SQL = (
+    "('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 2"
+)
+_M27_SEG_SQL = (
+    "('0x' || substr(md5('seg:' || CAST(user_id AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {_M27_SEGS}"
+)
+
+_MART27_ORACLE = f"""
+    WITH state AS (
+        SELECT user_id,
+               {_M27_ASSIGN_SQL} AS variant,
+               {_M27_SEG_SQL} AS segment,
+               bool_or(event_type = 'purchase') AS converted
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT segment,
+           CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(sum(CASE WHEN variant = 0 AND converted THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv_c,
+           CAST(sum(CASE WHEN variant = 1 AND converted THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv_t,
+           CAST((sum(CASE WHEN variant = 0 AND converted THEN 1 ELSE 0 END)
+                 * 2000000 + sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END))
+                // (2 * sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS rate_c_e6,
+           CAST((sum(CASE WHEN variant = 1 AND converted THEN 1 ELSE 0 END)
+                 * 2000000 + sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END))
+                // (2 * sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END))
+                AS BIGINT) AS rate_t_e6,
+           CAST((sum(CASE WHEN variant = 1 AND converted THEN 1 ELSE 0 END)
+                 * 2000000 + sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END))
+                // (2 * sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END))
+                - (sum(CASE WHEN variant = 0 AND converted THEN 1 ELSE 0 END)
+                   * 2000000 + sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END))
+                // (2 * sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS lift_e6
+    FROM state GROUP BY 1
+"""
+
+
+@q("mart27_ab_by_segment", _MART27_ORACLE)
+def mart27_ab_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B readout SPLIT BY SEGMENT — the Simpson's-paradox check
+    every experiment review runs after mart23's aggregate lift: a flat
+    (or positive) overall number can hide opposite per-segment effects
+    when arm mix differs across segments, and this grid is where that
+    shows.  Segment = the same portable md5-bucket primitive as arm
+    assignment under a different salt (in production: a user attribute
+    join — the shape is identical, a pure key function).  Per segment:
+    arm sizes, conversions, half-up e6 rates, and signed lift.  Scale
+    shape: ONE user-keyed map-side-combined agg (variant and segment
+    are key functions, so they ride the same shuffle), then a
+    |segments|-row fold — the mart23 plan with a 3-row output."""
+    from martech_pipelines_spark.operators.text import md5_bucket32
+
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "purchase").alias("converted")
+    )
+    state = state.select(
+        (md5_bucket32(F.col("user_id").cast("string"), "exp1") % 2).alias(
+            "variant"
+        ),
+        (md5_bucket32(F.col("user_id").cast("string"), "seg") % _M27_SEGS).alias(
+            "segment"
+        ),
+        "converted",
+    )
+    n_c = F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long")
+    n_t = F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long")
+    conv_c = F.sum(
+        F.when((F.col("variant") == 0) & F.col("converted"), 1).otherwise(0)
+    ).cast("long")
+    conv_t = F.sum(
+        F.when((F.col("variant") == 1) & F.col("converted"), 1).otherwise(0)
+    ).cast("long")
+    rate_c = "(conv_c * CAST(2000000 AS BIGINT) + n_c) div (2 * n_c)"
+    rate_t = "(conv_t * CAST(2000000 AS BIGINT) + n_t) div (2 * n_t)"
+    return (
+        state.groupBy("segment")
+        .agg(
+            n_c.alias("n_c"),
+            n_t.alias("n_t"),
+            conv_c.alias("conv_c"),
+            conv_t.alias("conv_t"),
+        )
+        .select(
+            "segment",
+            "n_c",
+            "n_t",
+            "conv_c",
+            "conv_t",
+            F.expr(rate_c).cast("long").alias("rate_c_e6"),
+            F.expr(rate_t).cast("long").alias("rate_t_e6"),
+            F.expr(f"({rate_t}) - ({rate_c})").cast("long").alias("lift_e6"),
+        )
+    )

@@ -241,3 +241,12 @@ def test_dd21_s_curve_monotonicity(spark):
     for r in rows:
         assert r["n_true_found"] <= r["n_true_total"]
         assert r["n_true_found"] <= r["n_candidates"]
+
+
+def test_mart27_segments_partition_mart23(spark):
+    # the per-segment grid must fold back to the aggregate 2x2 exactly
+    seg = QUERIES["mart27_ab_by_segment"](spark, SF).collect()
+    agg = QUERIES["mart23_ab_lift"](spark, SF).first()
+    assert len(seg) == 3
+    for col in ("n_c", "n_t", "conv_c", "conv_t"):
+        assert sum(r[col] for r in seg) == agg[col]
