@@ -167,6 +167,8 @@ HEADLINE = [
     "dd21_lsh_band_tradeoff",
     # round-9 wave 5: per-segment A/B readout (Simpson's-paradox check)
     "mart27_ab_by_segment",
+    # round-9 wave 5: token burstiness (boilerplate detector, VMR e4)
+    "t53_token_burstiness",
 ]
 
 

@@ -141,6 +141,7 @@ _WINDOW_PRIORITY = [
     "mart26_bounce_rate",
     "dd21_lsh_band_tradeoff",
     "mart27_ab_by_segment",
+    "t53_token_burstiness",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

@@ -884,3 +884,89 @@ def mart27_ab_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({rate_t}) - ({rate_c})").cast("long").alias("lift_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t53: token burstiness (variance-to-mean of per-doc counts, top tokens)
+# ---------------------------------------------------------------------------
+
+_T53_TOP = 20
+
+_T53_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS.format(col='text')}) AS token
+        FROM documents
+    ), per_doc AS (
+        SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), stats AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS cf,
+               CAST(max(c) AS BIGINT) AS max_c,
+               CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+                   AS ss
+        FROM per_doc GROUP BY 1
+    )
+    SELECT token, df, cf, max_c,
+           CAST(((CAST(df AS HUGEINT) * ss
+                  - CAST(cf AS HUGEINT) * CAST(cf AS HUGEINT)) * 20000
+                 + CAST(df AS HUGEINT) * CAST(cf AS HUGEINT))
+                // (2 * CAST(df AS HUGEINT) * CAST(cf AS HUGEINT))
+                AS BIGINT) AS vmr_e4
+    FROM stats
+    ORDER BY cf DESC, token ASC
+    LIMIT {_T53_TOP}
+"""
+
+
+@q("t53_token_burstiness", _T53_ORACLE)
+def t53_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness — the boilerplate detector word FREQUENCY
+    alone misses: for the top-{top} tokens by collection frequency,
+    the variance-to-mean ratio of per-document counts (Church & Gale's
+    dispersion measure).  A function word appears everywhere at VMR
+    near its mean; a template/boilerplate token appears in bursts
+    (high VMR at the same frequency) — exactly the tokens n-gram
+    dedup (dd8) and repetition filters (t9) should be pointed at.
+    All-integer: per-doc counts are exact, VMR = (df·Σc² − (Σc)²) /
+    (df·Σc) as a half-up e4 through DECIMAL(38)/HUGEINT intermediates
+    (df·Σc² exceeds int64 on real corpora).  Deterministic LIMIT: the
+    (cf DESC, token ASC) total order has no ties to break.  Scale
+    shape: one explode into a (token, doc) map-side-combined count,
+    one vocabulary-sized stats agg, TakeOrdered top-{top} — the t1
+    plan with second moments."""
+    from martech_pipelines_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    d38 = "DECIMAL(38,0)"
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.max("c").cast("long").alias("max_c"),
+        F.sum(F.expr(f"CAST(c AS {d38}) * CAST(c AS {d38})")).alias("__ss"),
+    )
+    return (
+        stats.select(
+            "token",
+            "df",
+            "cf",
+            "max_c",
+            F.expr(
+                f"CAST(((CAST(df AS {d38}) * __ss"
+                f" - CAST(cf AS {d38}) * CAST(cf AS {d38})) * 20000"
+                f" + CAST(df AS {d38}) * CAST(cf AS {d38}))"
+                f" div (2 * CAST(df AS {d38}) * CAST(cf AS {d38}))"
+                " AS BIGINT)"
+            ).alias("vmr_e4"),
+        )
+        .orderBy(F.desc("cf"), F.asc("token"))
+        .limit(_T53_TOP)
+    )
+
+
+t53_token_burstiness.__doc__ = t53_token_burstiness.__doc__.format(top=_T53_TOP)

@@ -250,3 +250,16 @@ def test_mart27_segments_partition_mart23(spark):
     assert len(seg) == 3
     for col in ("n_c", "n_t", "conv_c", "conv_t"):
         assert sum(r[col] for r in seg) == agg[col]
+
+
+def test_t53_burstiness_arithmetic(spark):
+    rows = QUERIES["t53_token_burstiness"](spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # df docs contributed cf occurrences; max within [cf/df, cf]
+        assert 1 <= r["df"] and r["df"] <= r["cf"]
+        assert r["max_c"] * r["df"] >= r["cf"] >= r["max_c"]
+        # VMR >= 0 always; == 0 iff every doc has the identical count
+        assert r["vmr_e4"] >= 0
+        if r["max_c"] * r["df"] == r["cf"]:
+            assert r["vmr_e4"] == 0
