@@ -230,12 +230,42 @@ def main() -> None:
     # Regression gate: warn (stderr — stdout stays ONE JSON line) when a
     # query exceeds 2x its recorded floor.  Floors live in
     # BENCH_BASELINE.json and only apply at the floor's own sf (0.1).
+    #
+    # Solo-recheck pass (round 10, VERDICT r9 #2): in-sweep readings are
+    # contaminated by cross-query contention — r7-r9 repeatedly saw 1.5-3x
+    # in-sweep ratios solo-check back under 1.2x with no code change
+    # (t4 3.22x→1.14x, dd8 1.49x→0.80x).  So any query whose in-sweep best
+    # exceeds 1.5x its floor is re-run once more, solo, at sweep end (the
+    # quietest point of the run), and the artifact records BOTH numbers:
+    # `queries` keeps min(in-sweep, solo) as the honest best observed;
+    # `solo_recheck` carries the disambiguation {in_sweep, solo} so a
+    # floor-drift read never needs a manual follow-up session.
+    solo_recheck: dict[str, dict[str, float]] = {}
     try:
         floors = json.load(
             open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_BASELINE.json"))
         )
         if str(floors.get("sf")) == sf_dir.rstrip("/").rsplit("sf", 1)[-1]:
+            drifted = [
+                name
+                for name, t in timings.items()
+                if floors["queries"].get(name)
+                and t > 1.5 * floors["queries"][name]
+            ]
+            for name in drifted:
+                best = None
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).count()
+                    elapsed = time.perf_counter() - t0
+                    caching.release()
+                    best = elapsed if best is None else min(best, elapsed)
+                solo_recheck[name] = {
+                    "in_sweep": timings[name],
+                    "solo": round(best, 3),
+                }
+                timings[name] = min(timings[name], round(best, 3))
             for name, t in timings.items():
                 floor = floors["queries"].get(name)
                 if floor and t > 2.0 * floor:
@@ -257,6 +287,8 @@ def main() -> None:
         "n": n_runs,
         "calib": calib,
     }
+    if solo_recheck:
+        payload["solo_recheck"] = solo_recheck
     # The driver records only a bounded TAIL of stdout: a single giant JSON
     # line gets its HEAD clipped and becomes unparseable (BENCH_r08.json
     # "parsed": null).  So: persist the full payload to disk, print it once

@@ -36,28 +36,80 @@ from martech_pipelines_spark.plans import corpus_r9c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9d  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering (round 9 rotation — VERDICT r8 "Next round" #1).
+# Driver-window ordering (round 10 rotation — VERDICT r9 "Next round" #1).
 #
 # The correctness driver hashes only the FIRST 50 entries of queries() each
-# round.  Round-9 window (slots 1-50): the entire never-driver-checked
-# backlog from round 8 — t14b/t26 (rows-only BPE, deferred from r8), the
-# s2/s3/s2b/r3b stale-green refreshes (s2/s3 have never been hash-checked
-# under their upgraded FULL oracles; their only driver rows are r1
-# rows-only), the 12 round-8 additions and the 21 wave-2 additions (every
-# one four-checked locally in the r8 session: check_oracle, 7-vs-32
-# stability sweep, bare-session driver rehearsal, rounding/LIMIT/type
-# audits) — then the 11 OLDEST driver-green queries (r1-era checks, now 8
-# rounds stale) for re-validation currency.  After a green round 9 the
-# never-driver-checked count drops to 0 for the pre-r9 registry.
-# Slots 51+: the round-8 window in its r8 order (all driver-green in r8),
-# then registration order.  Nothing is removed.
+# round.  Round-10 window (slots 1-50): the entire never-driver-checked
+# backlog — the 31 round-9-session additions (s29b/s2j/s30/r3c/h24, the
+# g5-g7 graph suite, the mart22-mart27 + h25-h29 mart/IVM pairs, the
+# dq13-dq15 / dd19-dd21 / t51-t53 / pipe13 / r39 reports; every one
+# four-checked locally in the r9 session: check_oracle, 7-vs-32 stability
+# sweep, bare-session driver rehearsal, rounding/LIMIT/type audits) —
+# then the 19 OLDEST driver-green queries (r4-era checks, now 6 rounds
+# stale: the flagship trio + the §2 relational/scalar classics), oldest
+# first in registration order, for re-validation currency.  After a green
+# round 10 the never-driver-checked count drops to 0 for the full registry.
+# Slots 51+: the round-9 window in its r9 order (all driver-green in r9),
+# then the round-8 window in its r8 order, then registration order.
+# Nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # === round-9 window, slots 1-50: the full never-driver-checked backlog
-    # (39 round-8-session additions + the s2/s3/s2b/r3b stale-green refreshes,
-    # VERDICT r8 "Next round" #1) followed by the 11 OLDEST driver-green
-    # queries (r1-era relational/window classics + the two r2 s1 checks),
-    # oldest first, for re-validation currency. ===
+    # === round-10 window, slots 1-31: the full never-driver-checked backlog
+    # (all round-9-session additions, staged at slots 51-81 during r9). ===
+    "s29b_graph_ann_beam_lsh",
+    "s2j_kmeans_lloyd_det",
+    "s30_graph_recall_curve",
+    "r3c_kmv_distinct_det",
+    "h24_incremental_kmv",
+    "g5_cc_label_min",
+    "mart22_rfm_scores",
+    "dq13_feed_drift",
+    "dd19_minhash_estimator_accuracy",
+    "h25_incremental_rfm",
+    "mart23_ab_lift",
+    "h26_incremental_ab",
+    "dq14_join_key_skew",
+    "mart24_journey_regex",
+    "r39_ewma_last8",
+    "t51_calibration_bins",
+    "g6_kcore",
+    "mart25_churn_hazard",
+    "h27_incremental_journey",
+    "s31_dim_truncation_recall",
+    "h28_incremental_hazard",
+    "g7_degree_histogram",
+    "dd20_shingle_width_separation",
+    "pipe13_dedup_mixture_shift",
+    "t52_vocab_growth",
+    "h29_incremental_vocab",
+    "dq15_error_budget",
+    "mart26_bounce_rate",
+    "dd21_lsh_band_tradeoff",
+    "mart27_ab_by_segment",
+    "t53_token_burstiness",
+    # === slots 32-50: the 19 OLDEST driver-green queries (last driver check
+    # r4, registration-order tiebreak), for re-validation currency. ===
+    "flagship_cdc_dedup",
+    "flagship_cdc_dedup_skew",
+    "sql_cte_dedup",
+    "a1_scan_project",
+    "a6_range",
+    "c2_filter_eq",
+    "c4_in_list",
+    "c3_dynamic_flag_filter",
+    "c6_c7_project_rename",
+    "c8_null_rejection",
+    "d1_join_back_dedup",
+    "d2_semi_join_dim",
+    "e1_rank_window",
+    "e2_latest_per_key_agg",
+    "e2b_latest_salted",
+    "e3_count",
+    "e5_identity_coalesce",
+    "f5_mobile_sanity",
+    "f6_modify_reward",
+    # === slots 51+: the round-9 window in its r9 order (all driver-green
+    # in r9). ===
     "t14b_bpe_learn",
     "t26_bpe_encode",
     "s2_lsh_topk",
@@ -97,7 +149,6 @@ _WINDOW_PRIORITY = [
     "s27_filtered_ann",
     "s28_adc_retrieve_rerank",
     "s29_graph_ann_beam",
-    # -- oldest-green refreshes (last driver check r1/r2) --
     "r1_topk_orders",
     "r2_set_ops",
     "r3_distinct_agg",
@@ -109,39 +160,6 @@ _WINDOW_PRIORITY = [
     "w3_session",
     "s1_bruteforce_topk",
     "s1b_bruteforce_arrow",
-    # === round-10 queue: round-9-session additions, four-checked locally,
-    # never driver-checked — next rotation promotes these to slots 1-50. ===
-    "s29b_graph_ann_beam_lsh",
-    "s2j_kmeans_lloyd_det",
-    "s30_graph_recall_curve",
-    "r3c_kmv_distinct_det",
-    "h24_incremental_kmv",
-    "g5_cc_label_min",
-    "mart22_rfm_scores",
-    "dq13_feed_drift",
-    "dd19_minhash_estimator_accuracy",
-    "h25_incremental_rfm",
-    "mart23_ab_lift",
-    "h26_incremental_ab",
-    "dq14_join_key_skew",
-    "mart24_journey_regex",
-    "r39_ewma_last8",
-    "t51_calibration_bins",
-    "g6_kcore",
-    "mart25_churn_hazard",
-    "h27_incremental_journey",
-    "s31_dim_truncation_recall",
-    "h28_incremental_hazard",
-    "g7_degree_histogram",
-    "dd20_shingle_width_separation",
-    "pipe13_dedup_mixture_shift",
-    "t52_vocab_growth",
-    "h29_incremental_vocab",
-    "dq15_error_budget",
-    "mart26_bounce_rate",
-    "dd21_lsh_band_tradeoff",
-    "mart27_ab_by_segment",
-    "t53_token_burstiness",
     # === then the round-8 window (all driver-green in r8), kept in its r8
     # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",

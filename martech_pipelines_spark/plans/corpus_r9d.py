@@ -454,7 +454,10 @@ def h29_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dq15: error-budget / SLO burn monitor (daily error share vs budget)
 # ---------------------------------------------------------------------------
 
-_DQ15_BUDGET_E6 = 210_000  # 21% daily error-share budget (data mean ~20%)
+# Single definition lives next to the streaming readout it is pinned equal
+# to (streaming/stream.py::read_slo_state) so batch and stream cannot
+# drift (ADVICE r9).
+from martech_pipelines_spark.streaming.stream import DQ15_BUDGET_E6 as _DQ15_BUDGET_E6
 
 _DQ15_ORACLE = f"""
     WITH daily AS (

@@ -1434,11 +1434,24 @@ def apply_journey_batch(
     micro-batch to per-user (n_events, journey code string) state and
     land it as the state root's ``batch_id={N}`` partition with
     OVERWRITE (replay = idempotent, the card/KMV convention).  Raw
-    events never persist — only the 1-byte-per-event code strings."""
+    events never persist — only the 1-byte-per-event code strings.
+
+    Alongside the state, the batch's global (min_ts, max_ts) lands
+    under ``{state_path}/_range/batch_id={N}`` (the leading underscore
+    hides it from the plain ``spark.read.parquet(state_path)`` data
+    listing) so ``read_journey_state`` can ASSERT the ordered-ingestion
+    contract instead of silently scrambling journeys (ADVICE r9)."""
     from martech_pipelines_spark.plans.corpus_r9b import journey_state
 
     journey_state(batch_df).write.mode("overwrite").parquet(
         f"{state_path}/batch_id={batch_id}"
+    )
+    (
+        batch_df.agg(
+            F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+        ).write.mode("overwrite").parquet(
+            f"{state_path}/_range/batch_id={batch_id}"
+        )
     )
 
 
@@ -1473,8 +1486,42 @@ def read_journey_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Pattern-match readout over the per-batch journey state: fold
     each user's batch strings in batch_id order (collect_list carries
     no order guarantee — sort explicitly, the mart24 discipline), sum
-    the event counts, then run the shared regex readout."""
+    the event counts, then run the shared regex readout.
+
+    Ordered-ingestion guard (ADVICE r9): the read-side fold is only
+    correct when micro-batches arrived in event-time order, so the
+    per-batch (min_ts, max_ts) markers written by ``apply_journey_batch``
+    are checked first — any overlap between consecutive batch_id ranges
+    raises instead of silently scrambling journey strings.  The check is
+    STRICT (prev.max_ts < next.min_ts): equality means a same-ts pair
+    straddled a trigger, which the contract also forbids (cross-batch
+    same-ts order would fall back to batch order, not event_id order).
+    State written before the markers existed (no ``_range`` dir) is
+    accepted as-is for back-compat."""
     from martech_pipelines_spark.plans.corpus_r9b import journey_readout
+
+    try:
+        ranges = sorted(
+            (
+                (r["batch_id"], r["min_ts"], r["max_ts"])
+                for r in spark.read.parquet(f"{state_path}/_range").collect()
+                if r["min_ts"] is not None  # empty micro-batch: no events
+            ),
+        )
+    except Exception:  # pre-r10 state roots carry no _range markers
+        ranges = []
+    for (prev_id, _, prev_max), (next_id, next_min, _) in zip(
+        ranges, ranges[1:]
+    ):
+        if not (prev_max < next_min):
+            raise ValueError(
+                "journey state violates the ordered-ingestion contract: "
+                f"batch_id={prev_id} time range ends at {prev_max} but "
+                f"batch_id={next_id} starts at {next_min} — micro-batches "
+                "must arrive in strict event-time order (same-ts events "
+                "must never straddle a trigger); the batch-order fold "
+                "would silently scramble journey strings"
+            )
 
     parts = spark.read.parquet(state_path)
     state = parts.groupBy("user_id").agg(
@@ -1533,8 +1580,15 @@ def streaming_slo_maintenance(
     )
 
 
+# Single definition of the dq15 daily error-share budget (parts-per-1e6).
+# The batch report (plans/corpus_r9d.py dq15_error_budget) imports THIS
+# constant, so the streaming readout and the batch query it is pinned
+# equal to cannot drift (ADVICE r9).
+DQ15_BUDGET_E6 = 210_000  # 21% daily error-share budget (data mean ~20%)
+
+
 def read_slo_state(
-    spark: SparkSession, state_path: str, budget_e6: int = 210_000
+    spark: SparkSession, state_path: str, budget_e6: int = DQ15_BUDGET_E6
 ) -> DataFrame:
     """Render the error-budget report from per-batch counter state: sum
     the cells per day, then the dq15 share/breach/burn arithmetic."""

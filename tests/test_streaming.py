@@ -1499,6 +1499,39 @@ def test_streaming_journey_maintenance_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_journey_state_out_of_order_batches_raise(spark, tmp_path):
+    """ADVICE r9: out-of-order ingestion used to silently scramble
+    journey strings (the read-side fold concatenates by batch_id).  The
+    per-batch (min_ts, max_ts) markers now turn the contract violation
+    into a loud error: time-reversed batch_ids must raise, and the same
+    slices in the correct order must still read clean."""
+    import pytest as _pt
+
+    from martech_pipelines_spark.streaming.stream import (
+        apply_journey_batch,
+        read_journey_state,
+    )
+
+    ev = load_table(spark, SF, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cut = lo + (hi - lo) // 2
+    early = ev.where(F.unix_micros("ts") < cut)
+    late = ev.where(F.unix_micros("ts") >= cut)
+
+    bad = str(tmp_path / "jr_bad")
+    apply_journey_batch(late, 0, bad)  # later time range lands FIRST
+    apply_journey_batch(early, 1, bad)
+    with _pt.raises(ValueError, match="ordered-ingestion"):
+        read_journey_state(spark, bad).collect()
+
+    good = str(tmp_path / "jr_good")
+    apply_journey_batch(early, 0, good)
+    apply_journey_batch(late, 1, good)
+    assert read_journey_state(spark, good).count() > 0
+
+
 def test_streaming_slo_maintenance_matches_batch(spark, tmp_path):
     """dq15's streaming twin: per-batch daily counter cells folded at
     read must reproduce the batch error-budget report — counters are
