@@ -34,6 +34,7 @@ from martech_pipelines_spark.plans import corpus_r9  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9d  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r10  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 10 rotation — VERDICT r9 "Next round" #1).
