@@ -169,6 +169,10 @@ HEADLINE = [
     "mart27_ab_by_segment",
     # round-9 wave 5: token burstiness (boilerplate detector, VMR e4)
     "t53_token_burstiness",
+    # round-10: the oracle-checked BPE twins — full 8-merge induction
+    # (unrolled-CTE oracle) and the Arrow encode kernel
+    "t14c_bpe_fixed_merges",
+    "t26b_bpe_encode_fixed",
 ]
 
 

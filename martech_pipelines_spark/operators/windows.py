@@ -331,16 +331,19 @@ def pareto_frontier_2d(
     survive (neither dominates the other).
 
     Scale shape: the row set first collapses to a per-cost best-gain
-    HISTOGRAM (map-side combine, |distinct costs| rows — domain-bounded
-    like r29's percentile histogram), the frontier is a running-max
-    scan over that tiny table, and survivors join back via broadcast.
-    The full data is never sorted or shuffled beyond one keyed agg."""
+    HISTOGRAM (map-side combine, |distinct costs| rows), the frontier
+    is a running-max scan over that table, and survivors join back via
+    broadcast.  |distinct costs| GROWS with the data (the round-10
+    spine audit flagged the old single-partition window here), so the
+    scan runs as the two-phase ranged prefix scan — range-partitioned,
+    P-way parallel, exact (costs are distinct after the groupBy, a
+    strict total order).  The full data is never sorted or shuffled
+    beyond one keyed agg."""
+    from martech_pipelines_spark.operators.scan import ranged_cummax_prev
+
     best = df.groupBy(cost_col).agg(F.max(gain_col).alias("__best"))
-    prev = F.max("__best").over(
-        Window.orderBy(cost_col).rowsBetween(Window.unboundedPreceding, -1)
-    )
-    frontier = best.select(
-        cost_col, "__best", prev.alias("__prev")
+    frontier = ranged_cummax_prev(
+        best, [F.asc(cost_col)], F.col("__best"), "__prev"
     ).where(F.col("__prev").isNull() | (F.col("__best") > F.col("__prev")))
     return df.join(
         F.broadcast(

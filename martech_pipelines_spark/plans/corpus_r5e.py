@@ -213,10 +213,14 @@ def s14_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     users = orders.select(F.col("o_custkey").alias("u")).distinct()
     n_parts = part.count()  # dim-table scalar; partition count at scale
-    pidx = part.select(
-        "p_partkey",
-        (F.row_number().over(Window.orderBy("p_partkey")) - 1).alias("idx"),
-    )
+    # dense 0..n-1 part index via the two-phase ranged scan: the part
+    # dim grows with the data (the round-10 spine audit retired the
+    # single-partition row_number window here)
+    from martech_pipelines_spark.operators.scan import ranged_row_number
+
+    pidx = ranged_row_number(
+        part.select("p_partkey"), [F.asc("p_partkey")], "__rn"
+    ).select("p_partkey", (F.col("__rn") - 1).alias("idx"))
     cand = users.select(
         "u", F.explode(F.sequence(F.lit(0), F.lit(_S14_SLOTS - 1))).alias("slot")
     ).select(

@@ -68,11 +68,13 @@ def mart13_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and DECIMAL-exact lifetime spend from ONE keyed aggregation;
     quintile scores via ntile over (metric, custkey) — the tiebreak
     makes bucket boundaries deterministic across engines — and the
-    classic segment labels as a plain CASE.  The three ntile windows
-    are single-partition but run over the already-aggregated per-
-    customer table (one row per customer, not per order); at true 100-TB
-    customer counts the drop-in replacement is approx-quantile bucket
-    boundaries broadcast as literals (the t24 pattern)."""
+    classic segment labels as a plain CASE.  The three ntiles run as
+    two-phase ranged scans (operators.scan, one per metric order): the
+    per-customer table grows with the data, so the round-10 spine audit
+    retired the old single-partition ntile windows here — exact global
+    row numbers from range-partitioned local ranks + P-row offsets,
+    then the bucket arithmetic with |customers| as a broadcast 1-row
+    scalar."""
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("mx"))
     per_cust = (
@@ -91,18 +93,22 @@ def mart13_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary"),
         )
     )
-    scored = per_cust.select(
-        "*",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), F.asc("custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary"), F.asc("custkey")))
-        .alias("m_score"),
+    from martech_pipelines_spark.operators.scan import (
+        ntile_from_rn,
+        ranged_row_number,
     )
+
+    n_cust = per_cust.agg(F.count("*").alias("__n"))
+    scored = per_cust.join(F.broadcast(n_cust))
+    for col, order in (
+        ("r_score", [F.desc("recency_days"), F.asc("custkey")]),
+        ("f_score", [F.asc("frequency"), F.asc("custkey")]),
+        ("m_score", [F.asc("monetary"), F.asc("custkey")]),
+    ):
+        scored = ranged_row_number(scored, order, "__rn").withColumn(
+            col, ntile_from_rn(F.col("__rn"), F.col("__n"), 5)
+        )
+    scored = scored.drop("__rn", "__n")
     seg = (
         F.when(
             (F.col("r_score") >= 4)

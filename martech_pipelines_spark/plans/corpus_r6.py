@@ -368,17 +368,32 @@ def r32_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer revenue deciles: per-customer DECIMAL revenue sums,
     ntile(10) over a TOTAL order (revenue DESC, custkey tiebreak — an
     ambiguous ntile order would make the bucket boundaries
-    engine-dependent), then per-decile stats.  The window sorts the
-    AGGREGATED per-customer rows (|customers|, not |orders|); money
+    engine-dependent), then per-decile stats.  The ntile runs as the
+    two-phase ranged scan (operators.scan): exact global row numbers
+    from range-partitioned local ranks + P-row prefix offsets, then
+    the bucket arithmetic — the per-customer table grows with the data,
+    so a single-partition ntile window (the round-10 spine-audit flag)
+    would serialize |customers| rows through one task at 100 TB.  Money
     stays DECIMAL until the final double cast."""
+    from martech_pipelines_spark.operators.scan import (
+        ntile_from_rn,
+        ranged_row_number,
+    )
+
     od = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
 
     rev = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("custkey"))
-    tiled = rev.withColumn("decile", F.ntile(10).over(w))
+    order = [F.desc("revenue"), F.asc("custkey")]
+    n_cust = rev.agg(F.count("*").alias("__n"))
+    tiled = (
+        ranged_row_number(rev, order, "__rn")
+        .join(F.broadcast(n_cust))
+        .withColumn(
+            "decile", ntile_from_rn(F.col("__rn"), F.col("__n"), 10)
+        )
+    )
     return (
         tiled.groupBy("decile")
         .agg(
@@ -1402,27 +1417,30 @@ def mart19_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC/Pareto classification of parts by revenue: cumulative
     revenue share over the (rev DESC, partkey) total order cuts classes
     at 80%/95%.  Money stays exact DECIMAL through the cumulative
-    window; the class boundary ratio divides identical exact inputs as
-    doubles (deterministic).  The window sorts the PER-PART aggregate
-    (catalog-bound, |parts| rows), never lineitems — the same
-    window-over-the-aggregate discipline as r32/mart18; the final
-    report is 3 rows."""
-    from pyspark.sql import Window
-
+    scan; the class boundary ratio divides identical exact inputs as
+    doubles (deterministic).  The per-part aggregate GROWS with the
+    data, so the running sum is the two-phase ranged scan
+    (operators.scan — range-partitioned local cumsums + P-row prefix
+    offsets, exact under the strict (rev DESC, partkey) order) and the
+    grand total rides as a broadcast 1-row scalar, not a
+    whole-table window; the final report is 3 rows."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     part_rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev")
     )
-    w_cum = Window.orderBy(F.desc("rev"), F.asc("partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = part_rev.select(
-        "partkey",
-        "rev",
-        F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
+    from martech_pipelines_spark.operators.scan import ranged_cumsum
+
+    grand = part_rev.agg(F.sum("rev").alias("total_rev"))
+    ranked = (
+        ranged_cumsum(
+            part_rev,
+            [F.desc("rev"), F.asc("partkey")],
+            F.col("rev"),
+            "cum_rev",
+        )
+        .join(F.broadcast(grand))
+        .select("partkey", "rev", "cum_rev", "total_rev")
     )
     share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
     classed = ranked.select(
@@ -1638,9 +1656,11 @@ def w9_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-after join predicate), then the exact-percentile selection
     runs over the latency HISTOGRAM (distinct integer seconds), never a
     global row sort — r29's discipline applied to a funnel-latency
-    metric.  All integer arithmetic; engine-exact."""
-    from pyspark.sql import Window
-
+    metric.  Distinct latencies grow with the data, so the cumulative
+    count is the two-phase ranged scan (operators.scan) and the total
+    rides as a broadcast 1-row scalar (the round-10 spine audit retired
+    the single-partition windows here).  All integer arithmetic;
+    engine-exact."""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(
@@ -1663,15 +1683,16 @@ def w9_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("latency_s")
         )
     )
+    from martech_pipelines_spark.operators.scan import ranged_cumsum
+
     hist = conv.groupBy(F.col("latency_s").alias("y")).agg(
         F.count("*").alias("cnt")
     )
-    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wn = Window.partitionBy()
-    cum = hist.select(
-        "y",
-        F.sum("cnt").over(wc).alias("c"),
-        F.sum("cnt").over(wn).alias("n"),
+    total = hist.agg(F.sum("cnt").alias("n"))
+    cum = (
+        ranged_cumsum(hist, [F.asc("y")], F.col("cnt"), "c")
+        .join(F.broadcast(total))
+        .select("y", "c", "n")
     )
     return cum.agg(
         F.max("n").alias("n_converted"),

@@ -555,26 +555,34 @@ _MART22_ORACLE = """
 def _rfm_scores(cust: DataFrame) -> DataFrame:
     """Shared RFM scoring tail (mart22 + its IVM twin h25): rank-free
     quintile ranks (histogram cum-prev + keyed within-tie row_number)
-    over a (custkey, recency_days, frequency, monetary_cents) frame."""
+    over a (custkey, recency_days, frequency, monetary_cents) frame.
+
+    The value histogram is NOT a bounded spine — monetary cents are
+    near-distinct per customer, so it grows with the data (the round-10
+    spine audit flagged the old single-partition histogram window).
+    The cumulative count therefore runs as the two-phase ranged scan,
+    and the histogram joins back KEYED on the metric (no broadcast
+    hint: a customer-scale build side must not be broadcast; AQE still
+    broadcasts the genuinely small recency/frequency histograms)."""
     from pyspark.sql import Window
+
+    from martech_pipelines_spark.operators.scan import ranged_cumsum
 
     n = cust.count()  # 1-scalar control plane (quintile denominator)
 
     def rank_col(df: DataFrame, metric: str, out: str) -> DataFrame:
         hist = df.groupBy(metric).agg(F.count("*").alias("__c"))
-        hw = Window.orderBy(F.asc(metric)).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        hist = hist.select(
-            metric,
-            F.coalesce(F.sum("__c").over(hw), F.lit(0)).alias("__cum_prev"),
+        hist = ranged_cumsum(
+            hist, [F.asc(metric)], F.col("__c"), "__cum_incl"
+        ).select(
+            metric, (F.col("__cum_incl") - F.col("__c")).alias("__cum_prev")
         )
         within = F.row_number().over(
             Window.partitionBy(metric).orderBy(F.asc("custkey"))
         )
         return (
             df.withColumn("__within", within)
-            .join(F.broadcast(hist), metric)
+            .join(hist, metric)
             .withColumn(out, F.col("__cum_prev") + F.col("__within"))
             .drop("__within", "__cum_prev")
         )
