@@ -173,6 +173,14 @@ HEADLINE = [
     # (unrolled-CTE oracle) and the Arrow encode kernel
     "t14c_bpe_fixed_merges",
     "t26b_bpe_encode_fixed",
+    # round-10 wave 2: inverted-index sparse cosine top-k (postings
+    # self-join, df-capped), Mann-Kendall trend test, mergeable
+    # histogram-quantile sketch + its IVM twin, fixed-round BFS hops
+    "t54_sparse_cosine_topk",
+    "dq16_trend_mann_kendall",
+    "r40_histogram_quantile",
+    "h30_incremental_histquant",
+    "g8_bfs_hops",
 ]
 
 

@@ -521,3 +521,35 @@ def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             )
         )
     return deg.where(F.col("deg") >= k)
+
+
+def bfs_hops_rounds(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Single/multi-source BFS hop distances by SYNC frontier expansion
+    for a FIXED number of rounds — the g5 fixed-round discipline
+    applied to shortest hops: after ``rounds`` steps every node within
+    ``rounds`` hops of a seed carries its EXACT hop distance (min-dist
+    propagation converges level by level; unreached nodes are absent).
+    Unrolls into CTEs for a full DuckDB oracle (g8).
+
+    ``seeds`` is a 1-column (``node``) frame — control-plane sized
+    (one or a handful of query nodes), broadcast into the first join.
+    Expects DIRECTED edges with both orientations present (the
+    copurchase_edges contract).  Scale shape per round: one keyed join
+    of the current distance table against the edge list + one
+    map-side-combined min — same currency as cc_label_min_rounds."""
+    dist = seeds.select("node", F.lit(0).cast("long").alias("hops"))
+    for _ in range(rounds):
+        reached = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+            )
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+        )
+    return dist

@@ -109,7 +109,18 @@ _WINDOW_PRIORITY = [
     "e5_identity_coalesce",
     "f5_mobile_sanity",
     "f6_modify_reward",
-    # === slots 51+: the round-9 window in its r9 order (all driver-green
+    # === round-11 queue (slots 51+ head): round-10-session additions,
+    # four-checked locally (check_oracle sf0.01, 7-vs-32 stability sweep,
+    # bare-session rehearsal, rounding/LIMIT/type audits), never
+    # driver-checked — next rotation promotes these into slots 1-50. ===
+    "t14c_bpe_fixed_merges",
+    "t26b_bpe_encode_fixed",
+    "t54_sparse_cosine_topk",
+    "dq16_trend_mann_kendall",
+    "r40_histogram_quantile",
+    "h30_incremental_histquant",
+    "g8_bfs_hops",
+    # === then the round-9 window in its r9 order (all driver-green
     # in r9). ===
     "t14b_bpe_learn",
     "t26_bpe_encode",

@@ -169,3 +169,477 @@ def t26b_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_pieces"),
     )
+
+
+# =============================================================================
+# t54: sparse TF cosine top-k (postings self-join — the inverted-index
+# twin of s3's dense-embedding near-dup)
+# =============================================================================
+#
+# Unit = word TRIGRAM (the corpus vocabulary is ~31 words, so unigram/
+# bigram postings are fully dense; trigrams give a ~27k-type sparse
+# space).  Similarity = cos^2 in e6 fixed point — cos^2 = dot^2/(na*nb)
+# is a MONOTONE transform of cosine on non-negative tf vectors and stays
+# in BIGINT arithmetic end to end (no sqrt, engine-exact).  The posting
+# self-join is banded by trigram with a df cap (_T54_DF_CAP) — the
+# classic posting-prune that keeps pair work sum(df^2) bounded; the cap
+# is inactive on the testdata (max df ~25 at sf0.1) but is the documented
+# scale lever.  Never all-pairs.
+
+_T54_K = 5
+_T54_DF_CAP = 1000
+
+
+def _t54_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+    FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  ) GROUP BY 1, 2
+),
+dft AS (
+  SELECT g FROM (SELECT g, count(*) AS df FROM tf GROUP BY 1)
+  WHERE df BETWEEN 2 AND {_T54_DF_CAP}
+),
+post AS (SELECT tf.* FROM tf JOIN dft USING (g)),
+norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+          FROM post GROUP BY 1),
+half AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT da AS doc_id, db AS nbr_id, dot FROM half
+  UNION ALL
+  SELECT db AS doc_id, da AS nbr_id, dot FROM half
+),
+scored AS (
+  SELECT s.doc_id, s.nbr_id, s.dot,
+         CAST((1000000 * s.dot * s.dot) // (na.n2 * nb.n2) AS BIGINT)
+           AS cos2_e6
+  FROM sym s
+  JOIN norms na ON na.doc_id = s.doc_id
+  JOIN norms nb ON nb.doc_id = s.nbr_id
+)
+SELECT doc_id, nbr_id, dot, cos2_e6, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY cos2_e6 DESC, dot DESC, nbr_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {_T54_K}
+"""
+
+
+@q("t54_sparse_cosine_topk", _t54_oracle())
+def t54_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical top-k similarity — the inverted-index retrieval
+    primitive (near-dup candidates, related-document panels) where s1/s3
+    use dense embeddings: trigram tf vectors, posting lists self-joined
+    BY TERM (shuffle keyed on the trigram, never a doc cross join), df
+    cap as the posting-prune scale lever, and per-doc top-{_T54_K} by
+    integer cos^2 e6 through a WindowGroupLimit-eligible keyed rank.
+    Scale shape: pair work is sum(df^2) over capped terms; norms and
+    dots are map-side-combined keyed aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    idx = F.when(
+        F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    tf = tri.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("tf"))
+    dft = (
+        tf.groupBy("g")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df").between(2, _T54_DF_CAP))
+        .select("g")
+    )
+    post = tf.join(dft, "g")
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot"))
+    )
+    sym = half.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("nbr_id"), "dot"
+    ).unionByName(
+        half.select(
+            F.col("db").alias("doc_id"), F.col("da").alias("nbr_id"), "dot"
+        )
+    )
+    scored = (
+        sym.join(norms.select(F.col("doc_id"), F.col("n2").alias("__na")), "doc_id")
+        .join(
+            norms.select(
+                F.col("doc_id").alias("nbr_id"), F.col("n2").alias("__nb")
+            ),
+            "nbr_id",
+        )
+        .withColumn(
+            "cos2_e6",
+            F.expr("(1000000 * dot * dot) div (__na * __nb)").cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cos2_e6"), F.desc("dot"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _T54_K)
+        .select("doc_id", "nbr_id", "dot", "cos2_e6", "rn")
+    )
+
+
+# =============================================================================
+# dq16: Mann-Kendall trend test on daily volumes (integer-exact)
+# =============================================================================
+#
+# S = sum over day pairs i<j of sign(c_j - c_i); the tie-corrected
+# variance rides as var18 = 18*Var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5)
+# so the |z| > 2 trend call becomes the pure-integer 9*S^2 > 2*var18.
+# The pair join runs over the per-type DAY SPINE (~30 rows per type) —
+# O(d^2) on a bounded spine, never over events.
+
+_DQ16_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY 1
+    ), n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily
+        GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - coalesce(t.tie_term, 0) AS BIGINT) AS var18,
+           CASE WHEN 9 * s.s_stat * s.s_stat >
+                     2 * (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                          - coalesce(t.tie_term, 0))
+                THEN CASE WHEN s.s_stat > 0 THEN 'up' ELSE 'down' END
+                ELSE 'none' END AS trend
+    FROM n JOIN s USING (event_type) LEFT JOIN ties t USING (event_type)
+"""
+
+
+@q("dq16_trend_mann_kendall", _DQ16_ORACLE)
+def dq16_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-trend detection on daily event volumes — the
+    nonparametric drift alarm (is this feed ramping or decaying,
+    without assuming linear growth or a distribution?) that completes
+    the dq family's time axis: dq2 flags point anomalies, dq13
+    compares populations across one split, this tests the WHOLE
+    ordering.  Mann-Kendall S over the per-type day spine with the
+    tie-corrected variance, folded to integer arithmetic (9*S^2 >
+    2*var18 is exactly |z| > 2) so both engines agree bit-for-bit.
+    Scale shape: events reduce map-side to the (type, day) spine; the
+    O(days^2) pair join runs on ~30 rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("long")
+    out = n.join(s, "event_type").join(ties, "event_type", "left")
+    return out.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        var18.alias("var18"),
+        F.when(
+            9 * F.col("s_stat") * F.col("s_stat") > 2 * var18,
+            F.when(F.col("s_stat") > 0, "up").otherwise("down"),
+        )
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+# =============================================================================
+# r40: mergeable histogram-quantile estimate (+ h30, its IVM twin)
+# =============================================================================
+#
+# The deterministic, value-checkable member of the quantile family: r8
+# computes exact percentiles (global), r8b the engine-specific
+# approx_percentile (rows-only) — this one fixes a BIN GRID (width
+# _R40_W cents) so the state is a mergeable (flag, bin, count) histogram
+# and the estimate is pure integer interpolation: est = bin_lo +
+# ((target_rank - cum_before) * W) div bin_count, target = ceil(n*p/100).
+# Exactly the KMV-vs-HLL move (r3c) applied to quantile sketching: the
+# production engine-specific sketch stays rows-only; the ALGORITHM class
+# gets an engine-exact twin with a full oracle.
+
+_R40_W = 10_000  # bin width: 10,000 cents = $100
+_R40_PS = (50, 90, 99)
+
+_R40_ORACLE = f"""
+    WITH cents AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem
+    ), hist AS (
+        SELECT flag, c // {_R40_W} AS bin, CAST(count(*) AS BIGINT) AS cnt
+        FROM cents GROUP BY 1, 2
+    ), cum AS (
+        SELECT flag, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS BIGINT)
+                 AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        FROM hist
+    ), targets AS (
+        SELECT flag, n, p, (n * p + 99) // 100 AS target
+        FROM (SELECT DISTINCT flag, n FROM cum),
+             unnest([{", ".join(str(p) for p in _R40_PS)}]) AS u(p)
+    )
+    SELECT t.flag, CAST(t.p AS BIGINT) AS p, t.n,
+           CAST(min(c.bin * {_R40_W}
+                    + ((t.target - (c.cum - c.cnt)) * {_R40_W}) // c.cnt)
+                AS BIGINT) AS est_cents
+    FROM targets t JOIN cum c
+      ON c.flag = t.flag AND c.cum >= t.target
+         AND c.cum - c.cnt < t.target
+    GROUP BY 1, 2, 3
+"""
+
+
+def price_histogram(li: DataFrame) -> DataFrame:
+    """Mergeable quantile state from a lineitem batch: (flag, bin,
+    cnt) cells on the fixed _R40_W-cent grid — additive across any
+    batch split, the h30/streaming fold unit."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            (cents / _R40_W).cast("long").alias("bin"),
+        )
+        .groupBy("flag", "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two histogram states: cell-wise sum (commutative, so batch
+    order can never matter)."""
+    return (
+        a.unionByName(b)
+        .groupBy("flag", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantile_readout(hist: DataFrame) -> DataFrame:
+    """(flag, p, n, est_cents) from histogram state: keyed cumulative
+    over per-flag bins (bins per flag are price-domain-bounded — a
+    spine), then the integer interpolation at each target rank."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("flag").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "flag",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+    )
+    totals = hist.groupBy("flag").agg(F.sum("cnt").cast("long").alias("n"))
+    targets = totals.select(
+        "flag",
+        "n",
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in _R40_PS])
+        ).alias("p"),
+    ).withColumn("target", F.expr("(n * p + 99) div 100"))
+    hit = targets.join(
+        cum,
+        (targets["flag"] == cum["flag"])
+        & (cum["cum"] >= targets["target"])
+        & (cum["cum"] - cum["cnt"] < targets["target"]),
+    )
+    est = (
+        F.col("bin") * _R40_W
+        + F.expr(f"((target - (cum - cnt)) * {_R40_W}) div cnt")
+    ).cast("long")
+    return hit.groupBy(targets["flag"], "p", "n").agg(
+        F.min(est).alias("est_cents")
+    )
+
+
+@q("r40_histogram_quantile", _R40_ORACLE)
+def r40_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketching itself, value-checked: p50/p90/p99 prices per
+    return flag from a fixed-grid mergeable histogram — build is ONE
+    map-side-combined keyed agg over the fact table; the readout's only
+    windows run per flag over the price-domain-bounded bin spine.  The
+    engine-specific approx sketch (r8b) stays rows-only; this twin is
+    the engine-exact algorithm-class anchor, and its state merges
+    cell-wise (h30 shares this oracle as the IVM proof)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantile_readout(price_histogram(li))
+
+
+@q("h30_incremental_histquant", _R40_ORACLE)
+def h30_incremental_histquant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r40 maintained INCREMENTALLY (SHARES r40's oracle — the IVM
+    proof): the fact table split by order-key parity into two batches,
+    each reduced to its own histogram state, folded with the cell-wise
+    sum — merge(state(A), state(B)) == state(A ∪ B) exactly because
+    counter cells are commutative sums, so the quantile readout off
+    merged state must equal the full recompute bit-for-bit.  At 100 TB
+    each delta batch shuffles only its own pre-combined (flag, bin)
+    cells; history is never re-scanned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b1 = li.where(F.col("l_orderkey") % 2 == 0)
+    b2 = li.where(F.col("l_orderkey") % 2 == 1)
+    state = histogram_merge(price_histogram(b1), price_histogram(b2))
+    return histogram_quantile_readout(state)
+
+
+# =============================================================================
+# g8: fixed-round BFS hop distances (single-source shortest paths)
+# =============================================================================
+
+_G8_ROUNDS = 4
+
+
+def _g8_oracle() -> str:
+    blocks = [
+        """li AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+    ), seed AS (
+        SELECT src AS node FROM (
+            SELECT src, count(*) AS deg FROM edges GROUP BY 1
+            ORDER BY deg DESC, src ASC LIMIT 1
+        )
+    ), d0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS hops FROM seed
+    )"""
+    ]
+    for i in range(_G8_ROUNDS):
+        blocks.append(
+            f"""d{i + 1} AS (
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM d{i}
+            UNION ALL
+            SELECT e.dst AS node, d.hops + 1 AS hops
+            FROM d{i} d JOIN edges e ON e.src = d.node
+        ) GROUP BY 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT node, hops FROM d{_G8_ROUNDS}\n"
+    )
+
+
+@q("g8_bfs_hops", _g8_oracle())
+def g8_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS — the reachability/how-far primitive the
+    fixed-round graph family still lacked (g1 ranks, g2 counts, g4/g5
+    label, g6 peels, g7 profiles; none answers "how many hops from
+    HERE?"): exact hop distances from the max-degree co-purchase node
+    (deterministic seed: degree desc, id asc) within {_G8_ROUNDS}
+    rounds of SYNC frontier expansion.  Per round one keyed
+    dist-against-edges join + a map-side-combined min — the g5
+    currency; the seed is a 1-row control-plane relation.  Unreached
+    nodes are absent, so the result is frontier-sized, not
+    graph-sized."""
+    from martech_pipelines_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li)
+    seed = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("__deg"))
+        .orderBy(F.desc("__deg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    return G.bfs_hops_rounds(edges, seed, rounds=_G8_ROUNDS).select(
+        "node", "hops"
+    )

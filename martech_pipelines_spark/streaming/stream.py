@@ -1626,3 +1626,51 @@ def read_slo_state(
         breach.cast("long").alias("breach"),
         F.sum(breach).over(w).cast("long").alias("breaches_cum"),
     )
+
+
+def apply_hist_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One fold of ``streaming_hist_maintenance``: reduce the lineitem
+    micro-batch to (flag, bin, cnt) histogram cells on the fixed r40
+    grid and land them as the state root's ``batch_id={N}`` partition
+    with OVERWRITE (replay = idempotent, the card/KMV/SLO convention)."""
+    from martech_pipelines_spark.plans.corpus_r10 import price_histogram
+
+    price_histogram(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_hist_maintenance(
+    lineitem_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain the r40 quantile-histogram state from a
+    lineitem stream — the streaming twin of ``h30_incremental_histquant``:
+    per-bin counter cells are commutative sums, so the p50/p90/p99
+    readout off folded state re-renders EQUAL to the batch r40 report
+    over the same rows (pinned in test_streaming).  Batches may arrive
+    in any order."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_hist_batch(batch_df, batch_id, state_path)
+
+    return (
+        lineitem_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_hist_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Render the quantile report from per-batch histogram cells: one
+    cell-wise sum, then the shared integer-interpolation readout."""
+    from martech_pipelines_spark.plans.corpus_r10 import (
+        histogram_quantile_readout,
+    )
+
+    folded = (
+        spark.read.parquet(state_path)
+        .groupBy("flag", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return histogram_quantile_readout(folded)

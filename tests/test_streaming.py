@@ -1570,3 +1570,45 @@ def test_streaming_slo_maintenance_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, read_slo_state(spark, state).collect()))
     want = sorted(map(tuple, QUERIES["dq15_error_budget"](spark, SF).collect()))
     assert got == want
+
+
+def test_streaming_hist_maintenance_matches_batch(spark, tmp_path):
+    """r40's streaming twin: per-batch histogram cells folded at read
+    must reproduce the batch quantile report — cells are commutative
+    sums, so slices are deliberately NOT ordered (id-mod split)."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.plans import QUERIES
+    from martech_pipelines_spark.streaming.stream import (
+        read_hist_state,
+        streaming_hist_maintenance,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    d = tmp_path / "hist_stream"
+    d.mkdir()
+    for i in range(3):
+        li.where(F.col("l_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"histslice{i}"))
+        src = _g.glob(str(tmp_path / f"histslice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    state = str(tmp_path / "hist_state")
+    q = streaming_hist_maintenance(stream, state, str(tmp_path / "hist_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_hist_state(spark, state).collect()))
+    want = sorted(
+        map(tuple, QUERIES["r40_histogram_quantile"](spark, SF).collect())
+    )
+    assert got == want and len(got) > 0
