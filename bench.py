@@ -181,6 +181,12 @@ HEADLINE = [
     "r40_histogram_quantile",
     "h30_incremental_histquant",
     "g8_bfs_hops",
+    # round-10 wave 3: Sen's slope (Mann-Kendall's magnitude companion),
+    # feature hashing (stateless fixed-dim featurizer), and the
+    # inverted-index IVM twin
+    "dq17_sen_slope",
+    "fe6_feature_hashing",
+    "h31_incremental_postings",
 ]
 
 

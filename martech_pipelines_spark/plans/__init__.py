@@ -120,6 +120,9 @@ _WINDOW_PRIORITY = [
     "r40_histogram_quantile",
     "h30_incremental_histquant",
     "g8_bfs_hops",
+    "dq17_sen_slope",
+    "fe6_feature_hashing",
+    "h31_incremental_postings",
     # === then the round-9 window in its r9 order (all driver-green
     # in r9). ===
     "t14b_bpe_learn",

@@ -237,17 +237,11 @@ SELECT doc_id, nbr_id, dot, cos2_e6, CAST(rn AS BIGINT) AS rn FROM (
 """
 
 
-@q("t54_sparse_cosine_topk", _t54_oracle())
-def t54_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse lexical top-k similarity — the inverted-index retrieval
-    primitive (near-dup candidates, related-document panels) where s1/s3
-    use dense embeddings: trigram tf vectors, posting lists self-joined
-    BY TERM (shuffle keyed on the trigram, never a doc cross join), df
-    cap as the posting-prune scale lever, and per-doc top-{_T54_K} by
-    integer cos^2 e6 through a WindowGroupLimit-eligible keyed rank.
-    Scale shape: pair work is sum(df^2) over capped terms; norms and
-    dots are map-side-combined keyed aggs."""
-    docs = load_table(spark, sf_dir, "documents")
+def trigram_tf_state(docs: DataFrame) -> DataFrame:
+    """The inverted-index STATE from a document batch: (doc_id, g, tf)
+    trigram term frequencies.  Doc-partitioned batches compose by plain
+    union (a document lands wholly in one batch, so its cells appear
+    exactly once) — the h31 fold unit."""
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
     idx = F.when(
         F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)
@@ -266,7 +260,19 @@ def t54_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    tf = tri.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("tf"))
+    return tri.groupBy("doc_id", "g").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def sparse_topk_readout(tf: DataFrame) -> DataFrame:
+    """(doc_id, nbr_id, dot, cos2_e6, rn) from inverted-index state:
+    df prune -> postings self-join by term -> integer cos^2 rank.  The
+    df cap and norms are READOUT-time computations over merged state —
+    incrementally maintained postings stay prune-agnostic, so a df that
+    crosses the cap as the corpus grows is handled correctly."""
+    from pyspark.sql import Window
+
     dft = (
         tf.groupBy("g")
         .agg(F.count("*").alias("__df"))
@@ -309,8 +315,6 @@ def t54_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * dot * dot) div (__na * __nb)").cast("long"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("cos2_e6"), F.desc("dot"), F.asc("nbr_id")
     )
@@ -319,6 +323,39 @@ def t54_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _T54_K)
         .select("doc_id", "nbr_id", "dot", "cos2_e6", "rn")
     )
+
+
+@q("t54_sparse_cosine_topk", _t54_oracle())
+def t54_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical top-k similarity — the inverted-index retrieval
+    primitive (near-dup candidates, related-document panels) where s1/s3
+    use dense embeddings: trigram tf vectors, posting lists self-joined
+    BY TERM (shuffle keyed on the trigram, never a doc cross join), df
+    cap as the posting-prune scale lever, and per-doc top-k by
+    integer cos^2 e6 through a WindowGroupLimit-eligible keyed rank.
+    Scale shape: pair work is sum(df^2) over capped terms; norms and
+    dots are map-side-combined keyed aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_topk_readout(trigram_tf_state(docs))
+
+
+@q("h31_incremental_postings", _t54_oracle())
+def h31_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t54 maintained INCREMENTALLY (SHARES t54's oracle — the IVM
+    proof): the corpus split by doc-id parity into two ingest batches,
+    each reduced to its own inverted-index state (trigram tf cells),
+    composed by union (doc-partitioned batches: every document's cells
+    land exactly once), then the SAME readout — so index maintenance
+    never re-tokenizes history, while df pruning and norms stay
+    readout-time and therefore correct as term frequencies drift across
+    batches.  This is how a production near-dup/retrieval index absorbs
+    a new crawl slice at 100 TB: tokenize the delta, append its cells,
+    re-rank on demand."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    state = trigram_tf_state(b1).unionByName(trigram_tf_state(b2))
+    return sparse_topk_readout(state)
 
 
 # =============================================================================
@@ -642,4 +679,150 @@ def g8_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return G.bfs_hops_rounds(edges, seed, rounds=_G8_ROUNDS).select(
         "node", "hops"
+    )
+
+
+# =============================================================================
+# dq17: Sen's slope (the magnitude companion to dq16's Mann-Kendall)
+# =============================================================================
+#
+# Median of all pairwise slopes (c_j - c_i)/(d_j - d_i) over the per-type
+# day spine.  Ordering uses floor(1e6*dy/dx) — dx is positive integer
+# days, the double division is IEEE-identical in both engines — with a
+# (dy, dx, d_i, d_j) tiebreak so the median ELEMENT is engine-exact; the
+# lower median ((m+1) div 2) keeps selection integer.  O(days^2) pairs on
+# a ~30-row spine per type — never over events.
+
+_DQ17_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               CAST(b.c - a.c AS BIGINT) AS dy,
+               CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dx,
+               a.d AS d1, b.d AS d2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ), ranked AS (
+        SELECT event_type,
+               CAST(floor(1000000.0 * dy / dx) AS BIGINT) AS slope_e6,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY floor(1000000.0 * dy / dx), dy, dx, d1, d2
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM pairs
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS n_pairs, slope_e6
+    FROM ranked WHERE rn = (m + 1) // 2
+"""
+
+
+@q("dq17_sen_slope", _DQ17_ORACLE)
+def dq17_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's slope estimator — the robust trend MAGNITUDE that pairs
+    with dq16's Mann-Kendall direction call (the two are the standard
+    nonparametric trend kit: dq16 says WHETHER the feed drifts, this
+    says HOW FAST, immune to outlier days that wreck a least-squares
+    fit): the lower median of all pairwise day-count slopes per event
+    type, as e6 fixed point.  Scale shape: events reduce map-side to
+    the (type, day) spine; the O(days^2) pair join and the median
+    rank run per type over ~30-row spines (keyed windows)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.c") - F.col("a.c")).cast("long").alias("dy"),
+        F.datediff(F.col("b.d"), F.col("a.d")).cast("long").alias("dx"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+    )
+    slope = F.floor(F.lit(1000000.0) * F.col("dy") / F.col("dx")).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        slope, F.col("dy"), F.col("dx"), F.col("d1"), F.col("d2")
+    )
+    wm = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        slope.alias("slope_e6"),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wm).alias("__m"),
+    )
+    return ranked.where(
+        F.col("__rn") == (F.col("__m") + 1) / 2
+    ).select(
+        "event_type", F.col("__m").cast("long").alias("n_pairs"), "slope_e6"
+    )
+
+
+# =============================================================================
+# fe6: feature hashing (the hashing trick) — fixed-dim sparse vectors
+# =============================================================================
+#
+# The Weinberger et al. 2009 featurizer every large-scale linear model
+# ingests: token -> slot via one hash, a second independent hash picks
+# the sign (+1/-1, the collision-debiasing trick), weights sum per
+# (doc, slot).  Both hashes derive from the engine's single md5 idiom,
+# so the whole vectorization is engine-exact.  D is a constant —
+# output is at most |docs| x D, and the build is one map-side-combined
+# keyed agg off the token explode.
+
+_FE6_D = 64
+
+
+def _fe6_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    h = "('0x' || substr(md5('{salt}:' || w), 1, 8))::BIGINT"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({toks}) AS w FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               {h.format(salt='fh')} % {_FE6_D} AS slot,
+               CASE WHEN {h.format(salt='fs')} % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    )
+    SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+           CAST(sum(sgn) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2
+    HAVING sum(sgn) <> 0
+    """
+
+
+@q("fe6_feature_hashing", _fe6_oracle())
+def fe6_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing — the fixed-dimension featurizer that makes
+    unbounded vocabularies trainable without a dictionary (no vocab
+    collect, no index fit: any executor can hash any token, which is
+    exactly why it scales): slot = h(token) mod D, sign = second hash,
+    signed counts summed per (doc, slot), zero-sum cells dropped.
+    Complements fe4 (target encoding needs labels + a fitted map) and
+    pipe6 (tokenize-pack needs a trained vocab) as the stateless lane
+    of the feature family."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    slot = (TX.md5_bucket32(F.col("w"), "fh") % _FE6_D).alias("slot")
+    sgn = F.when(
+        TX.md5_bucket32(F.col("w"), "fs") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", slot, sgn.alias("__sgn"))
+        .groupBy("doc_id", "slot")
+        .agg(F.sum("__sgn").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+        .select("doc_id", F.col("slot").cast("long").alias("slot"), "weight")
     )

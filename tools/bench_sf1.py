@@ -159,6 +159,19 @@ HEAVY = [
     "mart24_journey_regex",
     "t52_vocab_growth",
     "pipe13_dedup_mixture_shift",
+    # round-10 (VERDICT r9 #5 closes the dd21 gap; plus the session's
+    # heavies): the LSH band/row S-curve sweep, the BPE learn loop
+    # (vocab-sized rounds — the corpus-sized work is the one word
+    # count), the Arrow BPE encode over 10x docs, the df-capped
+    # trigram postings self-join, fixed-round BFS over the co-purchase
+    # graph (catalog-bound edge set; the lineitem pair build scales),
+    # and the two-phase ranged-scan RFM re-plan at 10x customers
+    "dd21_lsh_band_tradeoff",
+    "t14c_bpe_fixed_merges",
+    "t26b_bpe_encode_fixed",
+    "t54_sparse_cosine_topk",
+    "g8_bfs_hops",
+    "mart22_rfm_scores",
 ]
 N_RUNS = 2
 
