@@ -187,6 +187,13 @@ HEADLINE = [
     "dq17_sen_slope",
     "fe6_feature_hashing",
     "h31_incremental_postings",
+    # round-10 wave 4: journey transition matrix + stitched-boundary IVM
+    # twin, and the two value-checked transforms (PII redaction,
+    # intra-doc repetition removal)
+    "mart28_journey_transitions",
+    "h32_incremental_transitions",
+    "t56_pii_redaction",
+    "t57_intradoc_dedup",
 ]
 
 

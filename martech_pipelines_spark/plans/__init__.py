@@ -123,6 +123,10 @@ _WINDOW_PRIORITY = [
     "dq17_sen_slope",
     "fe6_feature_hashing",
     "h31_incremental_postings",
+    "mart28_journey_transitions",
+    "h32_incremental_transitions",
+    "t56_pii_redaction",
+    "t57_intradoc_dedup",
     # === then the round-9 window in its r9 order (all driver-green
     # in r9). ===
     "t14b_bpe_learn",

@@ -826,3 +826,307 @@ def fe6_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("weight") != 0)
         .select("doc_id", F.col("slot").cast("long").alias("slot"), "weight")
     )
+
+
+# =============================================================================
+# mart28: first-order journey transition matrix (+ h32, its IVM twin)
+# =============================================================================
+#
+# Transition counts over consecutive event pairs per user in total
+# (ts, event_id) order, and the per-source transition probability as
+# half-up e6.  mart12 histograms whole paths, mart24 regex-matches one
+# pattern; this is the Markov-view of the same journeys — the input to
+# every transition-graph/attribution analysis.
+
+_MART28_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), cells AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_trans
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), rowtot AS (
+        SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS row_total
+        FROM cells GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n_trans, r.row_total,
+           CAST((c.n_trans * 2000000 + r.row_total) // (2 * r.row_total)
+                AS BIGINT) AS p_e6
+    FROM cells c JOIN rowtot r USING (from_type)
+"""
+
+
+def transition_cells(ev: DataFrame) -> DataFrame:
+    """(from_type, to_type, n_trans) cells from an event batch: one
+    keyed window (per-user, total (ts, event_id) order) + a map-side-
+    combined count.  The h32 fold unit — WITHIN-batch transitions only;
+    boundary pairs are the merge's job."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return nxt.where(F.col("to_type").isNotNull()).groupBy(
+        "from_type", "to_type"
+    ).agg(F.count("*").cast("long").alias("n_trans"))
+
+
+def transition_bounds(ev: DataFrame) -> DataFrame:
+    """Per-user (first_type, last_type) in total (ts, event_id) order —
+    the skinny boundary state that lets time-split batches merge
+    exactly: the stitch transition between consecutive batches is
+    (earlier.last_type -> later.first_type)."""
+    return ev.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("first_type"),
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("last_type"),
+    )
+
+
+def transition_readout(cells: DataFrame) -> DataFrame:
+    """Probability readout over transition cells: row totals broadcast
+    back (event-type-bounded spine), half-up e6 shares."""
+    rowtot = cells.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("row_total")
+    )
+    return (
+        cells.join(F.broadcast(rowtot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            "row_total",
+            F.expr(
+                "(n_trans * 2000000 + row_total) div (2 * row_total)"
+            ).cast("long").alias("p_e6"),
+        )
+    )
+
+
+@q("mart28_journey_transitions", _MART28_ORACLE)
+def mart28_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order journey transition matrix — the Markov view of user
+    paths (what follows a view? how often does a click die?) that
+    transition-graph attribution and funnel-leak analysis start from.
+    Scale shape: ONE user-keyed shuffle for the lead window, then
+    event-type-bounded cells; the probability join is a broadcast over
+    the |types|^2 spine."""
+    ev = load_table(spark, sf_dir, "events")
+    return transition_readout(transition_cells(ev))
+
+
+@q("h32_incremental_transitions", _MART28_ORACLE)
+def h32_incremental_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mart28 maintained INCREMENTALLY (SHARES mart28's oracle) with a
+    GENUINELY stitched merge: the event log ts-splits into two batches,
+    each reduced to (cells, per-user first/last bounds); the fold adds
+    the boundary transitions (earlier.last -> later.first, per user
+    present in BOTH batches) that neither batch sees — the part a naive
+    cells-only sum would silently drop.  This is the windowed-state
+    pattern every cross-batch sequence metric needs at 100 TB: history
+    reduces to |users| boundary rows, never re-scanned."""
+    ev = load_table(spark, sf_dir, "events")
+    cut_us = 1705276800000000  # 2024-01-15T00:00:00Z (integer micros)
+    b1 = ev.where(F.unix_micros("ts") < F.lit(cut_us))
+    b2 = ev.where(F.unix_micros("ts") >= F.lit(cut_us))
+    stitch = (
+        transition_bounds(b1)
+        .select("user_id", F.col("last_type").alias("from_type"))
+        .join(
+            transition_bounds(b2).select(
+                "user_id", F.col("first_type").alias("to_type")
+            ),
+            "user_id",
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    cells = (
+        transition_cells(b1)
+        .unionByName(transition_cells(b2))
+        .unionByName(stitch)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n_trans").cast("long").alias("n_trans"))
+    )
+    return transition_readout(cells)
+
+
+# =============================================================================
+# t56: PII redaction — the TRANSFORM that t48's profile gates
+# =============================================================================
+#
+# t48 reports which sources need scrubbing; this is the scrub itself,
+# value-checked to the BYTE: the same injected-PII corpus (the t48
+# convention — the synthetic text carries no natural PII), the same
+# three patterns, replaced in a fixed order (emails, then URLs, then
+# phones — URLs go before phones so digits inside a redacted URL can
+# never be re-matched as a phone), and the output carries
+# md5(redacted_text) so the comparison pins the transform's full
+# content, not just its counts.
+
+_T56_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_T56_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_T56_URL = r"https?://[^\s]+"
+
+
+def _t56_corpus_sql() -> str:
+    return """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com via https://site'
+                            || CAST(doc_id % 7 AS VARCHAR) || '.org/page'
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 0
+                       THEN ' call +1-555-000-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    """
+
+
+def _t56_oracle() -> str:
+    return f"""
+    WITH corpus AS ({_t56_corpus_sql()}),
+    red AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_T56_EMAIL}'))
+                    + len(regexp_extract_all(
+                          regexp_replace(text, '{_T56_EMAIL}', '[EMAIL]', 'g'),
+                          '{_T56_URL}'))
+                    + len(regexp_extract_all(
+                          regexp_replace(
+                              regexp_replace(text, '{_T56_EMAIL}', '[EMAIL]', 'g'),
+                              '{_T56_URL}', '[URL]', 'g'),
+                          '{_T56_PHONE}')) AS BIGINT) AS n_redactions,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_T56_EMAIL}', '[EMAIL]', 'g'),
+                       '{_T56_URL}', '[URL]', 'g'),
+                   '{_T56_PHONE}', '[PHONE]', 'g') AS redacted
+        FROM corpus
+    )
+    SELECT doc_id, n_redactions, md5(redacted) AS redacted_md5
+    FROM red
+    """
+
+
+@q("t56_pii_redaction", _t56_oracle())
+def t56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub-before-training TRANSFORM (most
+    hygiene entries are reports; this one rewrites the text and proves
+    the rewrite): emails/URLs/phones replaced by typed placeholders in
+    a fixed sequence, per-doc redaction count plus md5 of the redacted
+    text.  Pure codegen'd regexp_replace chain — no Python, no
+    shuffle beyond the scan; both engines evaluate identical regex
+    strings and the md5 pins byte equality of the transformed corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/page"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit(" call +1-555-000-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    step1 = F.regexp_replace(injected, _T56_EMAIL, "[EMAIL]")
+    step2 = F.regexp_replace(step1, _T56_URL, "[URL]")
+    step3 = F.regexp_replace(step2, _T56_PHONE, "[PHONE]")
+    n_red = (
+        F.regexp_count(injected, F.lit(_T56_EMAIL))
+        + F.regexp_count(step1, F.lit(_T56_URL))
+        + F.regexp_count(step2, F.lit(_T56_PHONE))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_red.alias("n_redactions"),
+        F.md5(step3).alias("redacted_md5"),
+    )
+
+
+# =============================================================================
+# t57: within-document repetition removal (C4's intra-doc dedup), the
+# second value-checked transform
+# =============================================================================
+
+_T57_K = 10  # chunk size in tokens (the dd11 paragraph unit)
+
+
+def _t57_oracle() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {toks} AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id, u.i AS i,
+               array_to_string(
+                   t[CAST(u.i * {_T57_K} + 1 AS INTEGER)
+                     :CAST(u.i * {_T57_K} + {_T57_K} AS INTEGER)], ' ') AS ch
+        FROM toks,
+             unnest(range(0, (len(t) + {_T57_K - 1}) // {_T57_K})) u(i)
+    ), firsts AS (
+        SELECT doc_id, ch, min(i) AS mi FROM chunks GROUP BY 1, 2
+    ), folded AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               md5(array_to_string(list(ch ORDER BY mi), ' ')) AS kept_md5
+        FROM firsts GROUP BY 1
+    ), totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM chunks
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_chunks, 0) AS n_chunks,
+           coalesce(f.n_kept, 0) AS n_kept,
+           coalesce(f.kept_md5, md5('')) AS kept_md5
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id) LEFT JOIN folded f USING (doc_id)
+    """
+
+
+@q("t57_intradoc_dedup", _t57_oracle())
+def t57_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal — the C4-style intra-doc
+    dedup TRANSFORM (dd11 deduplicates chunks ACROSS the corpus; this
+    drops repeats INSIDE each document, the boilerplate/loop-text
+    scrub): fixed {_T57_K}-token chunks, first occurrence kept in
+    order, output pinned by md5 of the kept text.  Spark side is pure
+    scalar expressions — paragraph_chunks + array_distinct (first-
+    occurrence order-preserving; the oracle re-derives it with an
+    explicit min-ordinality fold, so an order regression in either
+    engine hash-fails) — zero shuffles beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "doc_id", TX.paragraph_chunks(F.col("t"), k=_T57_K).alias("chs")
+    )
+    kept = F.array_distinct("chs")
+    return chunks.select(
+        "doc_id",
+        F.size("chs").cast("long").alias("n_chunks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
