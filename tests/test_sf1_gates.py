@@ -79,3 +79,52 @@ def test_pipe10b_probe_sublinear_vs_inline_at_sf1(spark):
     # takes even a quarter of that signals the index is being ignored
     assert probe_s < 15.0, f"probe took {probe_s:.1f}s at sf1"
     assert len(rows) == 5 and rows[0][1] == "raw"
+
+
+def test_histquant_ivm_merge_equals_recompute_at_sf1(spark):
+    """r40/h30 live at 10x: the quantile readout off two merged
+    half-histograms must equal the full recompute bit-for-bit (the
+    merge==recompute IVM proof re-proved at scale, not just at the
+    oracle sf)."""
+    from pyspark.sql import functions as F
+
+    from martech_pipelines_spark.plans.corpus_r10 import (
+        histogram_merge,
+        histogram_quantile_readout,
+        price_histogram,
+    )
+    from martech_pipelines_spark.sources import load_table
+
+    li = load_table(spark, SF1_DIR, "lineitem")
+    full = sorted(
+        map(tuple, histogram_quantile_readout(price_histogram(li)).collect())
+    )
+    merged = histogram_merge(
+        price_histogram(li.where(F.col("l_orderkey") % 2 == 0)),
+        price_histogram(li.where(F.col("l_orderkey") % 2 == 1)),
+    )
+    inc = sorted(map(tuple, histogram_quantile_readout(merged).collect()))
+    assert inc == full and len(full) > 0
+
+
+def test_postings_ivm_union_equals_recompute_at_sf1(spark):
+    """t54/h31 live at 10x: the inverted-index readout off two unioned
+    doc-batch states must equal the full recompute — index maintenance
+    holds on the 50k-doc corpus."""
+    from pyspark.sql import functions as F
+
+    from martech_pipelines_spark.plans.corpus_r10 import (
+        sparse_topk_readout,
+        trigram_tf_state,
+    )
+    from martech_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, SF1_DIR, "documents").select("doc_id", "text")
+    full = sorted(
+        map(tuple, sparse_topk_readout(trigram_tf_state(docs)).collect())
+    )
+    state = trigram_tf_state(
+        docs.where(F.col("doc_id") % 2 == 0)
+    ).unionByName(trigram_tf_state(docs.where(F.col("doc_id") % 2 == 1)))
+    inc = sorted(map(tuple, sparse_topk_readout(state).collect()))
+    assert inc == full and len(full) > 0
