@@ -194,6 +194,10 @@ HEADLINE = [
     "h32_incremental_transitions",
     "t56_pii_redaction",
     "t57_intradoc_dedup",
+    # round-10 wave 5: the end-to-end curation funnel (the composition
+    # of this round's value-checked transforms) and the trend IVM twin
+    "pipe14_curation_e2e",
+    "h33_incremental_trend",
 ]
 
 

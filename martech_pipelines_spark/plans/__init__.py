@@ -127,6 +127,8 @@ _WINDOW_PRIORITY = [
     "h32_incremental_transitions",
     "t56_pii_redaction",
     "t57_intradoc_dedup",
+    "pipe14_curation_e2e",
+    "h33_incremental_trend",
     # === then the round-9 window in its r9 order (all driver-green
     # in r9). ===
     "t14b_bpe_learn",

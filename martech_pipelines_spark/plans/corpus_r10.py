@@ -1130,3 +1130,242 @@ def t57_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, " ")).alias("kept_md5"),
     )
+
+
+# =============================================================================
+# pipe14: end-to-end curation pipeline (redact -> intra-doc dedup ->
+# quality gate -> corpus-level exact dedup), value-checked per stage
+# =============================================================================
+#
+# The composition showcase: every stage is one of this round's
+# value-checked transforms, chained the way a real pre-training curation
+# job runs them, and the per-source funnel report carries exact counts
+# at each gate plus the surviving token mass.  Everything is columnar
+# expressions + two keyed aggs — the corpus is scanned once.
+
+_PIPE14_MIN_TOKENS = 20
+
+
+def _pipe14_oracle() -> str:
+    toks_clean = _DUCK_TOKENS.format(col="clean")
+    return f"""
+    WITH corpus AS (
+        SELECT c.doc_id, d.source, c.text
+        FROM ({_t56_corpus_sql()}) c JOIN documents d USING (doc_id)
+    ), red AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_T56_EMAIL}', '[EMAIL]', 'g'),
+                       '{_T56_URL}', '[URL]', 'g'),
+                   '{_T56_PHONE}', '[PHONE]', 'g') AS rtext
+        FROM corpus
+    ), toks AS (
+        SELECT doc_id, source,
+               {_DUCK_TOKENS.format(col='rtext')} AS t
+        FROM red
+    ), chunks AS (
+        SELECT doc_id, source, u.i AS i,
+               array_to_string(
+                   t[CAST(u.i * {_T57_K} + 1 AS INTEGER)
+                     :CAST(u.i * {_T57_K} + {_T57_K} AS INTEGER)], ' ') AS ch
+        FROM toks,
+             unnest(range(0, (len(t) + {_T57_K - 1}) // {_T57_K})) u(i)
+    ), firsts AS (
+        SELECT doc_id, source, ch, min(i) AS mi FROM chunks GROUP BY 1, 2, 3
+    ), cleaned AS (
+        SELECT doc_id, source,
+               array_to_string(list(ch ORDER BY mi), ' ') AS clean
+        FROM firsts GROUP BY 1, 2
+    ), gated AS (
+        SELECT doc_id, source, clean,
+               CAST(len({toks_clean}) AS BIGINT) AS n_tokens
+        FROM cleaned
+    ), quality AS (
+        SELECT * FROM gated WHERE n_tokens >= {_PIPE14_MIN_TOKENS}
+    ), kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(coalesce(q.n_q, 0) AS BIGINT) AS docs_quality,
+           CAST(coalesce(k.n_k, 0) AS BIGINT) AS docs_kept,
+           CAST(coalesce(k.tok, 0) AS BIGINT) AS tokens_kept
+    FROM corpus c
+    LEFT JOIN (SELECT source, count(*) AS n_q FROM quality GROUP BY 1) q
+      USING (source)
+    LEFT JOIN (SELECT source, count(*) AS n_k, sum(n_tokens) AS tok
+               FROM kept GROUP BY 1) k USING (source)
+    GROUP BY 1, q.n_q, k.n_k, k.tok
+    """
+
+
+@q("pipe14_curation_e2e", _pipe14_oracle())
+def pipe14_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END TO END — redaction (t56), within-doc
+    repetition removal (t57), a minimum-token quality gate, and
+    corpus-level exact dedup (keep-lowest-doc-id per cleaned-text
+    hash), reported as a per-source funnel with surviving token mass.
+    This is the composition a pre-training data job actually runs, and
+    every intermediate is one of this round's value-checked transforms,
+    so the whole chain is hash-checked — not just each stage in
+    isolation.  Scale shape: one scan; the only shuffles are the
+    chunk-fold (doc-keyed), the dedup hash agg, and the 5-row source
+    report."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/page"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit(" call +1-555-000-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rtext = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, _T56_EMAIL, "[EMAIL]"),
+            _T56_URL,
+            "[URL]",
+        ),
+        _T56_PHONE,
+        "[PHONE]",
+    )
+    toks = docs.select(
+        "doc_id", "source", TX.tokens(rtext).alias("t")
+    )
+    kept_chunks = F.array_distinct(
+        TX.paragraph_chunks(F.col("t"), k=_T57_K)
+    )
+    cleaned = toks.select(
+        "doc_id",
+        "source",
+        F.array_join(kept_chunks, " ").alias("clean"),
+    )
+    gated = cleaned.withColumn(
+        "n_tokens", F.size(TX.tokens(F.col("clean"))).cast("long")
+    )
+    quality = gated.where(F.col("n_tokens") >= _PIPE14_MIN_TOKENS)
+    w = Window.partitionBy(F.md5("clean")).orderBy("doc_id")
+    kept = quality.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    src_in = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_in")
+    )
+    src_q = quality.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_quality")
+    )
+    src_k = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
+    return (
+        src_in.join(src_q, "source", "left")
+        .join(src_k, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_quality", F.lit(0)).cast("long").alias(
+                "docs_quality"
+            ),
+            F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias(
+                "tokens_kept"
+            ),
+        )
+    )
+
+
+# =============================================================================
+# h33: dq16's IVM twin — trend state maintained as mergeable day cells
+# =============================================================================
+
+
+@q("h33_incremental_trend", _DQ16_ORACLE)
+def h33_incremental_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq16 maintained INCREMENTALLY (SHARES dq16's oracle): the event
+    log ts-splits into two batches, each reduced to (type, day, count)
+    cells — additive, so the merged spine equals the full recompute's —
+    and the O(days^2) Mann-Kendall readout reruns on the merged
+    ~30-row-per-type spine.  The 100-TB shape for EVERY pair-statistic
+    over a bounded axis: the quadratic part is constant-cost readout,
+    the data-scale part is a mergeable reduction, history never
+    re-scans."""
+    ev = load_table(spark, sf_dir, "events")
+    cut_us = 1705276800000000  # 2024-01-15T00:00:00Z (integer micros)
+    cells = (
+        ev.withColumn(
+            "__half",
+            (F.unix_micros("ts") >= F.lit(cut_us)).cast("int"),
+        )
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"), "__half")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = cells.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    ties = (
+        cells.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("long")
+    out = n.join(s, "event_type").join(ties, "event_type", "left")
+    return out.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        var18.alias("var18"),
+        F.when(
+            9 * F.col("s_stat") * F.col("s_stat") > 2 * var18,
+            F.when(F.col("s_stat") > 0, "up").otherwise("down"),
+        )
+        .otherwise("none")
+        .alias("trend"),
+    )

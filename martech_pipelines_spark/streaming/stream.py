@@ -1674,3 +1674,114 @@ def read_hist_state(spark: SparkSession, state_path: str) -> DataFrame:
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return histogram_quantile_readout(folded)
+
+
+def apply_transitions_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One fold of ``streaming_transitions_maintenance``: reduce the
+    micro-batch to (a) within-batch transition cells and (b) per-user
+    (first_type, last_type) boundary state, landed as
+    ``{state}/cells/batch_id={N}`` and ``{state}/bounds/batch_id={N}``
+    with OVERWRITE (replay = idempotent), plus the (min_ts, max_ts)
+    marker under ``{state}/_range`` — the journey ordered-ingestion
+    guard applies identically (stitching assumes batch order = event
+    time order)."""
+    from martech_pipelines_spark.plans.corpus_r10 import (
+        transition_bounds,
+        transition_cells,
+    )
+
+    transition_cells(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/cells/batch_id={batch_id}"
+    )
+    transition_bounds(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/bounds/batch_id={batch_id}"
+    )
+    (
+        batch_df.agg(
+            F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+        ).write.mode("overwrite").parquet(
+            f"{state_path}/_range/batch_id={batch_id}"
+        )
+    )
+
+
+def streaming_transitions_maintenance(
+    events_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain the mart28 transition matrix from an event
+    stream — the streaming twin of ``h32_incremental_transitions``:
+    within-batch cells are additive, and the cross-batch transitions a
+    per-batch count can never see are reconstructed at read time from
+    the per-user boundary state (last type of one appearance -> first
+    type of the user's NEXT appearance, in batch order).  Pinned equal
+    to the batch mart28 readout in test_streaming, including users
+    absent from intermediate micro-batches."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_transitions_batch(batch_df, batch_id, state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_transitions_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Transition-matrix readout over per-batch state: assert the
+    ordered-ingestion contract (the journey ``_range`` guard), sum the
+    cells, stitch consecutive per-user appearances, and render the
+    probability report."""
+    from martech_pipelines_spark.plans.corpus_r10 import transition_readout
+
+    try:
+        ranges = sorted(
+            (
+                (r["batch_id"], r["min_ts"], r["max_ts"])
+                for r in spark.read.parquet(f"{state_path}/_range").collect()
+                if r["min_ts"] is not None
+            ),
+        )
+    except Exception:  # state written without markers
+        ranges = []
+    for (prev_id, _, prev_max), (next_id, next_min, _) in zip(
+        ranges, ranges[1:]
+    ):
+        if not (prev_max < next_min):
+            raise ValueError(
+                "transition state violates the ordered-ingestion contract: "
+                f"batch_id={prev_id} ends at {prev_max} but "
+                f"batch_id={next_id} starts at {next_min} — boundary "
+                "stitching would fabricate transitions"
+            )
+
+    bounds = spark.read.parquet(f"{state_path}/bounds")
+    apps = bounds.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("batch_id", "first_type", "last_type")
+            )
+        ).alias("a")
+    )
+    k = F.greatest(F.size("a") - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice("a", 1, k), F.slice("a", 2, k))
+    stitch = (
+        apps.select(F.explode(zipped).alias("p"))
+        .select(
+            F.col("p.0.last_type").alias("from_type"),
+            F.col("p.1.first_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    cells = (
+        spark.read.parquet(f"{state_path}/cells")
+        .select("from_type", "to_type", "n_trans")
+        .unionByName(stitch)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n_trans").cast("long").alias("n_trans"))
+    )
+    return transition_readout(cells)

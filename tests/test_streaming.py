@@ -1612,3 +1612,60 @@ def test_streaming_hist_maintenance_matches_batch(spark, tmp_path):
         map(tuple, QUERIES["r40_histogram_quantile"](spark, SF).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_transitions_maintenance_matches_batch(spark, tmp_path):
+    """mart28's streaming twin: within-batch cells + boundary stitching
+    folded at read must reproduce the batch transition matrix —
+    including transitions that SPAN micro-batch boundaries and users
+    absent from intermediate batches."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.plans import QUERIES
+    from martech_pipelines_spark.streaming.stream import (
+        read_transitions_state,
+        streaming_transitions_maintenance,
+    )
+
+    ev = load_table(spark, SF, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slices = [
+        ev.where(F.unix_micros("ts") < c1),
+        ev.where((F.unix_micros("ts") >= c1) & (F.unix_micros("ts") < c2)),
+        ev.where(F.unix_micros("ts") >= c2),
+    ]
+    d = tmp_path / "tr_stream"
+    d.mkdir()
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"trslice{i}")
+        )
+        src = _g.glob(str(tmp_path / f"trslice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    state = str(tmp_path / "tr_state")
+    q = streaming_transitions_maintenance(
+        stream, state, str(tmp_path / "tr_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_transitions_state(spark, state).collect()))
+    want = sorted(
+        map(
+            tuple,
+            QUERIES["mart28_journey_transitions"](spark, SF).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
