@@ -198,6 +198,8 @@ HEADLINE = [
     # of this round's value-checked transforms) and the trend IVM twin
     "pipe14_curation_e2e",
     "h33_incremental_trend",
+    # round-10 wave 6: lexical-vs-dense retrieval agreement eval
+    "s32_lexical_dense_agreement",
 ]
 
 

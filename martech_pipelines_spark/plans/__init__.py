@@ -129,6 +129,7 @@ _WINDOW_PRIORITY = [
     "t57_intradoc_dedup",
     "pipe14_curation_e2e",
     "h33_incremental_trend",
+    "s32_lexical_dense_agreement",
     # === then the round-9 window in its r9 order (all driver-green
     # in r9). ===
     "t14b_bpe_learn",

@@ -190,10 +190,12 @@ _T54_K = 5
 _T54_DF_CAP = 1000
 
 
-def _t54_oracle() -> str:
+def _t54_ctes() -> str:
+    """Shared WITH-clause body ending in ``sp5`` (the ranked sparse
+    top-k table) — reused by t54/h31's final SELECT and by s32's
+    agreement join."""
     toks = _DUCK_TOKENS.format(col="text")
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {toks} AS t FROM documents
 ),
 tf AS (
@@ -227,13 +229,21 @@ scored AS (
   FROM sym s
   JOIN norms na ON na.doc_id = s.doc_id
   JOIN norms nb ON nb.doc_id = s.nbr_id
-)
-SELECT doc_id, nbr_id, dot, cos2_e6, CAST(rn AS BIGINT) AS rn FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY doc_id
-      ORDER BY cos2_e6 DESC, dot DESC, nbr_id ASC) AS rn
-  FROM scored
-) WHERE rn <= {_T54_K}
+),
+sp5 AS (
+  SELECT doc_id, nbr_id, dot, cos2_e6, CAST(rn AS BIGINT) AS rn FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY cos2_e6 DESC, dot DESC, nbr_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_T54_K}
+)"""
+
+
+def _t54_oracle() -> str:
+    return f"""
+WITH {_t54_ctes()}
+SELECT doc_id, nbr_id, dot, cos2_e6, rn FROM sp5
 """
 
 
@@ -1368,4 +1378,105 @@ def h33_incremental_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("none")
         .alias("trend"),
+    )
+
+
+# =============================================================================
+# s32: lexical-vs-dense retrieval agreement (overlap@5 histogram)
+# =============================================================================
+#
+# The cross-family eval: for the s1 query subset (every 10th id), how
+# much do t54's lexical (trigram-tf cosine) and s1's dense (embedding
+# cosine) top-5 neighbor sets agree?  Low overlap on a real corpus
+# means the two retrievers are complementary (the reason RRF fusion —
+# s24 — exists); the report is the overlap histogram.  Dense side:
+# brute-force top-6 WITH self, drop self, keep 5 — exact regardless of
+# cos=1.0 ties (if self is in the top 6, removing it leaves the best 5
+# others; if not, the first 5 already are).
+
+_S32_ORACLE = f"""
+WITH {_t54_ctes()},
+q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id % 10 = 0
+), dscored AS (
+    SELECT q.query_id, e.vec_id,
+           round(
+               list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))),
+               4) AS cos_sim
+    FROM q CROSS JOIN embeddings e
+), d6 AS (
+    SELECT query_id, vec_id, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM dscored WHERE cos_sim IS NOT NULL
+    ) WHERE rnk <= 6
+), d5 AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rnk) AS rn
+        FROM d6 WHERE vec_id <> query_id
+    ) WHERE rn <= 5
+), base AS (
+    SELECT DISTINCT doc_id FROM sp5 WHERE doc_id % 10 = 0
+), ov AS (
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS c
+    FROM sp5 s JOIN d5 d ON d.query_id = s.doc_id AND d.vec_id = s.nbr_id
+    WHERE s.doc_id % 10 = 0
+    GROUP BY 1
+)
+SELECT CAST(coalesce(o.c, 0) AS BIGINT) AS overlap,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM base b LEFT JOIN ov o USING (doc_id)
+GROUP BY 1
+"""
+
+
+@q("s32_lexical_dense_agreement", _S32_ORACLE)
+def s32_lexical_dense_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often do lexical and semantic retrieval agree?  The
+    overlap@5 histogram between t54's inverted-index neighbors and the
+    exact dense-cosine neighbors on the s1 query subset — the
+    diagnostic that motivates hybrid retrieval (s24's RRF fusion):
+    high overlap means one retriever is redundant, low overlap means
+    fuse.  Scale shape: the sparse side is t54's banded postings join;
+    the dense side broadcasts the bounded query set; the agreement join
+    is keyed on (query, neighbor) pairs — 5 rows per query both sides."""
+    from pyspark.sql import Window
+
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sp5 = sparse_topk_readout(trigram_tf_state(docs)).where(
+        F.col("doc_id") % 10 == 0
+    )
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    d6 = SIM.brute_force_topk(queries, emb, k=6)
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    d5 = (
+        d6.where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    base = sp5.select("doc_id").distinct()
+    ov = (
+        sp5.join(
+            d5,
+            (d5["query_id"] == sp5["doc_id"]) & (d5["vec_id"] == sp5["nbr_id"]),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        base.join(ov, "doc_id", "left")
+        .select(F.coalesce("c", F.lit(0)).cast("long").alias("overlap"))
+        .groupBy("overlap")
+        .agg(F.count("*").cast("long").alias("n_docs"))
     )

@@ -209,3 +209,54 @@ def test_intradoc_dedup_drops_repeated_chunk(spark):
         row = QUERIES["t57_intradoc_dedup"](spark, td).collect()[0]
     assert (row["n_chunks"], row["n_kept"]) == (3, 2)
     assert row["kept_md5"] == hashlib.md5(f"{c1} {c2}".encode()).hexdigest()
+
+
+# --- s32 agreement ----------------------------------------------------------
+
+
+def test_lexical_dense_agreement_crafted_clusters(spark):
+    """Two 6-doc clusters with aligned texts and embeddings: both
+    retrievers pick the same-cluster neighbors, so the query docs (0
+    and 10) land in the overlap=5 bucket.  Flipping doc 0's EMBEDDING
+    to the other cluster drops its overlap to 0 — pinning that the
+    histogram actually reads both retrievers, not one twice."""
+    import tempfile
+
+    phrase_a = "alpha beta gamma delta epsilon zeta"
+    phrase_b = "one two three four five six"
+    docs, embs = [], []
+    for i in range(12):
+        cl = 0 if i < 6 else 1
+        text = (phrase_a if cl == 0 else phrase_b) + f" tail{i}"
+        docs.append((i, text, "en", "s", len(text)))
+        embs.append((i, [1.0, 0.0] if cl == 0 else [0.0, 1.0], cl))
+    # make ids 0 and 10 the query subset (vec_id % 10 == 0)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        spark.createDataFrame(
+            embs, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got = {
+            r["overlap"]: r["n_docs"]
+            for r in QUERIES["s32_lexical_dense_agreement"](spark, td).collect()
+        }
+        assert got == {5: 2}
+
+        # flip doc 0's embedding to cluster B: lexical stays A, dense
+        # becomes B -> query 0's overlap drops to 0.  Query 10's dense
+        # top-5 now admits vec 0 (cos-1.0 ties break by id: {0,6,7,8,9}
+        # displaces 11), while its lexical set stays {6,7,8,9,11} ->
+        # overlap 4.  Pins that the histogram reads BOTH retrievers and
+        # the dense side's tie-broken self-exclusion.
+        embs2 = [(0, [0.0, 1.0], 1)] + embs[1:]
+        spark.createDataFrame(
+            embs2, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got2 = {
+            r["overlap"]: r["n_docs"]
+            for r in QUERIES["s32_lexical_dense_agreement"](spark, td).collect()
+        }
+        assert got2 == {0: 1, 4: 1}
