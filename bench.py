@@ -200,6 +200,10 @@ HEADLINE = [
     "h33_incremental_trend",
     # round-10 wave 6: lexical-vs-dense retrieval agreement eval
     "s32_lexical_dense_agreement",
+    # round-10 wave 7: labeled-corpus cluster purity + intake
+    # completeness matrix
+    "s33_cell_label_purity",
+    "dq18_completeness_matrix",
 ]
 
 

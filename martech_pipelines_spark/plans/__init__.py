@@ -130,6 +130,8 @@ _WINDOW_PRIORITY = [
     "pipe14_curation_e2e",
     "h33_incremental_trend",
     "s32_lexical_dense_agreement",
+    "s33_cell_label_purity",
+    "dq18_completeness_matrix",
     # === then the round-9 window in its r9 order (all driver-green
     # in r9). ===
     "t14b_bpe_learn",

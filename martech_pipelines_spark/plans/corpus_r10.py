@@ -1480,3 +1480,139 @@ def s32_lexical_dense_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("overlap")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# =============================================================================
+# s33: embedding-cell label purity (cluster quality vs ground truth)
+# =============================================================================
+#
+# The eval that closes the clustering loop: s2j trains clusters, s26
+# audits cell balance — this one scores cells AGAINST THE LABEL column
+# (the supervised ground truth the embeddings table carries): per
+# 4-bit sign-cell (sign of dims 1-4 — a fixed-axis SimHash, fully
+# deterministic), the majority label and its half-up e6 purity.  Low
+# purity = the embedding space doesn't separate the classes at that
+# granularity; the report is what a training-data curator reads before
+# trusting embedding-based dedup/sampling on a labeled corpus.
+
+_S33_ORACLE = """
+    WITH c AS (
+        SELECT label,
+               CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+               + 4 * CAST(embedding[3] > 0 AS INT)
+               + 8 * CAST(embedding[4] > 0 AS INT) AS cell
+        FROM embeddings
+    ), per AS (
+        SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt
+        FROM c GROUP BY 1, 2
+    ), tot AS (
+        SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs FROM per GROUP BY 1
+    ), maj AS (
+        SELECT cell, label AS majority_label, cnt AS majority_count FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rn
+            FROM per
+        ) WHERE rn = 1
+    )
+    SELECT CAST(t.cell AS BIGINT) AS cell, t.n_vecs,
+           CAST(m.majority_label AS BIGINT) AS majority_label,
+           m.majority_count,
+           CAST((m.majority_count * 2000000 + t.n_vecs) // (2 * t.n_vecs)
+                AS BIGINT) AS purity_e6
+    FROM tot t JOIN maj m USING (cell)
+"""
+
+
+@q("s33_cell_label_purity", _S33_ORACLE)
+def s33_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity per embedding sign-cell — supervised cluster-quality
+    scoring over the labeled vector table: 16 fixed-axis cells (sign
+    bits of dims 1-4), majority label with deterministic tie-break
+    (count desc, label asc), half-up e6 purity.  Scale shape: one
+    map-side-combined (cell, label) count; every later step runs on the
+    16-row cell spine.  Complements s26 (balance, unsupervised) and
+    s31 (recall vs truncation) as the labeled-corpus eval."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bit = lambda i: (F.element_at("embedding", i) > 0).cast("int")  # noqa: E731
+    cell = (bit(1) + 2 * bit(2) + 4 * bit(3) + 8 * bit(4)).alias("cell")
+    per = emb.select(cell, "label").groupBy("cell", "label").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = per.groupBy("cell").agg(F.sum("cnt").cast("long").alias("n_vecs"))
+    w = Window.partitionBy("cell").orderBy(F.desc("cnt"), F.asc("label"))
+    maj = (
+        per.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cell",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("cnt").alias("majority_count"),
+        )
+    )
+    return tot.join(maj, "cell").select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vecs",
+        "majority_label",
+        "majority_count",
+        F.expr("(majority_count * 2000000 + n_vecs) div (2 * n_vecs)")
+        .cast("long")
+        .alias("purity_e6"),
+    )
+
+
+# =============================================================================
+# dq18: per-source column-completeness matrix
+# =============================================================================
+
+_DQ18_SHORT = 20  # chars; "suspiciously short" document threshold
+
+_DQ18_ORACLE = f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+           CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_text,
+           CAST(sum(CASE WHEN n_chars < {_DQ18_SHORT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           CAST(sum(CASE WHEN lang IS NULL OR trim(lang) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lang,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_len_mismatch
+    FROM documents GROUP BY 1
+"""
+
+
+@q("dq18_completeness_matrix", _DQ18_ORACLE)
+def dq18_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source column-completeness matrix — the intake audit a crawl
+    source passes before entering curation (dp1 profiles ONE entity
+    deeply; this scans the ingest surface wide): null/blank text,
+    suspiciously-short docs, missing language tags, language-tag
+    cardinality, and n_chars-vs-actual-length mismatches (the
+    metadata-drift tell when an upstream re-encodes text but forgets
+    the stats column).  One map-side-combined agg; |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    blank = F.col("text").isNotNull() & (F.trim("text") == "")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("int")).cast("long").alias(
+            "n_null_text"
+        ),
+        F.sum(blank.cast("int")).cast("long").alias("n_blank_text"),
+        F.sum((F.col("n_chars") < _DQ18_SHORT).cast("int"))
+        .cast("long")
+        .alias("n_short"),
+        F.sum(
+            (F.col("lang").isNull() | (F.trim("lang") == "")).cast("int")
+        )
+        .cast("long")
+        .alias("n_no_lang"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum((F.length("text") != F.col("n_chars")).cast("int"))
+        .cast("long")
+        .alias("n_len_mismatch"),
+    )

@@ -260,3 +260,66 @@ def test_lexical_dense_agreement_crafted_clusters(spark):
             for r in QUERIES["s32_lexical_dense_agreement"](spark, td).collect()
         }
         assert got2 == {0: 1, 4: 1}
+
+
+# --- s33 purity --------------------------------------------------------------
+
+
+def test_cell_label_purity_crafted(spark):
+    # 4 vectors in cell 1 (dim1>0 only): labels 7,7,7,3 -> majority 7,
+    # purity = round(3/4 * 1e6) = 750000.  1 vector in cell 0 -> purity 1e6.
+    import tempfile
+
+    rows = [
+        (0, [1.0] + [0.0] * 63, 7),
+        (1, [1.0] + [0.0] * 63, 7),
+        (2, [1.0] + [0.0] * 63, 7),
+        (3, [1.0] + [0.0] * 63, 3),
+        (4, [-1.0] + [0.0] * 63, 5),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got = {
+            r["cell"]: (
+                r["n_vecs"],
+                r["majority_label"],
+                r["majority_count"],
+                r["purity_e6"],
+            )
+            for r in QUERIES["s33_cell_label_purity"](spark, td).collect()
+        }
+    assert got == {1: (4, 7, 3, 750000), 0: (1, 5, 1, 1000000)}
+
+
+# --- dq18 completeness -------------------------------------------------------
+
+
+def test_completeness_matrix_crafted_defects(spark):
+    # one source with every defect class exactly once
+    import tempfile
+
+    rows = [
+        (0, "a healthy document body", "en", "s", 23),
+        (1, None, "en", "s", 0),            # null text
+        (2, "   ", "en", "s", 3),           # blank text (also short)
+        (3, "tiny", "en", "s", 4),          # short
+        (4, "no language tag here ok", None, "s", 23),   # missing lang
+        (5, "stale stats column here", "fr", "s", 99),   # len mismatch
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        r = QUERIES["dq18_completeness_matrix"](spark, td).collect()[0]
+    assert (
+        r["n_docs"],
+        r["n_null_text"],
+        r["n_blank_text"],
+        r["n_short"],
+        r["n_no_lang"],
+        r["n_len_mismatch"],
+    ) == (6, 1, 1, 3, 1, 1)
+    assert r["n_langs"] == 2  # en, fr (null excluded by count distinct)
