@@ -37,26 +37,80 @@ from martech_pipelines_spark.plans import corpus_r9d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r10  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering (round 10 rotation — VERDICT r9 "Next round" #1).
+# Driver-window ordering (round 11 rotation — VERDICT r10 "Next round" #1).
 #
 # The correctness driver hashes only the FIRST 50 entries of queries() each
-# round.  Round-10 window (slots 1-50): the entire never-driver-checked
-# backlog — the 31 round-9-session additions (s29b/s2j/s30/r3c/h24, the
-# g5-g7 graph suite, the mart22-mart27 + h25-h29 mart/IVM pairs, the
-# dq13-dq15 / dd19-dd21 / t51-t53 / pipe13 / r39 reports; every one
-# four-checked locally in the r9 session: check_oracle, 7-vs-32 stability
-# sweep, bare-session driver rehearsal, rounding/LIMIT/type audits) —
-# then the 19 OLDEST driver-green queries (r4-era checks, now 6 rounds
-# stale: the flagship trio + the §2 relational/scalar classics), oldest
-# first in registration order, for re-validation currency.  After a green
-# round 10 the never-driver-checked count drops to 0 for the full registry.
-# Slots 51+: the round-9 window in its r9 order (all driver-green in r9),
-# then the round-8 window in its r8 order, then registration order.
+# round.  Round-11 window: slots 1-19 are the ENTIRE never-driver-checked
+# queue (the round-10-session additions, staged at slots 51-69 last round,
+# every one four-checked at introduction AND independently oracle-verified
+# green by the r10 judge); slots 20-50 are the 31 OLDEST driver-green
+# queries (last driver check r4 — the profile-function/text-analysis/dedup
+# classics — recomputed from the CORRECTNESS_r01-r10 union, oldest first,
+# registration-order tiebreak), for re-validation currency.  After a green
+# round 11 the never-driver-checked count returns to 0 and no standing
+# green is older than r4->r11.
+# Slots 51+: the round-10 window in its r10 order (all driver-green in
+# r10), then the prior rotations' order, then registration order.
 # Nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # === round-10 window, slots 1-31: the full never-driver-checked backlog
-    # (all round-9-session additions, staged at slots 51-81 during r9). ===
+    # === round-11 window, slots 1-19: the never-driver-checked queue
+    # (round-10-session additions, staged order preserved). ===
+    "t14c_bpe_fixed_merges",
+    "t26b_bpe_encode_fixed",
+    "t54_sparse_cosine_topk",
+    "dq16_trend_mann_kendall",
+    "r40_histogram_quantile",
+    "h30_incremental_histquant",
+    "g8_bfs_hops",
+    "dq17_sen_slope",
+    "fe6_feature_hashing",
+    "h31_incremental_postings",
+    "mart28_journey_transitions",
+    "h32_incremental_transitions",
+    "t56_pii_redaction",
+    "t57_intradoc_dedup",
+    "pipe14_curation_e2e",
+    "h33_incremental_trend",
+    "s32_lexical_dense_agreement",
+    "s33_cell_label_purity",
+    "dq18_completeness_matrix",
+    # === slots 20-50: the 31 OLDEST driver-green queries (last check
+    # r4, registration-order tiebreak), for re-validation currency. ===
+    "f7_f9_fix_dob",
+    "f8_unix_epoch",
+    "f10_gender_implicit",
+    "f4_lenient_cast",
+    "export_profile_pipeline",
+    "g1_g2_ist_dates",
+    "h3_incremental_scan",
+    "h5_change_feed_window",
+    "h4_cold_start_stats",
+    "t1_word_count",
+    "t2_token_stats",
+    "t3_lang_id",
+    "t4_quality",
+    "t5_fingerprint",
+    "t8_pii_redact",
+    "t9_repetition",
+    "t9b_repetition_hof",
+    "t10_sequence_pack",
+    "t11_chunk_spans",
+    "t12_deterministic_sample",
+    "s5_normalized_embeddings",
+    "s4_label_centroids",
+    "dd1_exact_dedup",
+    "dd2_dup_groups",
+    "dd3_minhash_near_dup",
+    "dd3b_minhash_rejoin",
+    "dd3c_minhash_materialized",
+    "dd7_dup_clusters",
+    "dd4_simhash",
+    "dd5_ngram_jaccard",
+    "dd6_cross_source",
+    # === slots 51+: the round-10 window in its r10 order (all
+    # driver-green in r10), then prior rotations, then registration
+    # order. ===
     "s29b_graph_ann_beam_lsh",
     "s2j_kmeans_lloyd_det",
     "s30_graph_recall_curve",
@@ -88,8 +142,6 @@ _WINDOW_PRIORITY = [
     "dd21_lsh_band_tradeoff",
     "mart27_ab_by_segment",
     "t53_token_burstiness",
-    # === slots 32-50: the 19 OLDEST driver-green queries (last driver check
-    # r4, registration-order tiebreak), for re-validation currency. ===
     "flagship_cdc_dedup",
     "flagship_cdc_dedup_skew",
     "sql_cte_dedup",
@@ -109,31 +161,6 @@ _WINDOW_PRIORITY = [
     "e5_identity_coalesce",
     "f5_mobile_sanity",
     "f6_modify_reward",
-    # === round-11 queue (slots 51+ head): round-10-session additions,
-    # four-checked locally (check_oracle sf0.01, 7-vs-32 stability sweep,
-    # bare-session rehearsal, rounding/LIMIT/type audits), never
-    # driver-checked — next rotation promotes these into slots 1-50. ===
-    "t14c_bpe_fixed_merges",
-    "t26b_bpe_encode_fixed",
-    "t54_sparse_cosine_topk",
-    "dq16_trend_mann_kendall",
-    "r40_histogram_quantile",
-    "h30_incremental_histquant",
-    "g8_bfs_hops",
-    "dq17_sen_slope",
-    "fe6_feature_hashing",
-    "h31_incremental_postings",
-    "mart28_journey_transitions",
-    "h32_incremental_transitions",
-    "t56_pii_redaction",
-    "t57_intradoc_dedup",
-    "pipe14_curation_e2e",
-    "h33_incremental_trend",
-    "s32_lexical_dense_agreement",
-    "s33_cell_label_purity",
-    "dq18_completeness_matrix",
-    # === then the round-9 window in its r9 order (all driver-green
-    # in r9). ===
     "t14b_bpe_learn",
     "t26_bpe_encode",
     "s2_lsh_topk",
@@ -184,8 +211,6 @@ _WINDOW_PRIORITY = [
     "w3_session",
     "s1_bruteforce_topk",
     "s1b_bruteforce_arrow",
-    # === then the round-8 window (all driver-green in r8), kept in its r8
-    # order; everything after keeps registration order. ===
     "fe2_multiwindow_features",
     "t39_tokenizer_fertility",
     "pipe10b_prep_funnel_materialized",

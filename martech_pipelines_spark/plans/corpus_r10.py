@@ -180,7 +180,8 @@ def t26b_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram postings are fully dense; trigrams give a ~27k-type sparse
 # space).  Similarity = cos^2 in e6 fixed point — cos^2 = dot^2/(na*nb)
 # is a MONOTONE transform of cosine on non-negative tf vectors and stays
-# in BIGINT arithmetic end to end (no sqrt, engine-exact).  The posting
+# in 128-bit integer arithmetic end to end (DECIMAL(38,0) Spark-side,
+# HUGEINT oracle-side; no sqrt, engine-exact for dot < ~3.2e15).  The posting
 # self-join is banded by trigram with a df cap (_T54_DF_CAP) — the
 # classic posting-prune that keeps pair work sum(df^2) bounded; the cap
 # is inactive on the testdata (max df ~25 at sf0.1) but is the documented
@@ -224,7 +225,8 @@ sym AS (
 ),
 scored AS (
   SELECT s.doc_id, s.nbr_id, s.dot,
-         CAST((1000000 * s.dot * s.dot) // (na.n2 * nb.n2) AS BIGINT)
+         CAST((1000000::HUGEINT * s.dot * s.dot)
+              // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
            AS cos2_e6
   FROM sym s
   JOIN norms na ON na.doc_id = s.doc_id
@@ -321,8 +323,18 @@ def sparse_topk_readout(tf: DataFrame) -> DataFrame:
             "nbr_id",
         )
         .withColumn(
+            # 128-bit arithmetic on BOTH sides (DECIMAL(38,0) here,
+            # HUGEINT in the oracle): long repetitive docs push dot past
+            # ~3e6, where 1e6*dot^2 overflows BIGINT — DuckDB would
+            # raise while pre-ANSI Spark wrapped silently (ADVICE r10).
+            # Exact while 1e6*dot^2 < 1e38 (dot < ~3.2e15; by
+            # Cauchy-Schwarz dot^2 <= na*nb, so equivalently
+            # na*nb < 1e32) — verified identical on both engines.
             "cos2_e6",
-            F.expr("(1000000 * dot * dot) div (__na * __nb)").cast("long"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)"
+                " div (CAST(__na AS DECIMAL(38,0)) * __nb) AS LONG)"
+            ),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -770,7 +782,11 @@ def dq17_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wm).alias("__m"),
     )
     return ranked.where(
-        F.col("__rn") == (F.col("__m") + 1) / 2
+        # Integer division (div), NOT `/`: Spark `/` is double division,
+        # so an even pair count (m+1 odd -> target x.5) would match no
+        # row and silently drop the event type (ADVICE r10, high).  The
+        # oracle's `//` is integer; `div` is its Spark twin.
+        F.col("__rn") == F.expr("(__m + 1) div 2")
     ).select(
         "event_type", F.col("__m").cast("long").alias("n_pairs"), "slope_e6"
     )

@@ -1427,6 +1427,60 @@ def read_kmv_state(
     return kmv_estimate(folded, key_col, k=k)
 
 
+def _read_range_markers(spark: SparkSession, state_path: str):
+    """Read the ordered-ingestion ``_range`` markers under a state root.
+
+    Returns ``(ranges, marker_ids, has_markers)`` — ``ranges`` is the
+    batch_id-sorted list of non-empty (batch_id, min_ts, max_ts) rows,
+    ``marker_ids`` the set of ALL marker batch_ids (including empty
+    micro-batches, whose min_ts is null), ``has_markers`` False only for
+    a genuinely marker-less (pre-r10) state root.
+
+    Only the missing-path AnalysisException is treated as "no markers"
+    (back-compat); any OTHER read failure — IO, permissions, corruption
+    — propagates, because silently disabling the guard is exactly the
+    failure the guard exists to prevent (ADVICE r10)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{state_path}/_range").collect()
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+            return [], set(), False
+        raise
+    ranges = sorted(
+        (r["batch_id"], r["min_ts"], r["max_ts"])
+        for r in rows
+        if r["min_ts"] is not None  # empty micro-batch: no events
+    )
+    return ranges, {r["batch_id"] for r in rows}, True
+
+
+def _assert_marker_coverage(
+    parts: DataFrame, marker_ids: set, has_markers: bool, what: str
+) -> None:
+    """Every state ``batch_id`` partition must have a ``_range`` marker
+    (unless the root predates markers entirely): the marker is written
+    BEFORE the state partition, so a state batch with no marker means
+    the root was assembled outside the apply path — refuse to fold it
+    rather than silently skip the ordered-ingestion check for that
+    batch (ADVICE r10).  An extra marker with no state partition is
+    harmless (a crash between the two writes; replay overwrites both)."""
+    if not has_markers:
+        return
+    state_ids = {
+        r["batch_id"] for r in parts.select("batch_id").distinct().collect()
+    }
+    missing = sorted(state_ids - marker_ids)
+    if missing:
+        raise ValueError(
+            f"{what} state batches {missing} have no _range marker — "
+            "the ordered-ingestion contract cannot be checked for them; "
+            "state must be written through the apply_*_batch path"
+        )
+
+
 def apply_journey_batch(
     batch_df: DataFrame, batch_id: int, state_path: str
 ) -> None:
@@ -1443,15 +1497,19 @@ def apply_journey_batch(
     contract instead of silently scrambling journeys (ADVICE r9)."""
     from martech_pipelines_spark.plans.corpus_r9b import journey_state
 
-    journey_state(batch_df).write.mode("overwrite").parquet(
-        f"{state_path}/batch_id={batch_id}"
-    )
+    # Marker FIRST (ADVICE r10): a crash between the two writes then
+    # leaves a marker with no state partition (harmless — replay
+    # overwrites both), never a state partition the read-side guard
+    # cannot check.
     (
         batch_df.agg(
             F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
         ).write.mode("overwrite").parquet(
             f"{state_path}/_range/batch_id={batch_id}"
         )
+    )
+    journey_state(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
     )
 
 
@@ -1500,16 +1558,7 @@ def read_journey_state(spark: SparkSession, state_path: str) -> DataFrame:
     accepted as-is for back-compat."""
     from martech_pipelines_spark.plans.corpus_r9b import journey_readout
 
-    try:
-        ranges = sorted(
-            (
-                (r["batch_id"], r["min_ts"], r["max_ts"])
-                for r in spark.read.parquet(f"{state_path}/_range").collect()
-                if r["min_ts"] is not None  # empty micro-batch: no events
-            ),
-        )
-    except Exception:  # pre-r10 state roots carry no _range markers
-        ranges = []
+    ranges, marker_ids, has_markers = _read_range_markers(spark, state_path)
     for (prev_id, _, prev_max), (next_id, next_min, _) in zip(
         ranges, ranges[1:]
     ):
@@ -1524,6 +1573,7 @@ def read_journey_state(spark: SparkSession, state_path: str) -> DataFrame:
             )
 
     parts = spark.read.parquet(state_path)
+    _assert_marker_coverage(parts, marker_ids, has_markers, "journey")
     state = parts.groupBy("user_id").agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.array_join(
@@ -1692,18 +1742,19 @@ def apply_transitions_batch(
         transition_cells,
     )
 
-    transition_cells(batch_df).write.mode("overwrite").parquet(
-        f"{state_path}/cells/batch_id={batch_id}"
-    )
-    transition_bounds(batch_df).write.mode("overwrite").parquet(
-        f"{state_path}/bounds/batch_id={batch_id}"
-    )
+    # Marker FIRST — see apply_journey_batch (ADVICE r10).
     (
         batch_df.agg(
             F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
         ).write.mode("overwrite").parquet(
             f"{state_path}/_range/batch_id={batch_id}"
         )
+    )
+    transition_cells(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/cells/batch_id={batch_id}"
+    )
+    transition_bounds(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/bounds/batch_id={batch_id}"
     )
 
 
@@ -1737,16 +1788,7 @@ def read_transitions_state(spark: SparkSession, state_path: str) -> DataFrame:
     probability report."""
     from martech_pipelines_spark.plans.corpus_r10 import transition_readout
 
-    try:
-        ranges = sorted(
-            (
-                (r["batch_id"], r["min_ts"], r["max_ts"])
-                for r in spark.read.parquet(f"{state_path}/_range").collect()
-                if r["min_ts"] is not None
-            ),
-        )
-    except Exception:  # state written without markers
-        ranges = []
+    ranges, marker_ids, has_markers = _read_range_markers(spark, state_path)
     for (prev_id, _, prev_max), (next_id, next_min, _) in zip(
         ranges, ranges[1:]
     ):
@@ -1759,6 +1801,15 @@ def read_transitions_state(spark: SparkSession, state_path: str) -> DataFrame:
             )
 
     bounds = spark.read.parquet(f"{state_path}/bounds")
+    _assert_marker_coverage(
+        spark.read.parquet(f"{state_path}/cells"),
+        marker_ids,
+        has_markers,
+        "transition cells",
+    )
+    _assert_marker_coverage(
+        bounds, marker_ids, has_markers, "transition bounds"
+    )
     apps = bounds.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(
