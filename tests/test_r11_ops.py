@@ -114,6 +114,74 @@ def test_t54_trigram_pipeline_big_tf(spark):
     ]
 
 
+def test_s13b_rayleigh_within_spectrum(spark):
+    """The link gate tying the integer power-iteration twin to the real
+    eigensolve (VERDICT r10 #4): since v_{t+1} = C v_t in fixed point,
+    the Rayleigh quotient (v2.v3)/(v2.v2) must lie inside the
+    covariance's eigenvalue range, and — C being PSD — must be
+    NON-DECREASING across rounds.  On the near-isotropic synthetic
+    corpus the top-eigenvector direction itself is ill-conditioned
+    (eigengap ~1e-3), so the spectrum/monotonicity invariants are the
+    honest gates; the arithmetic is pinned bit-exact by the oracle."""
+    import numpy as np
+
+    from martech_pipelines_spark.operators import linalg as LA
+    from martech_pipelines_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["s13b_power_iteration_det"](spark, sf).collect()
+    v = {t: np.array([r[f"v{t}"] for r in sorted(rows, key=lambda r: r["dim"])], dtype=float) for t in (1, 2, 3)}
+    r12 = (v[1] @ v[2]) / (v[1] @ v[1])
+    r23 = (v[2] @ v[3]) / (v[2] @ v[2])
+    emb = load_table(spark, sf, "embeddings")
+    cells = LA.embedding_covariance(
+        emb, "embedding", round_dp=6, id_col="vec_id"
+    ).collect()
+    d = max(r["j"] for r in cells) + 1
+    C = np.zeros((d, d))
+    for r in cells:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals = np.linalg.eigvalsh(C)
+    eps = 1e-4  # dp=6 cell rounding + fixed-point division noise
+    assert vals.min() - eps <= r12 <= vals.max() + eps
+    assert vals.min() - eps <= r23 <= vals.max() + eps
+    assert r23 >= r12 - eps, (r12, r23)
+
+
+def test_pipe6b_equals_pipe6(spark):
+    """pipe6b is pipe6 with an oracle bolted on — same merges, same
+    encode, same packing; the two must be row-for-row identical."""
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["pipe6_tokenize_pack"](spark, sf).collect()))
+    b = sorted(
+        map(tuple, QUERIES["pipe6b_tokenize_pack_oracled"](spark, sf).collect())
+    )
+    assert a == b and a
+
+
+def test_fixed_q_twins_query_set(spark):
+    """The fixed-|Q| twins must answer exactly 500 distinct queries at
+    every tier (the whole point: |Q| constant while the corpus scales),
+    and agree with the originals on the shared query ids."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        got = QUERIES["s8c3_pq_adc_fixedq"](spark, sf)
+        qids = {r["query_id"] for r in got.select("query_id").distinct().collect()}
+        assert len(qids) == 500, (sf, len(qids))
+    # overlap check at sf0.001: vec_id %10==0 AND <500 is shared
+    sf = "/root/testdata/sf0.001"
+    orig = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in QUERIES["s2i_ivfpq_deterministic_topk"](spark, sf).collect()
+        if r["query_id"] % 10 == 0 and r["query_id"] < 500
+    }
+    twin = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in QUERIES["s2i3_ivfpq_fixedq"](spark, sf).collect()
+        if r["query_id"] % 10 == 0
+    }
+    assert orig == twin and orig
+
+
 def _split_events(spark, sf="/root/testdata/sf0.001"):
     from martech_pipelines_spark.sources import load_table
 

@@ -107,6 +107,57 @@ def test_histquant_ivm_merge_equals_recompute_at_sf1(spark):
     assert inc == full and len(full) > 0
 
 
+def test_t54_df_cap_lever_holds_at_sf1(spark):
+    """VERDICT r10 #2: t54's pair work is sum(df^2) — superlinear in
+    corpus size while df grows with sf — and the df cap is the
+    documented lever.  Pin the lever's EFFECT, not just its existence:
+    at a cap that actually bites at sf1 (50; max df is 25 at sf0.1 and
+    250 at sf1), the exact posting-pair count must grow no faster than
+    linearly sf0.1 -> sf1, while the uncapped count demonstrates the
+    quadratic it prevents, and the capped kernel's wall-clock stays far
+    under the uncapped form's ~50 s BENCH_sf1 reading."""
+    import time
+
+    from martech_pipelines_spark.plans.corpus_r10 import (
+        posting_pair_count,
+        sparse_topk_readout,
+        trigram_tf_state,
+    )
+    from martech_pipelines_spark.sources import load_table
+
+    cap = 50
+    tf01 = trigram_tf_state(
+        load_table(spark, "/root/testdata/sf0.1", "documents")
+    )
+    tf1 = trigram_tf_state(load_table(spark, SF1_DIR, "documents"))
+    capped01, capped1 = (
+        posting_pair_count(tf01, cap),
+        posting_pair_count(tf1, cap),
+    )
+    uncapped01, uncapped1 = (
+        posting_pair_count(tf01, 10**9),
+        posting_pair_count(tf1, 10**9),
+    )
+    # 10x the docs: capped pair work must stay within the linear budget
+    assert capped1 <= 10 * capped01, (
+        f"df cap {cap} did not hold pair work to linear growth: "
+        f"{capped01} -> {capped1} at 10x data"
+    )
+    # ... while the uncapped form shows the superlinearity it prevents
+    assert uncapped1 > 20 * uncapped01, (
+        "uncapped pair work no longer superlinear — the lever test has "
+        f"lost its teeth ({uncapped01} -> {uncapped1}); re-derive the cap"
+    )
+    t0 = time.perf_counter()
+    n = sparse_topk_readout(tf1, df_cap=cap).count()
+    capped_wall = time.perf_counter() - t0
+    assert n > 0
+    assert capped_wall < 20.0, (
+        f"capped kernel took {capped_wall:.1f}s at sf1 — the cap is not "
+        "reaching the self-join"
+    )
+
+
 def test_postings_ivm_union_equals_recompute_at_sf1(spark):
     """t54/h31 live at 10x: the inverted-index readout off two unioned
     doc-batch states must equal the full recompute — index maintenance

@@ -172,6 +172,15 @@ HEAVY = [
     "t54_sparse_cosine_topk",
     "g8_bfs_hops",
     "mart22_rfm_scores",
+    # round-11 (VERDICT r10 #3): the fixed-|Q| PQ/IVFPQ twins — THESE
+    # are the rows that read engine scaling (|Q|=500 at both sf0.1 and
+    # sf1; the s8c/s2i originals stay for the correctness anchor), plus
+    # the power-iteration PCA check (covariance reduce is the scaling
+    # stage) and the fully-oracled tokenize-pack pipeline
+    "s8c3_pq_adc_fixedq",
+    "s2i3_ivfpq_fixedq",
+    "s13b_power_iteration_det",
+    "pipe6b_tokenize_pack_oracled",
 ]
 N_RUNS = 2
 
