@@ -212,6 +212,16 @@ HEADLINE = [
     "s2i3_ivfpq_fixedq",
     "s13b_power_iteration_det",
     "pipe6b_tokenize_pack_oracled",
+    # round-11 wave 2: k-center coreset selection, mutual-kNN pairs,
+    # the contamination-width curve, Markov top-1 readout, two new IVM
+    # twins (feature hashing, completeness matrix), IQR outlier days
+    "s35_kcenter_greedy_det",
+    "s36_mutual_sparse_knn",
+    "t58_contamination_curve",
+    "mart29_markov_top1",
+    "h34_incremental_feature_hashing",
+    "h35_incremental_completeness",
+    "dq19_iqr_outlier_days",
 ]
 
 

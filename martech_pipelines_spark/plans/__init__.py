@@ -36,6 +36,7 @@ from martech_pipelines_spark.plans import corpus_r9c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r9d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r10  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r11b  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 11 rotation — VERDICT r10 "Next round" #1).
@@ -116,6 +117,13 @@ _WINDOW_PRIORITY = [
     "s2i3_ivfpq_fixedq",
     "s13b_power_iteration_det",
     "pipe6b_tokenize_pack_oracled",
+    "s35_kcenter_greedy_det",
+    "s36_mutual_sparse_knn",
+    "t58_contamination_curve",
+    "mart29_markov_top1",
+    "h34_incremental_feature_hashing",
+    "h35_incremental_completeness",
+    "dq19_iqr_outlier_days",
     # === then the round-10 window in its r10 order (all driver-green
     # in r10), then prior rotations, then registration order. ===
     "s29b_graph_ann_beam_lsh",

@@ -1589,6 +1589,52 @@ def read_journey_state(spark: SparkSession, state_path: str) -> DataFrame:
     return journey_readout(state)
 
 
+def apply_feature_hash_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One fold of ``streaming_feature_hash_maintenance``: reduce the
+    micro-batch to signed (doc, slot) cells (fe6's fold unit, no
+    zero-filter) and land them as ``batch_id={N}`` with OVERWRITE
+    (replay = idempotent, the card/KMV/journey convention).  Cells are
+    fully additive — no ordering or doc-partitioning contract at all,
+    the easiest IVM family."""
+    from martech_pipelines_spark.plans.corpus_r11b import feature_hash_state
+
+    feature_hash_state(batch_df).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_feature_hash_maintenance(
+    docs_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain fe6's hashed-feature cells from a document
+    stream — h34's streaming twin: per-batch signed cells are additive,
+    so the readout off folded state equals the batch fe6 over the same
+    documents (pinned in test_streaming).  Batches may arrive in any
+    order."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_feature_hash_batch(batch_df, batch_id, state_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_feature_hash_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """fe6 readout over the per-batch cell state: sum per (doc, slot),
+    drop zero-sum cells."""
+    from martech_pipelines_spark.plans.corpus_r11b import feature_hash_readout
+
+    return feature_hash_readout(
+        spark.read.parquet(state_path).select("doc_id", "slot", "weight")
+    )
+
+
 def apply_slo_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
     """One fold of ``streaming_slo_maintenance``: reduce the micro-batch
     to per-day (n_events, n_errors) counter cells and land them as the

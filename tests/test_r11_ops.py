@@ -27,7 +27,8 @@ def _write_events(spark, root, day_counts):
             rows.append(
                 (
                     eid,
-                    datetime.datetime(2024, 1, 1 + day, 12, 0, i),
+                    datetime.datetime(2024, 1, 1 + day, 12, 0, 0)
+                    + datetime.timedelta(seconds=i),
                     100 + i,
                     "x",
                     1.0,
@@ -180,6 +181,162 @@ def test_fixed_q_twins_query_set(spark):
         if r["query_id"] % 10 == 0
     }
     assert orig == twin and orig
+
+
+def test_s35_kcenter_greedy_invariant(spark):
+    """The defining greedy-k-center property: every later center was
+    the farthest point from the set chosen before it, so the minimum
+    pairwise distance BETWEEN chosen centers is >= the maximum assigned
+    distance of any point (the 2-approximation's working part).  Plus a
+    numpy replication at sf0.001 for row-for-row equality."""
+    import numpy as np
+
+    from martech_pipelines_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["s35_kcenter_greedy_det"](spark, sf).collect()
+    by_rank = {}
+    for r in rows:
+        by_rank.setdefault(r["center_rank"], set()).add(r["center_id"])
+    assert set(by_rank) == {1, 2, 3}
+    centers = {r["center_id"] for r in rows}
+    assert len(centers) == 3
+    # numpy replication
+    emb = {
+        r["vec_id"]: np.floor(
+            np.array(r["embedding"], dtype=float) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    d2 = lambda a, b: int(((emb[a] - emb[b]) ** 2).sum())
+    chosen = [min(ids)]
+    dmin = {v: d2(v, chosen[0]) for v in ids}
+    for _ in range(2):
+        nxt = max(ids, key=lambda v: (dmin[v], -v))
+        chosen.append(nxt)
+        for v in ids:
+            dmin[v] = min(dmin[v], d2(v, nxt))
+    want = {}
+    for v in ids:
+        best = min(
+            range(3), key=lambda i: (d2(v, chosen[i]), i)
+        )
+        want[v] = (best + 1, chosen[best], d2(v, chosen[best]))
+    got = {r["vec_id"]: (r["center_rank"], r["center_id"], r["d2"]) for r in rows}
+    assert got == want
+    # greedy radius invariant
+    max_assigned = max(r["d2"] for r in rows)
+    min_center_pair = min(
+        d2(a, b) for a in chosen for b in chosen if a < b
+    )
+    assert min_center_pair >= max_assigned
+
+
+def test_t58_curve_monotone_and_matches_dd9(spark):
+    """A shared 12-token window contains shared 8- and 4-token windows,
+    so the contamination count must be non-increasing in w; and the w=8
+    row must agree with dd9's audit on the same split."""
+    sf = "/root/testdata/sf0.01"
+    rows = {r["w"]: r for r in QUERIES["t58_contamination_curve"](spark, sf).collect()}
+    assert set(rows) == {4, 8, 12}
+    assert (
+        rows[4]["n_contaminated"]
+        >= rows[8]["n_contaminated"]
+        >= rows[12]["n_contaminated"]
+    )
+    dd9 = QUERIES["dd9_decontaminate"](spark, sf).collect()
+    n_contam_8 = sum(1 for r in dd9 if r["contaminated"])
+    assert rows[8]["n_contaminated"] == n_contam_8
+    assert rows[8]["n_train"] == len(dd9)
+
+
+def test_s36_mutual_pairs_are_symmetric_topk(spark):
+    """Every mutual pair must appear in BOTH directions of the t54
+    top-k edge set, and every such symmetric edge must be reported
+    exactly once (a < b)."""
+    from martech_pipelines_spark.plans.corpus_r10 import (
+        sparse_topk_readout,
+        trigram_tf_state,
+    )
+    from martech_pipelines_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    topk = {
+        (r["doc_id"], r["nbr_id"])
+        for r in sparse_topk_readout(trigram_tf_state(docs)).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["s36_mutual_sparse_knn"](spark, sf).collect()
+    }
+    want = {(a, b) for (a, b) in topk if (b, a) in topk and a < b}
+    assert got == want and got
+
+
+def test_h34_h35_equal_their_batch_forms(spark):
+    """The IVM twins must render byte-identical to their batch
+    queries (the merge==recompute proof, pinned locally on top of the
+    shared driver oracle)."""
+    sf = "/root/testdata/sf0.001"
+    for inc, batch in (
+        ("h34_incremental_feature_hashing", "fe6_feature_hashing"),
+        ("h35_incremental_completeness", "dq18_completeness_matrix"),
+    ):
+        a = sorted(map(tuple, QUERIES[inc](spark, sf).collect()))
+        b = sorted(map(tuple, QUERIES[batch](spark, sf).collect()))
+        assert a == b and a, inc
+
+
+def test_dq19_hand_outlier(spark, tmp_path):
+    """Planted spike: 11 quiet days (counts 4..6) and one 100-count
+    day — the fences must flag exactly the spike.  n=12 ->
+    q1 = rank (12+3) div 4 = 3, q3 = rank (36+3) div 4 = 9."""
+    counts = [4, 5, 6, 4, 5, 6, 4, 5, 6, 4, 5, 100]
+    root = str(tmp_path / "sf_dq19")
+    _write_events(spark, root, counts)
+    got = QUERIES["dq19_iqr_outlier_days"](spark, root).collect()
+    assert len(got) == 1
+    r = got[0]
+    srt = sorted(counts)
+    assert (r["q1"], r["q3"]) == (srt[2], srt[8])
+    assert r["n_days"] == 12 and r["n_outlier_days"] == 1
+
+
+def test_streaming_feature_hash_matches_batch(spark, tmp_path):
+    """h34's streaming twin: per-batch signed cells folded at read time
+    must equal the batch fe6 over the same documents."""
+    from martech_pipelines_spark.sources import load_table
+    from martech_pipelines_spark.sources.schemas import SCHEMAS
+    from martech_pipelines_spark.streaming.stream import (
+        read_feature_hash_state,
+        streaming_feature_hash_maintenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    d = tmp_path / "docs_fh_stream"
+    d.mkdir()
+    docs.write.mode("overwrite").parquet(str(d))
+    doc_stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(d))
+    )
+    state = str(tmp_path / "fh_state")
+    q = streaming_feature_hash_maintenance(
+        doc_stream, state, str(tmp_path / "fh_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, read_feature_hash_state(spark, state).collect()))
+    want = sorted(
+        map(tuple, QUERIES["fe6_feature_hashing"](spark, sf).collect())
+    )
+    assert got == want and got
 
 
 def _split_events(spark, sf="/root/testdata/sf0.001"):

@@ -181,6 +181,11 @@ HEAVY = [
     "s2i3_ivfpq_fixedq",
     "s13b_power_iteration_det",
     "pipe6b_tokenize_pack_oracled",
+    # round-11 wave 2 heavies: k-center (k corpus passes), mutual-kNN
+    # (t54 kernel + edge self-join), the 3-width contamination sweep
+    "s35_kcenter_greedy_det",
+    "s36_mutual_sparse_knn",
+    "t58_contamination_curve",
 ]
 N_RUNS = 2
 
