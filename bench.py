@@ -222,6 +222,10 @@ HEADLINE = [
     "h34_incremental_feature_hashing",
     "h35_incremental_completeness",
     "dq19_iqr_outlier_days",
+    # round-11 wave 3: postings deletion maintenance, multi-seed
+    # harmonic closeness
+    "h36_postings_delete_ivm",
+    "g9_harmonic_closeness",
 ]
 
 

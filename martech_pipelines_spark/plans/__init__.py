@@ -37,6 +37,7 @@ from martech_pipelines_spark.plans import corpus_r9d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r10  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11b  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r11c  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 11 rotation — VERDICT r10 "Next round" #1).
@@ -124,6 +125,8 @@ _WINDOW_PRIORITY = [
     "h34_incremental_feature_hashing",
     "h35_incremental_completeness",
     "dq19_iqr_outlier_days",
+    "h36_postings_delete_ivm",
+    "g9_harmonic_closeness",
     # === then the round-10 window in its r10 order (all driver-green
     # in r10), then prior rotations, then registration order. ===
     "s29b_graph_ann_beam_lsh",

@@ -339,6 +339,68 @@ def test_streaming_feature_hash_matches_batch(spark, tmp_path):
     assert got == want and got
 
 
+def test_h36_delete_equals_recompute(spark):
+    """Deletion maintenance must equal the ground-up recompute over the
+    surviving docs (the merge==recompute proof, delete direction)."""
+    from martech_pipelines_spark.plans.corpus_r10 import (
+        sparse_topk_readout,
+        trigram_tf_state,
+    )
+    from martech_pipelines_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    survivors = docs.where(F.col("doc_id") % 7 != 0)
+    want = sorted(
+        map(tuple, sparse_topk_readout(trigram_tf_state(survivors)).collect())
+    )
+    got = sorted(
+        map(tuple, QUERIES["h36_postings_delete_ivm"](spark, sf).collect())
+    )
+    assert got == want and got
+
+
+def test_g9_hand_graph_and_g8_consistency(spark):
+    """Hand path graph a-b-c-d: from seed a, harmonic over 3 hops =
+    1/1 + 1/2 + 1/3 -> e6 half-up 1000000 + 500000 + 333333.  And on
+    the real co-purchase graph, a single-seed run of the multi-seed
+    kernel must reproduce g8's bfs_hops_rounds distances."""
+    from martech_pipelines_spark.operators import graph as G
+    from martech_pipelines_spark.plans.corpus_r11c import multi_seed_bfs
+    from martech_pipelines_spark.sources import load_table
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    dist = multi_seed_bfs(edges, seeds, rounds=3)
+    harm = sum(
+        (2000000 + r["hops"]) // (2 * r["hops"])
+        for r in dist.collect()
+        if r["hops"] > 0
+    )
+    assert harm == 1000000 + 500000 + 333333
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    e = G.copurchase_edges(li)
+    seed1 = (
+        e.groupBy("src").agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("src")).limit(1)
+        .select(F.col("src").alias("seed"))
+    )
+    multi = {
+        r["node"]: r["hops"]
+        for r in multi_seed_bfs(e, seed1, rounds=4).collect()
+    }
+    single = {
+        r["node"]: r["hops"]
+        for r in G.bfs_hops_rounds(
+            e, seed1.select(F.col("seed").alias("node")), rounds=4
+        ).collect()
+    }
+    assert multi == single and multi
+
+
 def _split_events(spark, sf="/root/testdata/sf0.001"):
     from martech_pipelines_spark.sources import load_table
 

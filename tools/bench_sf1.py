@@ -186,6 +186,9 @@ HEAVY = [
     "s35_kcenter_greedy_det",
     "s36_mutual_sparse_knn",
     "t58_contamination_curve",
+    # round-11 wave 3: the delete-maintenance readout runs the full t54
+    # kernel on the surviving corpus — carries t54's df^2 note
+    "h36_postings_delete_ivm",
 ]
 N_RUNS = 2
 
