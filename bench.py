@@ -226,6 +226,12 @@ HEADLINE = [
     # harmonic closeness
     "h36_postings_delete_ivm",
     "g9_harmonic_closeness",
+    # round-11 wave 4: lang-ID confusion audit, star-schema key audit,
+    # outlier-days IVM twin, exact-quota stratified holdout
+    "t60_langid_confusion",
+    "dq20_key_uniqueness",
+    "h37_incremental_outlier_days",
+    "pipe15_stratified_holdout",
 ]
 
 

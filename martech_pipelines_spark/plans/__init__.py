@@ -38,6 +38,7 @@ from martech_pipelines_spark.plans import corpus_r10  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11c  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r11d  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 11 rotation — VERDICT r10 "Next round" #1).
@@ -127,6 +128,10 @@ _WINDOW_PRIORITY = [
     "dq19_iqr_outlier_days",
     "h36_postings_delete_ivm",
     "g9_harmonic_closeness",
+    "t60_langid_confusion",
+    "dq20_key_uniqueness",
+    "h37_incremental_outlier_days",
+    "pipe15_stratified_holdout",
     # === then the round-10 window in its r10 order (all driver-green
     # in r10), then prior rotations, then registration order. ===
     "s29b_graph_ann_beam_lsh",

@@ -401,6 +401,97 @@ def test_g9_hand_graph_and_g8_consistency(spark):
     assert multi == single and multi
 
 
+def test_t60_confusion_shares_fold_to_totals(spark):
+    """Per declared tag, cell counts must sum to the tag total and the
+    e6 shares to ~1e6 (half-up rounding: within |cells| of exact); the
+    prediction marginals must equal t3's prediction counts."""
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["t60_langid_confusion"](spark, sf).collect()
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["lang"], []).append(r)
+    for tag, cells in by_tag.items():
+        assert sum(c["n"] for c in cells) == cells[0]["n_tagged"]
+        total_share = sum(c["share_e6"] for c in cells)
+        assert abs(total_share - 1_000_000) <= len(cells), (tag, total_share)
+    pred_marginal = Counter()
+    for r in rows:
+        pred_marginal[r["lang_pred"]] += r["n"]
+    t3 = Counter(
+        r["lang_pred"] for r in QUERIES["t3_lang_id"](spark, sf).collect()
+    )
+    assert pred_marginal == t3
+
+
+def test_dq20_clean_testdata_and_planted_dup(spark, tmp_path):
+    """The audit's first run found a REAL testdata property: the
+    synthetic generator does not enforce TPC-H's composite
+    (l_orderkey, l_linenumber) uniqueness (4599 distinct of 6000 rows
+    at sf0.001) — exactly the class of silent assumption the audit
+    exists to surface.  Pin that finding (so a generator change shows
+    up here) and that every single-column key IS clean."""
+    sf = "/root/testdata/sf0.001"
+    rows = {r["table_name"]: r for r in QUERIES["dq20_key_uniqueness"](spark, sf).collect()}
+    assert len(rows) == 10
+    for t, r in rows.items():
+        if t == "lineitem":
+            assert not r["key_ok"] and r["n_distinct_keys"] < r["n_rows"]
+        else:
+            assert r["key_ok"], t
+    assert all(r["n_null_keys"] == 0 for r in rows.values())
+
+    # planted defect: one duplicated event_id and one null key must
+    # flip the audit's per-table math (key_ok = unique AND not-null)
+    ev = spark.createDataFrame(
+        [(1,), (2,), (2,), (None,)], "event_id long"
+    )
+    r = (
+        ev.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("event_id").alias("n_distinct"),
+            F.sum(F.col("event_id").isNull().cast("int")).alias("n_null"),
+        )
+        .select(
+            (
+                (F.col("n_rows") == F.col("n_distinct"))
+                & (F.col("n_null") == 0)
+            ).alias("key_ok"),
+            "n_rows",
+            "n_distinct",
+            "n_null",
+        )
+        .first()
+    )
+    assert (r["key_ok"], r["n_rows"], r["n_distinct"], r["n_null"]) == (
+        False,
+        4,
+        2,
+        1,
+    )
+
+
+def test_h37_equals_dq19(spark):
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["h37_incremental_outlier_days"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES["dq19_iqr_outlier_days"](spark, sf).collect()))
+    assert a == b and a
+
+
+def test_pipe15_exact_quota_and_determinism(spark):
+    """Per source: n_val == floor(20% * n_docs) EXACTLY (the quota the
+    fixed-bucket t12 cannot guarantee), counts fold, and a re-run is
+    byte-identical (hash membership, no RNG)."""
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["pipe15_stratified_holdout"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES["pipe15_stratified_holdout"](spark, sf).collect()))
+    assert a == b and a
+    for (_, n_docs, n_val, n_train, _sum) in a:
+        assert n_val == n_docs * 20 // 100
+        assert n_val + n_train == n_docs
+
+
 def _split_events(spark, sf="/root/testdata/sf0.001"):
     from martech_pipelines_spark.sources import load_table
 
