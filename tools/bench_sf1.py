@@ -189,6 +189,12 @@ HEAVY = [
     # round-11 wave 3: the delete-maintenance readout runs the full t54
     # kernel on the surviving corpus — carries t54's df^2 note
     "h36_postings_delete_ivm",
+    # round-11 wave 4: full-corpus scans worth a 10x row (confusion
+    # audit = codegen scoring pass; key audit = per-table agg sweep;
+    # holdout = source-keyed window over 10x docs)
+    "t60_langid_confusion",
+    "dq20_key_uniqueness",
+    "pipe15_stratified_holdout",
 ]
 N_RUNS = 2
 
