@@ -232,6 +232,8 @@ HEADLINE = [
     "dq20_key_uniqueness",
     "h37_incremental_outlier_days",
     "pipe15_stratified_holdout",
+    # round-11 wave 5: the sparse-retrieval maintenance triangle closer
+    "h38_incremental_mutual_knn",
 ]
 
 

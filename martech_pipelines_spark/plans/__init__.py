@@ -39,6 +39,7 @@ from martech_pipelines_spark.plans import corpus_r11  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11d  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r11e  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 11 rotation — VERDICT r10 "Next round" #1).
@@ -112,7 +113,7 @@ _WINDOW_PRIORITY = [
     "dd4_simhash",
     "dd5_ngram_jaccard",
     "dd6_cross_source",
-    # === round-12 queue (slots 51-54 head): round-11-session additions,
+    # === round-12 queue (slots 51-68 head): round-11-session additions,
     # four-checked locally, never driver-checked — next rotation
     # promotes these into slots 1-50. ===
     "s8c3_pq_adc_fixedq",
@@ -132,6 +133,7 @@ _WINDOW_PRIORITY = [
     "dq20_key_uniqueness",
     "h37_incremental_outlier_days",
     "pipe15_stratified_holdout",
+    "h38_incremental_mutual_knn",
     # === then the round-10 window in its r10 order (all driver-green
     # in r10), then prior rotations, then registration order. ===
     "s29b_graph_ann_beam_lsh",

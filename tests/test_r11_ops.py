@@ -592,3 +592,13 @@ def test_transitions_state_missing_marker_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no _range marker"):
         read_transitions_state(spark, root).collect()
+
+
+def test_h38_equals_s36(spark):
+    """The composed mutual-kNN readout off three-way-split maintained
+    state must equal the batch s36 (the IVM proof for a rank+join
+    consumer, not just a first-order rank)."""
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["h38_incremental_mutual_knn"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES["s36_mutual_sparse_knn"](spark, sf).collect()))
+    assert a == b and a
