@@ -195,6 +195,7 @@ HEAVY = [
     "t60_langid_confusion",
     "dq20_key_uniqueness",
     "pipe15_stratified_holdout",
+    "h38_incremental_mutual_knn",
 ]
 N_RUNS = 2
 
