@@ -42,25 +42,80 @@ from martech_pipelines_spark.plans import corpus_r11d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11e  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering (round 11 rotation — VERDICT r10 "Next round" #1).
+# Driver-window ordering (round 12 rotation — VERDICT r11 "Next round" #1).
 #
 # The correctness driver hashes only the FIRST 50 entries of queries() each
-# round.  Round-11 window: slots 1-19 are the ENTIRE never-driver-checked
-# queue (the round-10-session additions, staged at slots 51-69 last round,
-# every one four-checked at introduction AND independently oracle-verified
-# green by the r10 judge); slots 20-50 are the 31 OLDEST driver-green
-# queries (last driver check r4 — the profile-function/text-analysis/dedup
-# classics — recomputed from the CORRECTNESS_r01-r10 union, oldest first,
+# round.  Round-12 window: slots 1-18 are the ENTIRE never-driver-checked
+# queue (round-11-session additions, staged at slots 51-68 last round, every
+# one four-checked at introduction; the r11 judge spot-ran 6/6 green); slots
+# 19-50 are the 32 OLDEST driver-green queries (last driver check r5 —
+# recomputed from the CORRECTNESS_r01-r11 union, oldest first,
 # registration-order tiebreak), for re-validation currency.  After a green
-# round 11 the never-driver-checked count returns to 0 and no standing
-# green is older than r4->r11.
-# Slots 51+: the round-10 window in its r10 order (all driver-green in
-# r10), then the prior rotations' order, then registration order.
+# round 12 the never-driver-checked count returns to the 13 permanent
+# rows-only forms and no standing green is older than r5->r12.
+# Slots 51+: the round-11 window in its r11 order (all driver-green in
+# r11), then the prior rotations' order, then registration order.
 # Nothing is removed.
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
-    # === round-11 window, slots 1-19: the never-driver-checked queue
-    # (round-10-session additions, staged order preserved). ===
+    # === round-12 window, slots 1-18: the never-driver-checked queue
+    # (round-11-session additions, staged order preserved). ===
+    "s8c3_pq_adc_fixedq",
+    "s2i3_ivfpq_fixedq",
+    "s13b_power_iteration_det",
+    "pipe6b_tokenize_pack_oracled",
+    "s35_kcenter_greedy_det",
+    "s36_mutual_sparse_knn",
+    "t58_contamination_curve",
+    "mart29_markov_top1",
+    "h34_incremental_feature_hashing",
+    "h35_incremental_completeness",
+    "dq19_iqr_outlier_days",
+    "h36_postings_delete_ivm",
+    "g9_harmonic_closeness",
+    "t60_langid_confusion",
+    "dq20_key_uniqueness",
+    "h37_incremental_outlier_days",
+    "pipe15_stratified_holdout",
+    "h38_incremental_mutual_knn",
+    # === slots 19-50: the 32 OLDEST driver-green queries (last check
+    # r5, registration-order tiebreak), for re-validation currency. ===
+    "mart8_time_decay_attribution",
+    "t30_countmin",
+    "h12_incremental_histogram",
+    "mart9_transition_matrix",
+    "r21_order_streaks",
+    "s11_mips_topk",
+    "dd13_bloom_prefilter",
+    "w5_click_purchase_join",
+    "r22_asof_join",
+    "r23_campaign_range_join",
+    "r24_cube",
+    "r25_pivot",
+    "r26_group_linreg",
+    "t31_classifier_auc",
+    "g1_pagerank_copurchase",
+    "fe1_pit_features",
+    "s14_negative_sampling",
+    "r27_unpivot",
+    "mart10_basket_affinity",
+    "pipe7_propensity_training_set",
+    "r28_cumulative_reach",
+    "h13_incremental_reach",
+    "mart11_audience_overlap",
+    "pipe8_entity_resolution",
+    "h14_incremental_scd2",
+    "mart12_top_paths",
+    "a9_jsonl_scan",
+    "mart13_rfm",
+    "h15_incremental_baskets",
+    "dq5_erasure_audit",
+    "pipe9_campaign_report",
+    "r29_exact_percentiles",
+    # === round-13 queue (slots 51+ head): round-12-session additions
+    # are inserted here as they pass the four-check gate. ===
+    # === then the round-11 window in its r11 order (all driver-green
+    # in r11), then prior rotations, then registration order. ===
     "t14c_bpe_fixed_merges",
     "t26b_bpe_encode_fixed",
     "t54_sparse_cosine_topk",
@@ -80,8 +135,6 @@ _WINDOW_PRIORITY = [
     "s32_lexical_dense_agreement",
     "s33_cell_label_purity",
     "dq18_completeness_matrix",
-    # === slots 20-50: the 31 OLDEST driver-green queries (last check
-    # r4, registration-order tiebreak), for re-validation currency. ===
     "f7_f9_fix_dob",
     "f8_unix_epoch",
     "f10_gender_implicit",
@@ -113,29 +166,6 @@ _WINDOW_PRIORITY = [
     "dd4_simhash",
     "dd5_ngram_jaccard",
     "dd6_cross_source",
-    # === round-12 queue (slots 51-68 head): round-11-session additions,
-    # four-checked locally, never driver-checked — next rotation
-    # promotes these into slots 1-50. ===
-    "s8c3_pq_adc_fixedq",
-    "s2i3_ivfpq_fixedq",
-    "s13b_power_iteration_det",
-    "pipe6b_tokenize_pack_oracled",
-    "s35_kcenter_greedy_det",
-    "s36_mutual_sparse_knn",
-    "t58_contamination_curve",
-    "mart29_markov_top1",
-    "h34_incremental_feature_hashing",
-    "h35_incremental_completeness",
-    "dq19_iqr_outlier_days",
-    "h36_postings_delete_ivm",
-    "g9_harmonic_closeness",
-    "t60_langid_confusion",
-    "dq20_key_uniqueness",
-    "h37_incremental_outlier_days",
-    "pipe15_stratified_holdout",
-    "h38_incremental_mutual_knn",
-    # === then the round-10 window in its r10 order (all driver-green
-    # in r10), then prior rotations, then registration order. ===
     "s29b_graph_ann_beam_lsh",
     "s2j_kmeans_lloyd_det",
     "s30_graph_recall_curve",
