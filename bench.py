@@ -234,6 +234,11 @@ HEADLINE = [
     "pipe15_stratified_holdout",
     # round-11 wave 5: the sparse-retrieval maintenance triangle closer
     "h38_incremental_mutual_knn",
+    # round-12: s32's fixed-|Q| + pinned-df-cap scale twin (closes the
+    # last %-of-corpus brute-force term) and the deterministic-HLL
+    # register maintenance twin (the h7 family's full-oracle promotion)
+    "s32b_lexical_dense_agreement_fixedq",
+    "h7b_incremental_hll_registers",
 ]
 
 

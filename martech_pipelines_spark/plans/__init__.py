@@ -40,6 +40,7 @@ from martech_pipelines_spark.plans import corpus_r11b  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11c  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11d  # noqa: F401  (registers)
 from martech_pipelines_spark.plans import corpus_r11e  # noqa: F401  (registers)
+from martech_pipelines_spark.plans import corpus_r12  # noqa: F401  (registers)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (round 12 rotation — VERDICT r11 "Next round" #1).
@@ -114,6 +115,8 @@ _WINDOW_PRIORITY = [
     "r29_exact_percentiles",
     # === round-13 queue (slots 51+ head): round-12-session additions
     # are inserted here as they pass the four-check gate. ===
+    "s32b_lexical_dense_agreement_fixedq",
+    "h7b_incremental_hll_registers",
     # === then the round-11 window in its r11 order (all driver-green
     # in r11), then prior rotations, then registration order. ===
     "t14c_bpe_fixed_merges",

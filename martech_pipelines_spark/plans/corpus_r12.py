@@ -1,0 +1,279 @@
+"""Round-12 corpus: the r11 VERDICT directives as oracle-checked queries.
+
+- ``s32b_lexical_dense_agreement_fixedq`` — s32's fixed-|Q| scale twin
+  (VERDICT r11 "What's wrong" #1 / "Next round" #2): s32's query set is
+  10% of the corpus (``vec_id % 10 == 0``) feeding brute-force dense
+  cosine, i.e. |Q|*corpus pair work that is workload-quadratic BY
+  CONSTRUCTION — the exact pattern the s8c3/s2i3 fixed-|Q| twins exist
+  to kill — and its sparse side ran at the inactive df cap.  This twin
+  pins |Q| = 500 at every sf (``vec_id < 500`` — sequential ids from 0
+  at every shipped tier, sf1 synthesis keeps copy 0's ids) and runs the
+  sparse side at the PINNED df cap (50, the lever the live sf1 gate
+  measured at 1.95x capped pair work vs 109x uncapped).  Oracle derived
+  from s32's by predicate swap only, assert-guarded (the s8c3 pattern).
+  s32 stays registered as the correctness anchor.
+
+- ``h7b_incremental_hll_registers`` — the HLL register algebra itself,
+  value-checked (VERDICT r11 "Next round" #4): h7/r3b/r31b are
+  rows-only because production HLL state is engine-specific; r3c/h24
+  oracled the KMV *estimator* family but the HLL family's own state
+  algebra was still pytest-only.  This twin builds deterministic HLL
+  registers (m=32, md5-derived 32-bit hashes, rho via exact bit-length
+  — no floats anywhere), maintains them incrementally (watermark split,
+  elementwise-max merge), and hash-checks the full register table plus
+  an integer raw-estimate column against a DuckDB recompute from the
+  whole log.  merge(sketch(A), sketch(B)) == sketch(A∪B) is now
+  engine-exact, not just pytest-gated.
+
+Reference anchor: both extend SURVEY.md §2.J/§7.3 north-star surface
+(hybrid-retrieval eval, streaming distinct-count maintenance); the
+reference's compute layer (martech_pipelines/tasks/user_profile/
+clevertap.py) has no analog — these are the LLM-data-pipeline
+extensions the build plan prescribes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.plans.corpus import q
+from martech_pipelines_spark.plans.corpus_r10 import (
+    _S32_ORACLE,
+    sparse_topk_readout,
+    trigram_tf_state,
+)
+from martech_pipelines_spark.sources import load_table
+
+# =============================================================================
+# s32b: lexical-vs-dense agreement, fixed |Q| + pinned df cap
+# =============================================================================
+
+_S32B_FIXQ = 500     # |Q| at EVERY sf (s8c3's pinning: ids sequential from 0)
+_S32B_DF_CAP = 50    # the pinned posting-prune lever (posting_pair_count's
+                     # live sf1 gate: 1.95x capped pair work vs 109x uncapped)
+
+_S32B_ORACLE = (
+    _S32_ORACLE
+    .replace("vec_id % 10 = 0", f"vec_id < {_S32B_FIXQ}")
+    .replace("doc_id % 10 = 0", f"doc_id < {_S32B_FIXQ}")
+    .replace("df BETWEEN 2 AND 1000", f"df BETWEEN 2 AND {_S32B_DF_CAP}")
+)
+# Each replace MUST have fired on exactly the expected occurrences, or
+# the twin would silently share the original's scaling query set / cap.
+assert _S32_ORACLE.count("vec_id % 10 = 0") == 1
+assert _S32_ORACLE.count("doc_id % 10 = 0") == 2
+assert _S32_ORACLE.count("df BETWEEN 2 AND 1000") == 1
+assert f"df BETWEEN 2 AND {_S32B_DF_CAP}" in _S32B_ORACLE
+
+
+@q("s32b_lexical_dense_agreement_fixedq", _S32B_ORACLE)
+def s32b_lexical_dense_agreement_fixedq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s32's fixed-|Q| scale twin: the identical lexical-vs-dense
+    overlap@5 histogram with the query set pinned at 500 ids at every
+    sf and the sparse posting join running at the pinned df cap (50),
+    so BENCH_sf1 growth reads ENGINE behavior — the dense side is a
+    bounded-|Q| broadcast scan (linear in corpus), the sparse side's
+    pair work is df-capped (the measured 1.95x-at-10x lever) — not the
+    |Q|∝corpus brute-force quadratic s32 bakes in.  Same oracle family;
+    only the query predicate and cap differ (assert-guarded swap).
+    The dense side uses the ARROW brute-force kernel (s1b's, oracle-
+    exact vs s1): map-side top-k means the final rank shuffles
+    |batches|*|Q|*k candidate rows, not |Q|*N scored pairs — the
+    100-TB exchange shape, and ~3x faster at bench scale."""
+    from pyspark.sql import Window
+
+    from martech_pipelines_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sp5 = sparse_topk_readout(
+        trigram_tf_state(docs), df_cap=_S32B_DF_CAP
+    ).where(F.col("doc_id") < _S32B_FIXQ)
+    queries = emb.where(F.col("vec_id") < _S32B_FIXQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    d6 = SIM.brute_force_topk_arrow(queries, emb, k=6)
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    d5 = (
+        d6.where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    base = sp5.select("doc_id").distinct()
+    ov = (
+        sp5.join(
+            d5,
+            (d5["query_id"] == sp5["doc_id"]) & (d5["vec_id"] == sp5["nbr_id"]),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        base.join(ov, "doc_id", "left")
+        .select(F.coalesce("c", F.lit(0)).cast("long").alias("overlap"))
+        .groupBy("overlap")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+# =============================================================================
+# h7b: deterministic HLL registers, incrementally maintained + full oracle
+# =============================================================================
+#
+# Register contract (both engines, integers end to end): h = the first
+# 8 hex chars of md5('hll:' || user_id) as a 32-bit unsigned value;
+# register index = top 5 bits (m = 32); w = the remaining 27 bits;
+# rho = 28 - bitlen(w) (bitlen via the engines' identical minimal
+# binary-string length — bin() in both — no log2 floats), rho = 28 when
+# w = 0.  Register value = max rho per (event_type, reg_idx); absent
+# registers report 0 via a generated (type x 0..31) frame.  Raw
+# estimate (per type, repeated on each register row for one-table
+# hashing): alpha_m * m^2 / sum_j 2^(-M_j) with alpha_32 = 0.697
+# carried as 697/1000 and the register sum carried exactly as
+# N = sum_j 2^(28 - M_j) over 2^28 — so
+#   est = floor((697 * 32 * 32 * 2^28 * 2 + 1000 * N) / (2 * 1000 * N))
+# (half-up), pure BIGINT (697*1024*2^28*2 ≈ 3.8e17 < 2^63; N <= 32*2^28).
+# No small/large-range corrections: this is the RAW HLL estimator,
+# value-checked; the production datasketches path (h7) keeps its pytest
+# error gates.
+
+_HLL_M = 32          # 2^5 registers
+_HLL_WBITS = 27      # 32 - 5
+_HLL_ALPHA_E3 = 697  # alpha_32 = 0.697 (Flajolet et al., m = 32)
+_HLL_POW = 2 ** (_HLL_WBITS + 1)                       # 2^28, the N scale
+_HLL_EST_NUM = _HLL_ALPHA_E3 * _HLL_M * _HLL_M * _HLL_POW * 2  # ~3.8e17
+
+_H7B_ORACLE = f"""
+    WITH hx AS (
+        SELECT event_type,
+               ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+        FROM events GROUP BY 1, 2
+    ), rho AS (
+        SELECT event_type,
+               h // {2 ** _HLL_WBITS} AS reg_idx,
+               CASE WHEN h % {2 ** _HLL_WBITS} = 0 THEN {_HLL_WBITS + 1}
+                    ELSE {_HLL_WBITS + 1}
+                         - length(bin(h % {2 ** _HLL_WBITS}))
+               END AS r
+        FROM hx
+    ), regs AS (
+        SELECT event_type, reg_idx, CAST(max(r) AS BIGINT) AS reg_val
+        FROM rho GROUP BY 1, 2
+    ), frame AS (
+        SELECT t.event_type, CAST(i.reg_idx AS BIGINT) AS reg_idx
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS reg_idx) i
+    ), full_regs AS (
+        SELECT f.event_type, f.reg_idx,
+               coalesce(r.reg_val, 0) AS reg_val
+        FROM frame f LEFT JOIN regs r USING (event_type, reg_idx)
+    ), est AS (
+        SELECT event_type,
+               CAST(({_HLL_EST_NUM}::BIGINT
+                     + 1000 * sum({_HLL_POW}::BIGINT
+                                  // (1::BIGINT << CAST(reg_val AS INT))))
+                    // (2 * 1000 * sum({_HLL_POW}::BIGINT
+                                       // (1::BIGINT << CAST(reg_val AS INT))))
+                    AS BIGINT) AS hll_raw_est
+        FROM full_regs GROUP BY 1
+    )
+    SELECT fr.event_type, fr.reg_idx, fr.reg_val, e.hll_raw_est
+    FROM full_regs fr JOIN est e USING (event_type)
+"""
+
+
+def _hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, reg_idx, reg_val) deterministic HLL state from an
+    event batch — the fold unit.  Distinct (type, user) collapses
+    map-side before hashing; the register reduce is a keyed max."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    w = F.col("__h") % F.lit(2 ** _HLL_WBITS)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("__h", h)
+        .select(
+            "event_type",
+            (F.col("__h") / F.lit(2 ** _HLL_WBITS)).cast("long").alias("reg_idx"),
+            rho.alias("__r"),
+        )
+        .groupBy("event_type", "reg_idx")
+        .agg(F.max("__r").cast("long").alias("reg_val"))
+    )
+
+
+def _hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Elementwise register max — merge(sketch(A), sketch(B)) ==
+    sketch(A∪B) by max associativity; the mergeable-state IVM fold."""
+    return (
+        a.unionByName(b)
+        .groupBy("event_type", "reg_idx")
+        .agg(F.max("reg_val").cast("long").alias("reg_val"))
+    )
+
+
+@q("h7b_incremental_hll_registers", _H7B_ORACLE)
+def h7b_incremental_hll_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """h7's value-checkable twin: per-event-type distinct-user HLL
+    REGISTERS (m=32, md5 hashes, exact bit-length rho — deterministic
+    on both engines) maintained incrementally — the event log split at
+    an integer-micros watermark, each batch reduced to its own register
+    table, folded by elementwise max — and the merged state
+    hash-checked register-for-register against a DuckDB recompute from
+    the full log, plus the raw HLL estimate in pure BIGINT arithmetic.
+    This is the h30/h33 maintenance-proof pattern applied to the last
+    pytest-only sketch family: history is never re-scanned, each batch
+    shuffles only pre-combined (type, user)-distinct rows, state is 32
+    rows per key forever.  h7 keeps the production datasketches path
+    (rows-only, pytest error gates)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    cut_us = 1705276800000000  # 2024-01-15T00:00:00Z (integer micros, tz-proof)
+    state = _hll_merge(
+        _hll_registers(ev.where(F.unix_micros("ts") < F.lit(cut_us))),
+        _hll_registers(ev.where(F.unix_micros("ts") >= F.lit(cut_us))),
+    )
+    frame = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_HLL_M).select(F.col("id").alias("reg_idx")))
+    )
+    full_regs = (
+        frame.join(state, ["event_type", "reg_idx"], "left")
+        .select(
+            "event_type",
+            F.col("reg_idx").cast("long").alias("reg_idx"),
+            F.coalesce("reg_val", F.lit(0)).cast("long").alias("reg_val"),
+        )
+    )
+    # N = sum_j 2^(W+1 - M_j): exact integers (reg_val <= 28 = W+1)
+    pow_term = F.expr(
+        f"CAST({_HLL_POW} AS BIGINT)"
+        f" div shiftleft(CAST(1 AS BIGINT), CAST(reg_val AS INT))"
+    )
+    est = (
+        full_regs.groupBy("event_type")
+        .agg(F.sum(pow_term).alias("__n"))
+        .select(
+            "event_type",
+            F.expr(
+                f"CAST(({_HLL_EST_NUM}L + 1000 * __n)"
+                f" div (2 * 1000 * __n) AS BIGINT)"
+            ).alias("hll_raw_est"),
+        )
+    )
+    return full_regs.join(est, "event_type").select(
+        "event_type", "reg_idx", "reg_val", "hll_raw_est"
+    )

@@ -1,0 +1,124 @@
+"""Round-12 tests: the s32b fixed-|Q| agreement twin (VERDICT r11 #2)
+and the h7b deterministic-HLL register maintenance twin (VERDICT r11 #4)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from martech_pipelines_spark.plans import QUERIES
+from martech_pipelines_spark.plans.corpus_r10 import (
+    sparse_topk_readout,
+    trigram_tf_state,
+)
+from martech_pipelines_spark.plans.corpus_r12 import (
+    _HLL_M,
+    _HLL_WBITS,
+    _hll_merge,
+    _hll_registers,
+)
+from martech_pipelines_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_s32b_query_set_is_bounded(spark):
+    """The whole point of the twin: the overlap histogram covers at
+    most the 500 pinned query docs at EVERY tier (|Q| constant while
+    the corpus scales 10x), with overlap values in [0, 5]."""
+    for sf in (SF0001, SF01):
+        rows = QUERIES["s32b_lexical_dense_agreement_fixedq"](spark, sf).collect()
+        total = sum(r["n_docs"] for r in rows)
+        assert 0 < total <= 500, (sf, total)
+        assert all(0 <= r["overlap"] <= 5 for r in rows), (sf, rows)
+
+
+def test_s32b_df_cap_inactive_on_testdata(spark):
+    """'Only the query predicate and cap differ' — and on the shipped
+    testdata the cap is INACTIVE (max trigram df ~25), so the capped
+    sparse readout must equal the uncapped one row-for-row.  This pins
+    that s32b diverges from s32 only in the query set here, while the
+    cap remains the documented 100-TB lever."""
+    docs = load_table(spark, SF0001, "documents")
+    tf = trigram_tf_state(docs)
+    capped = {tuple(r) for r in sparse_topk_readout(tf, df_cap=50).collect()}
+    uncapped = {tuple(r) for r in sparse_topk_readout(tf, df_cap=1000).collect()}
+    assert capped == uncapped and capped
+
+
+def _py_registers(pairs):
+    """Pure-Python reference for the deterministic HLL register table:
+    pairs = iterable of (event_type, user_id)."""
+    regs: dict[tuple[str, int], int] = {}
+    for et, uid in set(pairs):
+        h = int(hashlib.md5(f"hll:{uid}".encode()).hexdigest()[:8], 16)
+        idx = h >> _HLL_WBITS
+        w = h & ((1 << _HLL_WBITS) - 1)
+        rho = (_HLL_WBITS + 1) if w == 0 else (_HLL_WBITS + 1 - w.bit_length())
+        key = (et, idx)
+        regs[key] = max(regs.get(key, 0), rho)
+    return regs
+
+
+def test_h7b_registers_match_pure_python(spark):
+    """The Spark register build (md5 -> conv -> bin-length rho -> keyed
+    max) must agree cell-for-cell with an independent pure-Python
+    recompute over the same events — the determinism contract that
+    makes the DuckDB oracle possible."""
+    ev = load_table(spark, SF0001, "events").select("event_type", "user_id")
+    got = {
+        (r["event_type"], r["reg_idx"]): r["reg_val"]
+        for r in _hll_registers(ev).collect()
+    }
+    want = _py_registers((r["event_type"], r["user_id"]) for r in ev.collect())
+    assert got == want and got
+
+
+def test_h7b_merge_equals_sketch_of_union(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A∪B) — by max
+    associativity — on a split DIFFERENT from the query's watermark
+    (user-id parity), so the property is pinned independently of the
+    oracle run."""
+    ev = load_table(spark, SF0001, "events").select("event_type", "user_id")
+    a = ev.where(F.col("user_id") % 2 == 0)
+    b = ev.where(F.col("user_id") % 2 == 1)
+    merged = {
+        tuple(r) for r in _hll_merge(_hll_registers(a), _hll_registers(b)).collect()
+    }
+    full = {tuple(r) for r in _hll_registers(ev).collect()}
+    assert merged == full and merged
+
+
+def test_h7b_estimate_error_gate(spark):
+    """The raw HLL estimate (no corrections, m=32, sigma ~ 1.04/sqrt(32)
+    ~ 18.4%) must land within a 3-sigma-ish gate of the exact distinct
+    count — widened by the documented small-range bias: with NO linear-
+    counting correction the estimator cannot go below ~alpha*m = 22, so
+    for n << m the absolute gate is alpha*m-sized, not relative."""
+    out = QUERIES["h7b_incremental_hll_registers"](spark, SF0001)
+    est = {
+        r["event_type"]: r["hll_raw_est"]
+        for r in out.select("event_type", "hll_raw_est").distinct().collect()
+    }
+    ev = load_table(spark, SF0001, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and est
+    for et, n in exact.items():
+        assert abs(est[et] - n) <= max(0.6 * n, 23) + 2, (et, est[et], n)
+
+
+def test_h7b_register_frame_is_dense(spark):
+    """Every (event_type, reg_idx 0..31) cell reports, absent registers
+    as 0 — the fixed 32-rows-per-key state contract."""
+    out = QUERIES["h7b_incremental_hll_registers"](spark, SF0001).collect()
+    types = {r["event_type"] for r in out}
+    assert len(out) == _HLL_M * len(types)
+    idxs = {r["reg_idx"] for r in out}
+    assert idxs == set(range(_HLL_M))
