@@ -196,6 +196,87 @@ HEAVY = [
     "dq20_key_uniqueness",
     "pipe15_stratified_holdout",
     "h38_incremental_mutual_knn",
+    # round-12 (VERDICT r11 #3: no silent headliner omissions): EVERY
+    # bench.py HEADLINE entry gets an sf1 row, including the light
+    # ones — a 10x row that stays light is itself the evidence the
+    # query's work is bounded by reduced state, not corpus size.
+    # Exactly two headliners are exempt, each with a measured stand-in:
+    #   s1_bruteforce_topk  — the documented exact JVM baseline with a
+    #       %-of-corpus query set (|Q| and corpus both 10x => ~100x
+    #       work by construction); its oracle-identical Arrow twin
+    #       s1b_bruteforce_arrow IS measured here and is the scale lane.
+    #   s32_lexical_dense_agreement — the same %-corpus quadratic
+    #       feeding brute-force dense cosine (kept as the correctness
+    #       anchor); its fixed-|Q| + pinned-df-cap twin s32b is
+    #       measured here.
+    "e1_rank_window",
+    "e2_latest_per_key_agg",
+    "d1_join_back_dedup",
+    "export_profile_pipeline",
+    "h3_incremental_scan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "t1_word_count",
+    "t4_quality",
+    "dd4_simhash",
+    "s2_lsh_topk",
+    "s2b_ivf_topk",
+    "w2_sliding",
+    "w3_session",
+    "r4_rollup",
+    "r6_asof_join",
+    "dd10_incremental_dedup",
+    "t17_ngram_lm_score",
+    "mart5_linear_attribution",
+    "pipe5_export_e2e",
+    "r20_gap_fill",
+    "mart7_cohort_ltv",
+    "mart8_time_decay_attribution",
+    "dq3_referential_integrity",
+    "t28_stratified_sample",
+    "t29_quality_classifier",
+    "w4_late_data_admission",
+    "h11_incremental_topk",
+    "r22_asof_join",
+    "t31_classifier_auc",
+    "fe1_pit_features",
+    "mart15_retention",
+    "s18_covariance_drift",
+    "pipe11_dataset_card",
+    "dd19_minhash_estimator_accuracy",
+    "mart23_ab_lift",
+    "dq14_join_key_skew",
+    "r39_ewma_last8",
+    "t51_calibration_bins",
+    "mart25_churn_hazard",
+    "g7_degree_histogram",
+    "dq15_error_budget",
+    "mart26_bounce_rate",
+    "mart27_ab_by_segment",
+    "t53_token_burstiness",
+    "dq16_trend_mann_kendall",
+    "r40_histogram_quantile",
+    "h30_incremental_histquant",
+    "dq17_sen_slope",
+    "fe6_feature_hashing",
+    "h31_incremental_postings",
+    "mart28_journey_transitions",
+    "h32_incremental_transitions",
+    "t56_pii_redaction",
+    "t57_intradoc_dedup",
+    "pipe14_curation_e2e",
+    "h33_incremental_trend",
+    "s33_cell_label_purity",
+    "dq18_completeness_matrix",
+    "mart29_markov_top1",
+    "h34_incremental_feature_hashing",
+    "h35_incremental_completeness",
+    "dq19_iqr_outlier_days",
+    "g9_harmonic_closeness",
+    "h37_incremental_outlier_days",
+    "s32b_lexical_dense_agreement_fixedq",
+    "h7b_incremental_hll_registers",
 ]
 N_RUNS = 2
 
