@@ -239,6 +239,10 @@ HEADLINE = [
     # register maintenance twin (the h7 family's full-oracle promotion)
     "s32b_lexical_dense_agreement_fixedq",
     "h7b_incremental_hll_registers",
+    # round-12 wave 2: theta-sketch audience set-ops (mart11's sketch
+    # twin promoted to a full oracle) + its kmv_merge maintenance twin
+    "r41_kmv_setops",
+    "h39_incremental_kmv_setops",
 ]
 
 

@@ -303,3 +303,91 @@ def kmv_estimate(
         F.expr(f"(2 * {k - 1} * CAST({_KMV_M} AS BIGINT) + __hk) div (2 * __hk)")
     )
     return agg.select(*keys, est.cast("long").alias(out_col))
+
+
+def kmv_theta_setops(sketch: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Pairwise set-operation estimates from per-key KMV sketches — the
+    theta-sketch pattern (Dasgupta et al., "Theta-Sketch Framework"):
+    for every key pair (t1 < t2), theta = min of the two sketches'
+    k-th-smallest hashes (M+1 when a sketch holds its whole set, the
+    exact regime); every retained hash h < theta is a uniform
+    theta/M-rate sample of the underlying sets, so
+
+        inter_est = c                       when both sketches exact
+                    (2*c*M + theta) div (2*theta)   otherwise (half-up)
+
+    with c = |{h in sk(t1) AND sk(t2), h < theta}|, and the same scaling
+    for the union via u = a_lt + b_lt - c.  jaccard_e6 is the exact
+    rational c/u on the retained sample (half-up e6; 0 when u = 0).
+    Hash collisions bias identically on both engines (same md5 hashes),
+    so every output cell is value-exact — this is the full-oracle
+    promotion of mart11's pytest-only sketch twin.
+
+    Scale shape: the only corpus-sized work is the sketch build the
+    caller already did; this readout self-joins k-row-per-key state —
+    pair work is C(|keys|, 2) * k, driver never collects."""
+    stats = sketch.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("cnt"), F.max("h").alias("hk")
+    ).withColumn(
+        "theta",
+        F.when(F.col("cnt") < k, F.lit(_KMV_M + 1)).otherwise(F.col("hk")),
+    )
+    s1 = stats.select(F.col(key_col).alias("t1"), F.col("theta").alias("__th1"))
+    s2 = stats.select(F.col(key_col).alias("t2"), F.col("theta").alias("__th2"))
+    pairs = s1.join(s2, F.col("t1") < F.col("t2")).select(
+        "t1", "t2", F.least("__th1", "__th2").alias("theta")
+    )
+    a = sketch.select(F.col(key_col).alias("t1"), F.col("h").alias("__ha"))
+    b = sketch.select(F.col(key_col).alias("t2"), F.col("h").alias("__hb"))
+    # per-side retained-below-theta counts (broadcast the tiny pair table)
+    a_lt = (
+        F.broadcast(pairs).join(a, "t1")
+        .where(F.col("__ha") < F.col("theta"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("__a_lt"))
+    )
+    b_lt = (
+        F.broadcast(pairs).join(b, "t2")
+        .where(F.col("__hb") < F.col("theta"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("__b_lt"))
+    )
+    common = (
+        F.broadcast(pairs).join(a, "t1")
+        .join(b, ["t2"])
+        .where((F.col("__ha") == F.col("__hb")) & (F.col("__ha") < F.col("theta")))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    out = (
+        pairs.join(a_lt, ["t1", "t2"], "left")
+        .join(b_lt, ["t1", "t2"], "left")
+        .join(common, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "theta",
+            F.coalesce("__a_lt", F.lit(0)).alias("__a_lt"),
+            F.coalesce("__b_lt", F.lit(0)).alias("__b_lt"),
+            F.coalesce("__c", F.lit(0)).alias("__c"),
+        )
+        .withColumn("__u", F.col("__a_lt") + F.col("__b_lt") - F.col("__c"))
+    )
+    exact = F.col("theta") == _KMV_M + 1
+    scale = lambda c: F.expr(  # noqa: E731 — (2*c*M + theta) div (2*theta)
+        f"(2 * {c} * CAST({_KMV_M} AS BIGINT) + theta) div (2 * theta)"
+    )
+    return out.select(
+        "t1",
+        "t2",
+        F.when(exact, F.col("__c")).otherwise(scale("__c"))
+        .cast("long")
+        .alias("kmv_inter_est"),
+        F.when(exact, F.col("__u")).otherwise(scale("__u"))
+        .cast("long")
+        .alias("kmv_union_est"),
+        F.when(F.col("__u") > 0, F.expr("(2 * __c * 1000000 + __u) div (2 * __u)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sample_jaccard_e6"),
+    )

@@ -117,6 +117,8 @@ _WINDOW_PRIORITY = [
     # are inserted here as they pass the four-check gate. ===
     "s32b_lexical_dense_agreement_fixedq",
     "h7b_incremental_hll_registers",
+    "r41_kmv_setops",
+    "h39_incremental_kmv_setops",
     # === then the round-11 window in its r11 order (all driver-green
     # in r11), then prior rotations, then registration order. ===
     "t14c_bpe_fixed_merges",

@@ -277,3 +277,174 @@ def h7b_incremental_hll_registers(
     return full_regs.join(est, "event_type").select(
         "event_type", "reg_idx", "reg_val", "hll_raw_est"
     )
+
+
+# =============================================================================
+# r41 / h39: KMV theta-sketch set operations (+ incremental maintenance)
+# =============================================================================
+#
+# mart11 computes |A ∩ B| / Jaccard EXACTLY from the (user, type)
+# distinct table and noted its sketch twin (union + inclusion-
+# exclusion) was pytest-only.  These two promote the sketch path to a
+# full oracle: deterministic KMV sketches (r3c's md5 hashes) per
+# audience, theta = min of the pair's k-th-smallest hashes (M+1 in the
+# exact regime), retained-below-theta counts scaled by M/theta — the
+# Theta-Sketch estimator with every cell in BIGINT arithmetic, plus the
+# exact anchors recomputed from the log (the dd19 calibration-report
+# pattern).  h39 reads the SAME report off incrementally-maintained
+# sketches (watermark split + kmv_merge fold, h24's proof shape) —
+# sketch-of-union == merge-of-sketches makes it oracle-identical.
+
+_R41_K = 64
+_R41_M = 4_294_967_296
+
+_R41_ORACLE = f"""
+    WITH hx AS (
+        SELECT event_type,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1 AS h
+        FROM events GROUP BY 1, 2
+    ), sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hx
+        ) WHERE rn <= {_R41_K}
+    ), st AS (
+        SELECT event_type,
+               CASE WHEN count(*) < {_R41_K} THEN {_R41_M + 1}
+                    ELSE max(h) END AS theta
+        FROM sk GROUP BY 1
+    ), pr AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               least(a.theta, b.theta) AS theta
+        FROM st a JOIN st b ON a.event_type < b.event_type
+    ), alt AS (
+        SELECT p.t1, p.t2, CAST(count(*) AS BIGINT) AS a_lt
+        FROM pr p JOIN sk s ON s.event_type = p.t1 AND s.h < p.theta
+        GROUP BY 1, 2
+    ), blt AS (
+        SELECT p.t1, p.t2, CAST(count(*) AS BIGINT) AS b_lt
+        FROM pr p JOIN sk s ON s.event_type = p.t2 AND s.h < p.theta
+        GROUP BY 1, 2
+    ), cm AS (
+        SELECT p.t1, p.t2, CAST(count(*) AS BIGINT) AS c
+        FROM pr p
+        JOIN sk sa ON sa.event_type = p.t1 AND sa.h < p.theta
+        JOIN sk sb ON sb.event_type = p.t2 AND sb.h = sa.h
+        GROUP BY 1, 2
+    ), ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ), sz AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), base AS (
+        SELECT p.t1, p.t2, p.theta,
+               coalesce(cm.c, 0) AS c,
+               coalesce(alt.a_lt, 0) + coalesce(blt.b_lt, 0)
+                   - coalesce(cm.c, 0) AS u,
+               coalesce(ex.exact_inter, 0) AS exact_inter,
+               sa.n + sb.n - coalesce(ex.exact_inter, 0) AS exact_union
+        FROM pr p
+        LEFT JOIN alt USING (t1, t2)
+        LEFT JOIN blt USING (t1, t2)
+        LEFT JOIN cm USING (t1, t2)
+        LEFT JOIN ex USING (t1, t2)
+        JOIN sz sa ON sa.event_type = p.t1
+        JOIN sz sb ON sb.event_type = p.t2
+    )
+    SELECT t1, t2, exact_inter, exact_union,
+           CAST(CASE WHEN theta = {_R41_M + 1} THEN c
+                ELSE (2 * c * {_R41_M}::BIGINT + theta) // (2 * theta)
+                END AS BIGINT) AS kmv_inter_est,
+           CAST(CASE WHEN theta = {_R41_M + 1} THEN u
+                ELSE (2 * u * {_R41_M}::BIGINT + theta) // (2 * theta)
+                END AS BIGINT) AS kmv_union_est,
+           CAST(CASE WHEN u > 0 THEN (2 * c * 1000000 + u) // (2 * u)
+                ELSE 0 END AS BIGINT) AS sample_jaccard_e6
+    FROM base
+"""
+
+
+def _r41_readout(spark: SparkSession, sf_dir: str, sk: DataFrame) -> DataFrame:
+    """Shared r41/h39 readout: theta set-op estimates from sketch state
+    + exact anchors recomputed from the full log."""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    est = SK.kmv_theta_setops(sk, "event_type", k=_R41_K)
+    ut = ev.select("event_type", "user_id").distinct()
+    a = ut.select(F.col("event_type").alias("t1"), "user_id")
+    b = ut.select(F.col("event_type").alias("t2"), "user_id")
+    ex = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    sz = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    out = (
+        est.join(ex, ["t1", "t2"], "left")
+        .join(sz.select(F.col("event_type").alias("t1"), F.col("n").alias("__na")), "t1")
+        .join(sz.select(F.col("event_type").alias("t2"), F.col("n").alias("__nb")), "t2")
+    )
+    inter = F.coalesce("exact_inter", F.lit(0)).cast("long")
+    return out.select(
+        "t1",
+        "t2",
+        inter.alias("exact_inter"),
+        (F.col("__na") + F.col("__nb") - inter).cast("long").alias("exact_union"),
+        "kmv_inter_est",
+        "kmv_union_est",
+        "sample_jaccard_e6",
+    )
+
+
+@q("r41_kmv_setops", _R41_ORACLE)
+def r41_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set operations from KMV sketch state, value-checked:
+    per event-type pair, the Theta-Sketch intersection/union estimates
+    (retained-below-theta counts scaled M/theta, half-up BIGINT) next
+    to the exact anchors — the calibration report a 100-TB deployment
+    reads before trusting daily sketch overlaps (mart11 keeps the exact
+    audit form; dd19 is the MinHash analog of this report).  Scale
+    shape: the only corpus-sized work is the sketch build (map-side
+    distinct + WindowGroupLimit top-k) and the exact anchor's bounded
+    per-user fan-out; the theta readout self-joins k-row-per-key state
+    with the pair table broadcast."""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_sketch_table(ev, "event_type", "user_id", k=_R41_K)
+    return _r41_readout(spark, sf_dir, sk)
+
+
+@q("h39_incremental_kmv_setops", _R41_ORACLE)
+def h39_incremental_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r41 read off incrementally-maintained sketches (SHARES r41's
+    oracle — the IVM proof): the event log split at the h24 integer-
+    micros watermark, each batch sketched independently, folded with
+    ``kmv_merge`` (k smallest of a union = k smallest of the unions'
+    k-smallest), then the identical theta readout.  History is never
+    re-sketched; per-pair set-op reports stay current off k-row state —
+    the daily-audience-overlap maintenance shape at 100 TB.  (Exact
+    anchor columns are recomputed from the full log, as in h24: they
+    are the report's reference fields, not maintained state.)"""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    cut_us = 1705276800000000  # 2024-01-15T00:00:00Z
+    b1 = ev.where(F.unix_micros("ts") < F.lit(cut_us))
+    b2 = ev.where(F.unix_micros("ts") >= F.lit(cut_us))
+    sk = SK.kmv_merge(
+        SK.kmv_sketch_table(b1, "event_type", "user_id", k=_R41_K),
+        SK.kmv_sketch_table(b2, "event_type", "user_id", k=_R41_K),
+        "event_type",
+        k=_R41_K,
+    )
+    return _r41_readout(spark, sf_dir, sk)

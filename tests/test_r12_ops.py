@@ -122,3 +122,102 @@ def test_h7b_register_frame_is_dense(spark):
     assert len(out) == _HLL_M * len(types)
     idxs = {r["reg_idx"] for r in out}
     assert idxs == set(range(_HLL_M))
+
+
+def _py_theta_setops(pairs_iter, k=64):
+    """Pure-Python reference for kmv_theta_setops over (type, user)
+    pairs: returns {(t1,t2): (inter_est, union_est, jaccard_e6)}."""
+    M = 4_294_967_296
+    sets: dict[str, set[int]] = {}
+    for et, uid in set(pairs_iter):
+        h = int(hashlib.md5(f"kmv:{uid}".encode()).hexdigest()[:8], 16) + 1
+        sets.setdefault(et, set()).add(h)
+    sk = {t: sorted(hs)[:k] for t, hs in sets.items()}
+    theta = {t: (M + 1 if len(s) < k else s[-1]) for t, s in sk.items()}
+    out = {}
+    for t1 in sorted(sk):
+        for t2 in sorted(sk):
+            if t1 >= t2:
+                continue
+            th = min(theta[t1], theta[t2])
+            a = {h for h in sk[t1] if h < th}
+            b = {h for h in sk[t2] if h < th}
+            c, u = len(a & b), len(a | b)
+            if th == M + 1:
+                ie, ue = c, u
+            else:
+                ie = (2 * c * M + th) // (2 * th)
+                ue = (2 * u * M + th) // (2 * th)
+            j = (2 * c * 1_000_000 + u) // (2 * u) if u else 0
+            out[(t1, t2)] = (ie, ue, j)
+    return out
+
+
+def test_r41_matches_pure_python(spark):
+    """The Spark theta readout (sketch build -> broadcast pair table ->
+    retained-count joins -> half-up scaling) must agree cell-for-cell
+    with an independent pure-Python recompute — the determinism contract
+    behind the shared r41/h39 oracle."""
+    ev = load_table(spark, SF0001, "events").select("event_type", "user_id")
+    got = {
+        (r["t1"], r["t2"]): (
+            r["kmv_inter_est"], r["kmv_union_est"], r["sample_jaccard_e6"]
+        )
+        for r in QUERIES["r41_kmv_setops"](spark, SF0001).collect()
+    }
+    want = _py_theta_setops(
+        (r["event_type"], r["user_id"]) for r in ev.collect()
+    )
+    assert got == want and got
+
+
+def test_h39_equals_r41(spark):
+    """merge-of-sketches == sketch-of-union propagates through the
+    theta readout: the incremental form must return the identical
+    report."""
+    a = {tuple(r) for r in QUERIES["r41_kmv_setops"](spark, SF0001).collect()}
+    b = {
+        tuple(r)
+        for r in QUERIES["h39_incremental_kmv_setops"](spark, SF0001).collect()
+    }
+    assert a == b and a
+
+
+def test_r41_theta_estimates_within_gate(spark):
+    """Sketch-regime estimates (k=64, sigma ~ 1/sqrt(64) = 12.5%) land
+    within a 3-sigma-ish gate of the exact anchors carried in the same
+    report rows."""
+    rows = QUERIES["r41_kmv_setops"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        for est, exact in (
+            (r["kmv_inter_est"], r["exact_inter"]),
+            (r["kmv_union_est"], r["exact_union"]),
+        ):
+            assert abs(est - exact) <= 0.4 * exact + 2, (tuple(r),)
+
+
+def test_theta_setops_disjoint_and_subset(spark):
+    """Hand frames: disjoint audiences estimate ~0 intersection; a
+    subset audience's intersection estimate equals its own size
+    estimate (every retained hash is common)."""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    rows = [("A", i) for i in range(200)] + [("B", i + 10_000) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    sk = SK.kmv_sketch_table(df, "event_type", "user_id", k=64)
+    out = SK.kmv_theta_setops(sk, "event_type", k=64).collect()
+    assert len(out) == 1 and out[0]["kmv_inter_est"] == 0
+    assert out[0]["sample_jaccard_e6"] == 0
+
+    rows = [("A", i) for i in range(300)] + [("B", i) for i in range(120)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    sk = SK.kmv_sketch_table(df, "event_type", "user_id", k=64)
+    out = SK.kmv_theta_setops(sk, "event_type", k=64).collect()[0]
+    # B subset of A: retained-common == retained-B, so inter == B's
+    # estimate under the shared theta; union == A's
+    assert out["kmv_inter_est"] <= out["kmv_union_est"]
+    assert out["kmv_inter_est"] > 0
+    py = _py_theta_setops(rows, k=64)[("A", "B")]
+    assert (out["kmv_inter_est"], out["kmv_union_est"],
+            out["sample_jaccard_e6"]) == py

@@ -277,6 +277,8 @@ HEAVY = [
     "h37_incremental_outlier_days",
     "s32b_lexical_dense_agreement_fixedq",
     "h7b_incremental_hll_registers",
+    "r41_kmv_setops",
+    "h39_incremental_kmv_setops",
 ]
 N_RUNS = 2
 
