@@ -243,6 +243,10 @@ HEADLINE = [
     # twin promoted to a full oracle) + its kmv_merge maintenance twin
     "r41_kmv_setops",
     "h39_incremental_kmv_setops",
+    # round-12 wave 3: per-doc tf-idf keywords (linear idf, integer-
+    # exact) and the rolling-distinct KMV promotion of the r31 family
+    "t61_tfidf_keywords",
+    "r31c_rolling_active_kmv",
 ]
 
 

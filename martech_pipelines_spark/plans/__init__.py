@@ -119,6 +119,8 @@ _WINDOW_PRIORITY = [
     "h7b_incremental_hll_registers",
     "r41_kmv_setops",
     "h39_incremental_kmv_setops",
+    "t61_tfidf_keywords",
+    "r31c_rolling_active_kmv",
     # === then the round-11 window in its r11 order (all driver-green
     # in r11), then prior rotations, then registration order. ===
     "t14c_bpe_fixed_merges",

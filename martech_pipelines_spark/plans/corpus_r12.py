@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from martech_pipelines_spark.plans.corpus import q
 from martech_pipelines_spark.plans.corpus_r10 import (
+    _DUCK_TOKENS,
     _S32_ORACLE,
     sparse_topk_readout,
     trigram_tf_state,
@@ -448,3 +449,178 @@ def h39_incremental_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_R41_K,
     )
     return _r41_readout(spark, sf_dir, sk)
+
+
+# =============================================================================
+# t61: per-document tf-idf keywords (linear idf, integer-exact)
+# =============================================================================
+#
+# Keyword extraction — the per-document salience readout a curation
+# pipeline uses for topic tagging and stratified sampling.  Score is
+# tf * (N / df) in half-up e6 fixed point (LINEAR idf: the log is an
+# engine-varying float, and for a fixed document the linear form ranks
+# MORE df-sensitively than log — documented divergence from the
+# textbook formula, value-exact on both engines).  Top-3 terms per doc,
+# ties broken term-asc.  Scale shape: one tf shuffle (doc, term), the
+# df table is vocab-sized and joins broadcast, top-k is a
+# WindowGroupLimit — no corpus-sized second shuffle.
+
+_T61_K = 3
+
+_DUCK_TOKENS_T61 = _DUCK_TOKENS.format(col="text")
+
+_T61_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKENS_T61} AS t FROM documents
+    ), tf AS (
+        SELECT doc_id, u.w, CAST(count(*) AS BIGINT) AS tf
+        FROM toks, unnest(t) AS u(w) GROUP BY 1, 2
+    ), df AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id, term, tfidf_e6, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT tf.doc_id, tf.w AS term,
+               CAST((2 * tf.tf * n.n * 1000000 + df.df) // (2 * df.df)
+                    AS BIGINT) AS tfidf_e6,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (2 * tf.tf * n.n * 1000000 + df.df)
+                            // (2 * df.df) DESC, tf.w ASC) AS rnk
+        FROM tf JOIN df USING (w) CROSS JOIN n
+    ) WHERE rnk <= {_T61_K}
+"""
+
+
+@q("t61_tfidf_keywords", _T61_ORACLE)
+def t61_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (linear idf, half-up e6 —
+    float-free, see the module comment for the documented divergence
+    from log idf).  Plan: explode-tokens -> one (doc, term) tf shuffle;
+    the vocab-sized df table and the 1-row N broadcast back; per-doc
+    top-k pushes down as WindowGroupLimit."""
+    from martech_pipelines_spark.operators import text as TX
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.count()  # 1-value control read; broadcast as a literal
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.expr(f"CAST((2 * tf * {n}L * 1000000 + df) div (2 * df) AS BIGINT)")
+        .alias("tfidf_e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _T61_K)
+        .select("doc_id", "term", "tfidf_e6", "rnk")
+    )
+
+
+# =============================================================================
+# r31c: rolling 7-day active users from KMV sketch state (full oracle)
+# =============================================================================
+#
+# The r31 family's value-checked promotion: r31 is the exact rolling
+# distinct (7x|user-days| fan-out), r31b the production HLL form
+# (rows-only, 5%-of-exact pytest gate) — this twin runs the SAME
+# fixed-size-state plan shape as r31b on deterministic KMV sketches, so
+# the whole rolling-sketch pipeline (per-day sketch -> 7-day fan-out ->
+# k-smallest merge -> estimate) is hash-checked against a DuckDB
+# recompute, with r31's exact curve carried as the anchor column.
+
+_R31C_K = 64
+
+_R31C_ORACLE = f"""
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM ud),
+    hx AS (
+        SELECT day,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1 AS h
+        FROM ud
+    ), sk AS (
+        SELECT day, h FROM (
+            SELECT day, h, row_number() OVER (
+                PARTITION BY day ORDER BY h) AS rn
+            FROM (SELECT DISTINCT day, h FROM hx)
+        ) WHERE rn <= {_R31C_K}
+    ), win AS (
+        SELECT d.day, s.h FROM days d
+        JOIN sk s ON s.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2
+    ), merged AS (
+        SELECT day, h FROM (
+            SELECT day, h, row_number() OVER (
+                PARTITION BY day ORDER BY h) AS rn
+            FROM win
+        ) WHERE rn <= {_R31C_K}
+    ), est AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS cnt, max(h) AS hk
+        FROM merged GROUP BY 1
+    ), ex AS (
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
+    )
+    SELECT strftime(e.day, '%Y-%m-%d') AS day, x.active_users,
+           CAST(CASE WHEN e.cnt < {_R31C_K} THEN e.cnt
+                ELSE (2 * {_R31C_K - 1} * 4294967296::BIGINT + e.hk)
+                     // (2 * e.hk) END AS BIGINT) AS kmv_active_est
+    FROM est e JOIN ex x USING (day)
+"""
+
+
+@q("r31c_rolling_active_kmv", _R31C_ORACLE)
+def r31c_rolling_active_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users off KMV sketch state, value-checked
+    (r31b's plan shape with an engine-exact sketch): per-day k-smallest
+    hash sketches, each fanned out to the <=7 report days it covers,
+    re-merged by one keyed k-smallest pass, estimated (k-1)/h_(k) —
+    next to r31's exact curve as the anchor.  The windowed shuffle
+    carries 7*|days|*k rows of fixed-size state, independent of user
+    count — the 100-TB rolling-distinct form; the HLL twin (r31b) keeps
+    the production datasketches path behind its pytest gate."""
+    from pyspark.sql import Window
+
+    from martech_pipelines_spark.operators import sketches as SK
+    from martech_pipelines_spark.operators.transforms import (
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    sk = SK.kmv_sketch_table(ud, "day", "user_id", k=_R31C_K)
+    days = ud.select("day").distinct()
+    fan = (
+        sk.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__i"), "day", "h"
+        )
+        .select(F.date_add("day", F.col("__i")).alias("day"), "h")
+        .join(days, "day", "left_semi")
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy(F.col("h").asc())
+    merged = (
+        fan.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _R31C_K)
+        .drop("__rn")
+    )
+    est = SK.kmv_estimate(merged, "day", k=_R31C_K, out_col="kmv_active_est")
+    exact = rolling_active_users(ev, window_days=7)
+    return exact.join(
+        est.select(F.date_format("day", "yyyy-MM-dd").alias("day"), "kmv_active_est"),
+        "day",
+    ).select("day", "active_users", "kmv_active_est")

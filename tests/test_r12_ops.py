@@ -221,3 +221,90 @@ def test_theta_setops_disjoint_and_subset(spark):
     py = _py_theta_setops(rows, k=64)[("A", "B")]
     assert (out["kmv_inter_est"], out["kmv_union_est"],
             out["sample_jaccard_e6"]) == py
+
+
+def test_t61_hand_case(spark, tmp_path):
+    """Hand corpus with known tf/df: 3 docs — 'rare' appears twice in
+    doc 0 only (tf=2, df=1 -> score 2*3/1 = 6e6), 'common' once
+    everywhere (1*3/3 = 1e6).  Top-3 ranks follow score desc, term
+    asc."""
+    rows = [
+        (0, "rare rare common alpha"),
+        (1, "common alpha beta"),
+        (2, "common beta beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "sf_t61")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+    got = {
+        (r["doc_id"], r["term"]): (r["tfidf_e6"], r["rnk"])
+        for r in QUERIES["t61_tfidf_keywords"](spark, root).collect()
+    }
+    # doc 0: rare 6e6, alpha 1*3/2=1.5e6, common 1e6
+    assert got[(0, "rare")] == (6_000_000, 1)
+    assert got[(0, "alpha")] == (1_500_000, 2)
+    assert got[(0, "common")] == (1_000_000, 3)
+    # doc 2: beta tf=2 df=2 -> 3e6 rank 1; common 1e6 rank 2; no 3rd term
+    assert got[(2, "beta")] == (3_000_000, 1)
+    assert got[(2, "common")] == (1_000_000, 2)
+    assert (2, "alpha") not in got and len(got) == 8
+
+
+def test_r31c_estimates_within_gate_of_exact(spark):
+    """Every day's KMV rolling estimate lands within a 3-sigma-ish gate
+    (k=64, sigma ~ 12.5%) of the exact curve carried in the same row."""
+    rows = QUERIES["r31c_rolling_active_kmv"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["kmv_active_est"] - r["active_users"]) <= (
+            0.4 * r["active_users"] + 2
+        ), (r["day"], r["kmv_active_est"], r["active_users"])
+
+
+def test_r31c_window_merge_equals_direct_window_sketch(spark):
+    """The fan-out + k-smallest re-merge must equal sketching each
+    7-day window's user set DIRECTLY (k smallest of a union = k
+    smallest of the unions' k-smallest) — the property that makes the
+    per-day sketch table valid IVM state for ANY window."""
+    from martech_pipelines_spark.operators import sketches as SK
+
+    ev = load_table(spark, SF0001, "events")
+    ud = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    # direct: assign each (day,user) to every report day it covers,
+    # THEN sketch per report day
+    fan_users = (
+        ud.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__i"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add("day", F.col("__i")).alias("day"), "user_id")
+        .join(ud.select("day").distinct(), "day", "left_semi")
+    )
+    direct = {
+        tuple(r)
+        for r in SK.kmv_sketch_table(fan_users, "day", "user_id", k=64).collect()
+    }
+    # engine path: per-day sketches, fan out, re-merge k smallest
+    from pyspark.sql import Window
+
+    sk = SK.kmv_sketch_table(ud, "day", "user_id", k=64)
+    fan = (
+        sk.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__i"), "day", "h"
+        )
+        .select(F.date_add("day", F.col("__i")).alias("day"), "h")
+        .join(ud.select("day").distinct(), "day", "left_semi")
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy(F.col("h").asc())
+    merged = {
+        tuple(r)
+        for r in fan.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 64)
+        .drop("__rn")
+        .collect()
+    }
+    assert merged == direct and merged

@@ -279,6 +279,8 @@ HEAVY = [
     "h7b_incremental_hll_registers",
     "r41_kmv_setops",
     "h39_incremental_kmv_setops",
+    "t61_tfidf_keywords",
+    "r31c_rolling_active_kmv",
 ]
 N_RUNS = 2
 
