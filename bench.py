@@ -247,6 +247,9 @@ HEADLINE = [
     # exact) and the rolling-distinct KMV promotion of the r31 family
     "t61_tfidf_keywords",
     "r31c_rolling_active_kmv",
+    # round-12 wave 4: t61's IVM twin and the ANN reindex-trigger report
+    "h40_incremental_tfidf",
+    "s37_centroid_shift",
 ]
 
 

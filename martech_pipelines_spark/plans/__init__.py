@@ -121,6 +121,8 @@ _WINDOW_PRIORITY = [
     "h39_incremental_kmv_setops",
     "t61_tfidf_keywords",
     "r31c_rolling_active_kmv",
+    "h40_incremental_tfidf",
+    "s37_centroid_shift",
     # === then the round-11 window in its r11 order (all driver-green
     # in r11), then prior rotations, then registration order. ===
     "t14c_bpe_fixed_merges",

@@ -491,24 +491,26 @@ _T61_ORACLE = f"""
 """
 
 
-@q("t61_tfidf_keywords", _T61_ORACLE)
-def t61_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 tf-idf keywords per document (linear idf, half-up e6 —
-    float-free, see the module comment for the documented divergence
-    from log idf).  Plan: explode-tokens -> one (doc, term) tf shuffle;
-    the vocab-sized df table and the 1-row N broadcast back; per-doc
-    top-k pushes down as WindowGroupLimit."""
+def word_tf_state(docs: DataFrame) -> DataFrame:
+    """t61's inverted-index STATE from a document batch: (doc_id, term,
+    tf) word term frequencies.  Doc-partitioned batches compose by plain
+    union (h31's fold contract at word granularity)."""
     from martech_pipelines_spark.operators import text as TX
-    from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (
+    return (
         docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+
+
+def _t61_readout(tf: DataFrame, n: int) -> DataFrame:
+    """Shared t61/h40 readout: df prune-free linear-idf scoring over tf
+    state (df and the scores are READOUT-time derivations, so they stay
+    correct as term document-frequencies drift across ingest batches)."""
+    from pyspark.sql import Window
+
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    n = docs.count()  # 1-value control read; broadcast as a literal
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
@@ -523,6 +525,34 @@ def t61_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _T61_K)
         .select("doc_id", "term", "tfidf_e6", "rnk")
     )
+
+
+@q("t61_tfidf_keywords", _T61_ORACLE)
+def t61_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (linear idf, half-up e6 —
+    float-free, see the module comment for the documented divergence
+    from log idf).  Plan: explode-tokens -> one (doc, term) tf shuffle;
+    the vocab-sized df table and the 1-row N broadcast back; per-doc
+    top-k pushes down as WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _t61_readout(word_tf_state(docs), docs.count())
+
+
+@q("h40_incremental_tfidf", _T61_ORACLE)
+def h40_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t61 maintained INCREMENTALLY (SHARES t61's oracle — the IVM
+    proof, h31's shape at word granularity): the corpus split by doc-id
+    parity into two ingest batches, each reduced to its own (doc, term,
+    tf) state, composed by union; the doc count folds additively.  df
+    and the idf scores are readout-time derivations over merged state,
+    so keyword rankings stay correct as document frequencies drift
+    across crawl slices — history is never re-tokenized."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    state = word_tf_state(b1).unionByName(word_tf_state(b2))
+    n = b1.count() + b2.count()  # additive per-batch fold of the doc count
+    return _t61_readout(state, n)
 
 
 # =============================================================================
@@ -624,3 +654,114 @@ def r31c_rolling_active_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.select(F.date_format("day", "yyyy-MM-dd").alias("day"), "kmv_active_est"),
         "day",
     ).select("day", "active_users", "kmv_active_est")
+
+
+# =============================================================================
+# s37: embedding-cell centroid shift (the reindex trigger report)
+# =============================================================================
+#
+# The ANN index-lifecycle gap between s2h (delta probes on a FROZEN
+# quantizer) and a full retrain: when has the embedding distribution
+# drifted enough that the frozen quantizer should be re-trained?  This
+# report compares, per deterministic 4-bit sign cell (s33's fixed-axis
+# cells — no trained state), the OLD index batch vs the NEW ingest
+# batch (vec-id parity split; embeddings carry no timestamp): counts,
+# and the per-dimension |mean shift| in half-up e6.  All integer: xq =
+# floor(x*1e6 + 0.5) (the s12 moments contract), and the mean-shift
+# division |s_new*n_old - s_old*n_new| / (n_old*n_new) keeps the
+# numerator NON-NEGATIVE so half-up div is engine-exact (signed means
+# never divide).  reindex_flag fires at shift > 0.05 per dim — the
+# threshold a 100-TB deployment tunes against its recall SLO.
+
+_S37_SHIFT_E6 = 50_000  # 0.05 mean shift per dimension
+
+_S37_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id % 2 AS half,
+               CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+               + 4 * CAST(embedding[3] > 0 AS INT)
+               + 8 * CAST(embedding[4] > 0 AS INT) AS cell,
+               u.dim,
+               CAST(floor(CAST(embedding[u.dim] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS xq
+        FROM embeddings, unnest([1, 2, 3, 4]) AS u(dim)
+    ), agg AS (
+        SELECT half, cell, dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xq) AS BIGINT) AS s
+        FROM q GROUP BY 1, 2, 3
+    ), old AS (SELECT cell, dim, n, s FROM agg WHERE half = 0),
+    new AS (SELECT cell, dim, n, s FROM agg WHERE half = 1)
+    SELECT CAST(o.cell AS BIGINT) AS cell, CAST(o.dim AS BIGINT) AS dim,
+           o.n AS n_old, nw.n AS n_new,
+           CAST((2 * abs(nw.s * o.n - o.s * nw.n) + o.n * nw.n)
+                // (2 * o.n * nw.n) AS BIGINT) AS mshift_e6,
+           CAST((2 * abs(nw.s * o.n - o.s * nw.n) + o.n * nw.n)
+                // (2 * o.n * nw.n) > {_S37_SHIFT_E6} AS BOOLEAN)
+               AS reindex_flag
+    FROM old o JOIN new nw ON o.cell = nw.cell AND o.dim = nw.dim
+"""
+
+
+@q("s37_centroid_shift", _S37_ORACLE)
+def s37_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell per-dimension embedding centroid shift between the old
+    index batch and the new ingest batch — the deterministic reindex
+    trigger an ANN deployment reads before deciding whether the frozen
+    quantizer (s2h's delta lifecycle) still represents the corpus.
+    Scale shape: one map-side-combined agg over each half (16 cells x 4
+    dims of (n, sum) state), a 64-row join, integer arithmetic end to
+    end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    cell = (
+        (F.element_at(e, 1) > 0).cast("int")
+        + (F.element_at(e, 2) > 0).cast("int") * 2
+        + (F.element_at(e, 3) > 0).cast("int") * 4
+        + (F.element_at(e, 4) > 0).cast("int") * 8
+    )
+    q = (
+        emb.select(
+            (F.col("vec_id") % 2).alias("half"),
+            cell.cast("long").alias("cell"),
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("dim"),
+            "embedding",
+        )
+        .select(
+            "half",
+            "cell",
+            F.col("dim").cast("long").alias("dim"),
+            F.floor(
+                F.element_at("embedding", F.col("dim").cast("int")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    agg = q.groupBy("half", "cell", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+    )
+    old = agg.where(F.col("half") == 0).select(
+        "cell", "dim", F.col("n").alias("n_old"), F.col("s").alias("__so")
+    )
+    new = agg.where(F.col("half") == 1).select(
+        "cell", "dim", F.col("n").alias("n_new"), F.col("s").alias("__sn")
+    )
+    shift = F.expr(
+        "CAST((2 * abs(__sn * n_old - __so * n_new) + n_old * n_new)"
+        " div (2 * n_old * n_new) AS BIGINT)"
+    )
+    return (
+        old.join(new, ["cell", "dim"])
+        .withColumn("mshift_e6", shift)
+        .select(
+            "cell",
+            "dim",
+            "n_old",
+            "n_new",
+            "mshift_e6",
+            (F.col("mshift_e6") > _S37_SHIFT_E6).alias("reindex_flag"),
+        )
+    )

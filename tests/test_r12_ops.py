@@ -308,3 +308,47 @@ def test_r31c_window_merge_equals_direct_window_sketch(spark):
         .collect()
     }
     assert merged == direct and merged
+
+
+def test_h40_equals_t61(spark):
+    """Union-of-batch-states + additive doc count through the shared
+    readout == the full recompute (the IVM proof, complementing the
+    shared oracle)."""
+    a = {tuple(r) for r in QUERIES["t61_tfidf_keywords"](spark, SF0001).collect()}
+    b = {tuple(r) for r in QUERIES["h40_incremental_tfidf"](spark, SF0001).collect()}
+    assert a == b and a
+
+
+def test_s37_hand_shift(spark, tmp_path):
+    """Hand frame: old batch (even ids) at +1.0 on dim 1, new (odd) at
+    +1.1 — every vector in cell 15 (all dims positive), dim-1 shift
+    exactly 0.1 (100000 e6, above the 0.05 flag), dims 2-4 shift 0."""
+    rows = []
+    for i in range(10):
+        v = 1.0 if i % 2 == 0 else 1.1
+        rows.append((i, [v, 0.5, 0.5, 0.5], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    root = str(tmp_path / "sf_s37")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
+    got = {
+        (r["cell"], r["dim"]): (r["mshift_e6"], r["reindex_flag"])
+        for r in QUERIES["s37_centroid_shift"](spark, root).collect()
+    }
+    assert got[(15, 1)] == (100_000, True)
+    for d in (2, 3, 4):
+        assert got[(15, d)] == (0, False)
+    assert len(got) == 4
+
+
+def test_s37_no_shift_on_identical_halves(spark, tmp_path):
+    """Identical distributions in both halves -> zero shift, no flags."""
+    rows = [(i, [0.3, -0.2, 0.7, -0.9], 0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    root = str(tmp_path / "sf_s37b")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
+    out = QUERIES["s37_centroid_shift"](spark, root).collect()
+    assert out and all(r["mshift_e6"] == 0 and not r["reindex_flag"] for r in out)

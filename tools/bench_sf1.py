@@ -281,6 +281,8 @@ HEAVY = [
     "h39_incremental_kmv_setops",
     "t61_tfidf_keywords",
     "r31c_rolling_active_kmv",
+    "h40_incremental_tfidf",
+    "s37_centroid_shift",
 ]
 N_RUNS = 2
 
