@@ -250,6 +250,8 @@ HEADLINE = [
     # round-12 wave 4: t61's IVM twin and the ANN reindex-trigger report
     "h40_incremental_tfidf",
     "s37_centroid_shift",
+    # round-12 wave 5: topic-stratified eval split (t61 -> pipe15 quota)
+    "pipe16_topic_stratified_holdout",
 ]
 
 

@@ -123,6 +123,7 @@ _WINDOW_PRIORITY = [
     "r31c_rolling_active_kmv",
     "h40_incremental_tfidf",
     "s37_centroid_shift",
+    "pipe16_topic_stratified_holdout",
     # === then the round-11 window in its r11 order (all driver-green
     # in r11), then prior rotations, then registration order. ===
     "t14c_bpe_fixed_merges",

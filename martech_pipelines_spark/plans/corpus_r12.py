@@ -765,3 +765,96 @@ def s37_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mshift_e6") > _S37_SHIFT_E6).alias("reindex_flag"),
         )
     )
+
+
+# =============================================================================
+# pipe16: topic-stratified holdout (t61 keywords -> exact-quota split)
+# =============================================================================
+#
+# The composition this round's keyword extractor exists for: stratify
+# the corpus by each document's top-1 tf-idf keyword (its "topic") and
+# hold out an exact 20% quota PER TOPIC — the eval-set construction
+# that keeps rare topics represented (a plain random split starves
+# them).  Oracle fully assembled from t61's CTEs feeding pipe15's
+# md5-ranked quota machinery; determinism end to end (linear-idf rank,
+# term-asc ties; md5 rank, doc-id ties).
+
+_PIPE16_PCT = 20
+
+_PIPE16_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKENS_T61} AS t FROM documents
+    ), tf AS (
+        SELECT doc_id, u.w, CAST(count(*) AS BIGINT) AS tf
+        FROM toks, unnest(t) AS u(w) GROUP BY 1, 2
+    ), df AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    topic AS (
+        SELECT doc_id, term AS topic FROM (
+            SELECT tf.doc_id, tf.w AS term,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (2 * tf.tf * n.n * 1000000 + df.df)
+                                // (2 * df.df) DESC, tf.w ASC) AS rnk
+            FROM tf JOIN df USING (w) CROSS JOIN n
+        ) WHERE rnk = 1
+    ), ranked AS (
+        SELECT topic, doc_id,
+               row_number() OVER (
+                   PARTITION BY topic
+                   ORDER BY md5(topic || ':' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY topic) AS nt
+        FROM topic
+    )
+    SELECT topic,
+           CAST(max(nt) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= nt * {_PIPE16_PCT} // 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN rn > nt * {_PIPE16_PCT} // 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN rn <= nt * {_PIPE16_PCT} // 100
+                         THEN doc_id ELSE 0 END) AS BIGINT) AS val_id_sum
+    FROM ranked GROUP BY 1
+"""
+
+
+@q("pipe16_topic_stratified_holdout", _PIPE16_ORACLE)
+def pipe16_topic_stratified_holdout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end topic-stratified eval split: t61's top-1 keyword
+    assigns each document a topic, then an exact 20% quota per topic is
+    held out by deterministic md5 rank (pipe15's machinery on a DERIVED
+    stratum instead of the stored source column).  Per-topic counts and
+    the val-id checksum are the report.  Scale shape: t61's tf shuffle
+    + WindowGroupLimit, one keyed rank per topic, map-side-combined
+    aggregation — no corpus-sized second pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    topic = (
+        _t61_readout(word_tf_state(docs), docs.count())
+        .where(F.col("rnk") == 1)
+        .select("doc_id", F.col("term").alias("topic"))
+    )
+    w = Window.partitionBy("topic").orderBy(
+        F.md5(F.concat(F.col("topic"), F.lit(":"), F.col("doc_id").cast("string"))),
+        F.col("doc_id").asc(),
+    )
+    wn = Window.partitionBy("topic")
+    ranked = topic.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nt", F.count("*").over(wn)
+    )
+    quota = F.expr(f"nt * {_PIPE16_PCT} div 100")
+    is_val = F.col("rn") <= quota
+    return ranked.groupBy("topic").agg(
+        F.max("nt").cast("long").alias("n_docs"),
+        F.sum(is_val.cast("long")).cast("long").alias("n_val"),
+        F.sum((~is_val).cast("long")).cast("long").alias("n_train"),
+        F.sum(F.when(is_val, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("val_id_sum"),
+    )

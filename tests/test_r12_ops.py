@@ -352,3 +352,18 @@ def test_s37_no_shift_on_identical_halves(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
     out = QUERIES["s37_centroid_shift"](spark, root).collect()
     assert out and all(r["mshift_e6"] == 0 and not r["reindex_flag"] for r in out)
+
+
+def test_pipe16_quota_and_determinism(spark):
+    """Per-topic: n_val == floor(n_docs * 20 / 100), val + train ==
+    n_docs, every doc appears in exactly one stratum, and two runs are
+    identical (md5 rank, no RNG)."""
+    out1 = QUERIES["pipe16_topic_stratified_holdout"](spark, SF0001).collect()
+    out2 = QUERIES["pipe16_topic_stratified_holdout"](spark, SF0001).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2)) and out1
+    n_total = sum(r["n_docs"] for r in out1)
+    docs = load_table(spark, SF0001, "documents").count()
+    assert n_total == docs  # every doc got exactly one topic stratum
+    for r in out1:
+        assert r["n_val"] == r["n_docs"] * 20 // 100, tuple(r)
+        assert r["n_val"] + r["n_train"] == r["n_docs"], tuple(r)

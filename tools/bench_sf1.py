@@ -283,6 +283,7 @@ HEAVY = [
     "r31c_rolling_active_kmv",
     "h40_incremental_tfidf",
     "s37_centroid_shift",
+    "pipe16_topic_stratified_holdout",
 ]
 N_RUNS = 2
 
