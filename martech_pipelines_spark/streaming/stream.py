@@ -1882,3 +1882,98 @@ def read_transitions_state(spark: SparkSession, state_path: str) -> DataFrame:
         .agg(F.sum("n_trans").cast("long").alias("n_trans"))
     )
     return transition_readout(cells)
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV / HLL sketch maintenance (h39 / h7b streaming twins)
+# ---------------------------------------------------------------------------
+
+
+def apply_kmv_batch(
+    batch_df: DataFrame, state_path: str, key_col: str, col: str, k: int = 64
+) -> None:
+    """One fold of ``streaming_kmv_maintenance``: sketch the micro-batch
+    and ``kmv_merge`` it into the parquet state with the crash-safe swap
+    protocol.  The fold is IDEMPOTENT (distinct hashes + k-smallest),
+    so foreachBatch's at-least-once replays are free — the reach sink's
+    contract, at fixed k-row-per-key state size."""
+    import os
+
+    from martech_pipelines_spark.operators import sketches as SK
+
+    _recover_swap(state_path)
+    spark = batch_df.sparkSession
+    delta = SK.kmv_sketch_table(batch_df, key_col, col, k=k)
+    if os.path.isdir(state_path):
+        folded = SK.kmv_merge(
+            spark.read.parquet(state_path), delta, key_col, k=k
+        )
+    else:
+        folded = delta
+    _swap_write(folded, state_path)
+
+
+def streaming_kmv_maintenance(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    col: str = "user_id",
+    k: int = 64,
+) -> "object":
+    """Continuously maintain per-key KMV distinct sketches from an
+    event stream — the streaming twin of h24/h39: every downstream
+    readout (``kmv_estimate``, ``kmv_theta_setops``) serves off the
+    state table, so distinct counts AND pairwise audience set-ops stay
+    current at k-row-per-key state cost, independent of event volume."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_kmv_batch(batch_df, state_path, key_col, col, k=k)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def apply_hll_batch(
+    batch_df: DataFrame, state_path: str
+) -> None:
+    """One fold of ``streaming_hll_maintenance``: build the batch's
+    deterministic HLL register table (h7b's md5/bit-length contract)
+    and elementwise-max it into the state.  max is idempotent, so
+    replays are free."""
+    import os
+
+    from martech_pipelines_spark.plans.corpus_r12 import (
+        _hll_merge,
+        _hll_registers,
+    )
+
+    _recover_swap(state_path)
+    spark = batch_df.sparkSession
+    delta = _hll_registers(batch_df)
+    if os.path.isdir(state_path):
+        folded = _hll_merge(spark.read.parquet(state_path), delta)
+    else:
+        folded = delta
+    _swap_write(folded, state_path)
+
+
+def streaming_hll_maintenance(
+    events_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> "object":
+    """Continuously maintain deterministic HLL registers from an event
+    stream — h7b's streaming twin; 32 rows per key forever."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_hll_batch(batch_df, state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -1669,3 +1669,105 @@ def test_streaming_transitions_maintenance_matches_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_kmv_maintenance_matches_batch(spark, tmp_path):
+    """h39's streaming twin: the event log streamed in 3 micro-batches
+    through the KMV fold sink; estimates AND theta set-ops read off the
+    maintained state must equal the batch forms bit-for-bit, and a
+    replayed batch changes nothing (idempotent k-smallest merge)."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.operators import sketches as SK
+    from martech_pipelines_spark.streaming.stream import (
+        apply_kmv_batch,
+        stream_events_source,
+        streaming_kmv_maintenance,
+    )
+
+    d = tmp_path / "kmv_stream"
+    d.mkdir()
+    ev = load_table(spark, SF, "events")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"kslice{i}"))
+        src = _g.glob(str(tmp_path / f"kslice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    state = str(tmp_path / "kmv_state")
+    stream = stream_events_source(spark, str(d))
+    q = streaming_kmv_maintenance(stream, state, str(tmp_path / "kmv_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    st = spark.read.parquet(state)
+    batch_sk = SK.kmv_sketch_table(ev, "event_type", "user_id", k=64)
+    got_est = {tuple(r) for r in SK.kmv_estimate(st, "event_type", k=64).collect()}
+    want_est = {
+        tuple(r) for r in SK.kmv_estimate(batch_sk, "event_type", k=64).collect()
+    }
+    assert got_est == want_est and got_est
+    got_ops = {
+        tuple(r) for r in SK.kmv_theta_setops(st, "event_type", k=64).collect()
+    }
+    want_ops = {
+        tuple(r)
+        for r in SK.kmv_theta_setops(batch_sk, "event_type", k=64).collect()
+    }
+    assert got_ops == want_ops and got_ops
+
+    # at-least-once replay is a no-op
+    apply_kmv_batch(
+        ev.where(F.col("event_id") % 3 == 0), state, "event_type", "user_id"
+    )
+    again = {
+        tuple(r)
+        for r in SK.kmv_estimate(
+            spark.read.parquet(state), "event_type", k=64
+        ).collect()
+    }
+    assert again == want_est
+
+
+def test_streaming_hll_maintenance_matches_batch(spark, tmp_path):
+    """h7b's streaming twin: registers maintained across 3 micro-batches
+    equal the full-log register table cell-for-cell; replay is free."""
+    import glob as _g
+    import shutil as _sh
+
+    from martech_pipelines_spark.plans.corpus_r12 import _hll_registers
+    from martech_pipelines_spark.streaming.stream import (
+        apply_hll_batch,
+        stream_events_source,
+        streaming_hll_maintenance,
+    )
+
+    d = tmp_path / "hll_stream"
+    d.mkdir()
+    ev = load_table(spark, SF, "events")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"hslice{i}"))
+        src = _g.glob(str(tmp_path / f"hslice{i}" / "part-*.parquet"))[0]
+        _sh.copy(src, d / f"part-{i:03d}.parquet")
+
+    state = str(tmp_path / "hll_state")
+    stream = stream_events_source(spark, str(d))
+    q = streaming_hll_maintenance(stream, state, str(tmp_path / "hll_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(state).collect()}
+    want = {tuple(r) for r in _hll_registers(ev).collect()}
+    assert got == want and got
+
+    apply_hll_batch(ev.where(F.col("event_id") % 3 == 1), state)
+    again = {tuple(r) for r in spark.read.parquet(state).collect()}
+    assert again == want
