@@ -195,8 +195,11 @@ def exploded_shingles(
     100-TB-shaped formulation: nested higher-order-function variants
     recompute the tokenize subtree per permutation (no CSE inside Catalyst
     lambdas) and blow up codegen."""
-    return docs.select(
-        F.col(id_col).alias("id"),
+    from martech_pipelines_spark.operators.parallelism import spread
+
+    narrow = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), by="id")
+    return narrow.select(
+        "id",
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
 
@@ -430,6 +433,7 @@ def lsh_candidate_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -439,8 +443,16 @@ def lsh_candidate_pairs(
     within buckets; a bucket's expected size is corpus_size * P(collision),
     so skew only appears if many documents truly share a band — which is
     exactly the signal.
+
+    ``signatures``: an optional precomputed ``minhash_signatures`` table
+    (id, m0..m{P-1}) so callers sweeping several band configs over the
+    SAME signatures (dd21) hash the corpus once, not once per config.
     """
-    with_sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    with_sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    )
     band_rows = with_sig.select(
         "id",
         F.posexplode(F.array(*_band_key_exprs(num_perm, bands))).alias(

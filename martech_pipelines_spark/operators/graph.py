@@ -287,14 +287,25 @@ def triangle_stats(
     )
     # each unordered wedge once: v strictly before w in the orientation
     # order, so the closing edge (if present) is oriented v -> w.
-    wedges = o1.join(o2, "u").where(
+    #
+    # Both wedge-side joins request SHUFFLE_HASH (guide §3.1): the build
+    # sides are edge-sized (m rows split across partitions) while the
+    # probe side is the wedge stream (sum of out-deg^2 rows — 13M/397 MB
+    # at sf0.1).  Sort-merge would SORT that wedge stream on (v, w)
+    # before probing; the hash join streams it unsorted past a per-
+    # partition hash table of edges, removing the plan's single biggest
+    # sort while keeping the keyed-shuffle scale shape (no broadcast of
+    # a data-scale side).
+    wedges = o1.join(o2.hint("SHUFFLE_HASH"), "u").where(
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
     )
     closing = oriented.select(
         F.col("lo").alias("v"), F.col("hi").alias("w")
     )
-    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    tris = wedges.join(closing.hint("SHUFFLE_HASH"), ["v", "w"]).select(
+        "u", "v", "w"
+    )
     corners = (
         tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")

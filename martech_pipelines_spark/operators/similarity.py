@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from martech_pipelines_spark.operators.parallelism import spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -76,9 +78,16 @@ def brute_force_topk(
         F.col(query_id).alias("__qid"),
         _as_double(F.col(query_vec)).alias("__qv"),
     ).withColumn("__qn", l2_norm(F.col("__qv")))
-    c = corpus.select(
-        F.col(corpus_id).alias("__cid"),
-        _as_double(F.col(corpus_vec)).alias("__cv"),
+    # The |Q| x |C| dot products evaluate on the corpus side's
+    # partitioning, and the single-row-group testdata scans arrive as
+    # 1-2 partitions (measured: s32's dense stage = ONE task x 8.4 s).
+    # spread() unlocks every core; no-op on real multi-partition scans.
+    c = spread(
+        corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            _as_double(F.col(corpus_vec)).alias("__cv"),
+        ),
+        by="__cid",
     ).withColumn("__cn", l2_norm(F.col("__cv")))
     denom = F.col("__qn") * F.col("__cn")
     scored = F.broadcast(q).crossJoin(c).select(
@@ -212,7 +221,10 @@ def brute_force_topk_arrow(
                         rows.append((q_ids[qi], c_ids[ci], float(s)))
             yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
 
-    src = corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull())
+    src = spread(
+        corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull()),
+        by=corpus_id,
+    )
     cand = src.mapInPandas(kernel, out_schema)
     scored = cand.select(
         query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
@@ -305,8 +317,10 @@ def lsh_topk(
     sig_udf = rp_signature_pandas(dim, bits)
 
     def with_bands(df: DataFrame, id_col_: str, vec_col: str) -> DataFrame:
-        base = df.select(
-            F.col(id_col_).alias("__id"),
+        base = spread(
+            df.select(F.col(id_col_).alias("__id"), F.col(vec_col)), by="__id"
+        ).select(
+            "__id",
             _as_double(F.col(vec_col)).alias("__v"),
             sig_udf(F.col(vec_col)).alias("__sig"),
         ).withColumn("__n", l2_norm(F.col("__v")))
@@ -578,7 +592,8 @@ def quantized_cell_assignments(
         F.col("cell"), quantized_vec(F.col("centroid"), quantize).alias("__cq")
     )
     scored = (
-        corpus.select(
+        spread(corpus.select(F.col(id_col), F.col(vec_col)), by=id_col)
+        .select(
             F.col(id_col), quantized_vec(F.col(vec_col), quantize).alias("__xq")
         )
         .crossJoin(F.broadcast(cq))
@@ -629,7 +644,7 @@ def kmeans_lloyd_det(
     discipline — never the corpus.  The trained MLlib-style float
     KMeans stays rows-only behind recall gates; this is its
     value-checked geometry twin."""
-    xq = corpus.select(
+    xq = spread(corpus.select(F.col(id_col), F.col(vec_col)), by=id_col).select(
         F.col(id_col), quantized_vec(F.col(vec_col), quantize).alias("__xq")
     )
     cents = modular_representatives(
@@ -926,7 +941,10 @@ def ivf_deterministic_topk_arrow(
                         rows.append((q_ids[qi], c_ids[ci], float(s)))
             yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
 
-    src = corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull())
+    src = spread(
+        corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull()),
+        by=corpus_id,
+    )
     cand = src.mapInPandas(kernel, out_schema)
     scored = cand.select(
         query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
@@ -999,7 +1017,7 @@ def quantized_pq_slice_scores(
         "code",
         quantized_vec(F.col("codeword"), quantize).alias("__cw"),
     )
-    slices = df.select(
+    slices = spread(df.select(F.col(id_col), F.col(vec_col)), by=id_col).select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -1280,7 +1298,8 @@ def ivfpq_deterministic_topk(
         corpus, cents, quantize=quantize, vec_col=corpus_vec, id_col=corpus_id
     ).select(corpus_id, "cell")
     resid = (
-        corpus.select(
+        spread(corpus.select(F.col(corpus_id), F.col(corpus_vec)), by=corpus_id)
+        .select(
             F.col(corpus_id),
             quantized_vec(F.col(corpus_vec), quantize).alias("__xq"),
         )
@@ -1294,12 +1313,22 @@ def ivfpq_deterministic_topk(
             ).alias("__r"),
         )
     )
-    # NOT persisted: the residual projection feeds three consumers, but
-    # measured at sf0.1 the persist barrier costs more than the re-
-    # evaluation it saves (4.7 s vs 4.3 s solo best-of-5) — the subtree
-    # is one broadcast join + a zip_with, cheap to recompute, and the
-    # barrier breaks broadcast-pipelining into the consumers.  At 100 TB
-    # the build side materializes anyway as s2d's stored code table.
+    # Persisted since round 12: the residual projection feeds three
+    # consumers (rreps, rslices, and the code table), and each recompute
+    # re-runs quantize + two joins.  The pre-spread measurement that
+    # favored recompute (4.7 s persisted vs 4.3 s, r7 note) was taken
+    # when the whole subtree ran on the 1-2 scan partitions; with the
+    # corpus spread across every core the materialization is cheap and
+    # saves two full re-evaluations (profiled: stages 66/67/80 = 10.7 +
+    # 11.5 + 33 s executor time re-deriving resid three times).  At
+    # 100 TB the build side materializes anyway as s2d's stored code
+    # table.  Registered with caching so the bench/driver release it
+    # after each run.
+    from pyspark import StorageLevel
+
+    from martech_pipelines_spark import caching
+
+    resid = caching.register(resid.persist(StorageLevel.MEMORY_AND_DISK))
     # Residual PQ codebook: the modular-representative trick on residuals
     rreps = resid.groupBy(
         (F.col(corpus_id) % ksub).cast("int").alias("code")
@@ -2224,7 +2253,11 @@ def sq8_topk(
     rounded-rank contract as the HOF form — the s1/s1b equivalence
     argument), with quantize+reconstruct still a JVM-side projection."""
     mins, maxs = sq8_stats(corpus, dim, vec_col=corpus_vec)
-    dequant = corpus.select(
+    # spread BEFORE the per-dim reconstruct projection (64 when/round
+    # exprs per row) so it codegens on every core, not the 1-2 scan tasks
+    dequant = spread(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec)), by=corpus_id
+    ).select(
         F.col(corpus_id),
         sq8_dequantized(F.col(corpus_vec), mins, maxs).alias("__dq"),
     )

@@ -823,12 +823,20 @@ def bpe_learn_merges(
             "if you really want a larger vocabulary"
         )
     spark = docs.sparkSession
+    # Round-12 (guide §1.2): checkpoints are LAZY (eager=False) — each
+    # round's argmax collect materializes the previous round's
+    # checkpoint as part of its own job, halving the per-round Spark-job
+    # count (2 jobs/round -> 1; job latency, not data volume, dominates
+    # this vocab-sized driver loop).  The vocab stays on the word-count
+    # shuffle's own partitioning — it is a few hundred rows here and AQE
+    # sizes it; forcing it wider was measured slower (32 near-empty
+    # tasks per round).
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(F.split("w", "").alias("sym"), "cnt")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -853,9 +861,29 @@ def bpe_learn_merges(
         merges.append((rank, left, right, cnt))
         words = words.withColumn(
             "sym", _bpe_merge_expr(F.col("sym"), left, right)
-        ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long"
+        ).localCheckpoint(eager=False)
+    # Literal-array construction instead of createDataFrame(local rows):
+    # parallelizing python rows runs one pickled-RDD task per default
+    # partition, each spinning a Python worker (measured: a 5.9 s
+    # 32-task stage for EIGHT rows).  The explode of a literal struct
+    # array is pure JVM, one task, no Python boundary (guide §4.1).
+    if not merges:
+        return spark.createDataFrame(
+            [], "rank int, left string, right string, pair_count long"
+        )
+    structs = [
+        F.struct(
+            F.lit(r).cast("int").alias("rank"),
+            F.lit(lf).alias("left"),
+            F.lit(rt).alias("right"),
+            F.lit(cnt).cast("long").alias("pair_count"),
+        )
+        for r, lf, rt, cnt in merges
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("__m"))
+        .select("__m.rank", "__m.left", "__m.right", "__m.pair_count")
     )
 
 
@@ -1352,7 +1380,15 @@ def bpe_encode(
 
         return col.apply(enc_text)
 
-    return docs.select(
+    from martech_pipelines_spark.operators.parallelism import spread
+
+    # spread the narrow (id, text) projection before the Python encode
+    # kernel: on the 1-2 partition local scans the whole corpus would
+    # otherwise funnel through one or two Python workers (no-op on real
+    # wide scans — parallelism.spread).
+    return spread(
+        docs.select(F.col(id_col), F.col(text_col)), by=id_col
+    ).select(
         F.col(id_col),
         encode(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))

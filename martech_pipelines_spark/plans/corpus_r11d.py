@@ -79,7 +79,12 @@ def t60_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (diagonal mass = agreement; a hot off-diagonal cell names exactly
     which tag/predictor pair disagrees).  One codegen scoring pass +
     one |langs|^2-bounded agg; row totals broadcast back."""
-    docs = load_table(spark, sf_dir, "documents")
+    from martech_pipelines_spark.operators.parallelism import spread
+
+    # lang_id is a heavy per-doc token-voting expression; evaluated on
+    # the 1-2 partition scan it ran as ONE 4.7 s task (profiled r12) —
+    # spread the narrow (lang, text) projection first (no-op at scale).
+    docs = spread(load_table(spark, sf_dir, "documents").select("lang", "text"))
     pred = docs.select(
         "lang", TX.lang_id(F.col("text")).alias("lang_pred")
     )

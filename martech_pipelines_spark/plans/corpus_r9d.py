@@ -32,6 +32,7 @@ from martech_pipelines_spark.plans.corpus_extended import (
     _DUCK_TOKENS,
     _MINHASH_CORPUS_SQL,
 )
+from martech_pipelines_spark.operators.parallelism import spread
 from martech_pipelines_spark.sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -138,7 +139,28 @@ def dd20_shingle_width_separation(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat("text", F.lit(" zz yy xx")).alias("text"),
     )
-    corpus = base.unionByName(near)
+    from pyspark import StorageLevel
+
+    from martech_pipelines_spark import caching
+
+    # Round-12 restructure (guide §1.2 / §2.3): the pre-round plan
+    # re-derived the per-width shingle table from the raw scan inside
+    # SIX broadcast builds (3 widths x 2 join sides — no exchange reuse
+    # across union branches), each tokenizing all docs on the 1-2
+    # partition scan (measured 6 stages x 2 tasks x 7-12 s executor
+    # time).  Now: ONE spread + persisted wide table carries all three
+    # widths' arrays (one tokenize pass per width instead of two, on
+    # every core — parallelism.spread is a no-op on real wide scans),
+    # and the per-width join sides are column-pruned reads of that
+    # cache, broadcast explicitly (the cache's whole-table size
+    # estimate would otherwise flip the join to SMJ).
+    corpus = spread(base.unionByName(near), by="doc_id")
+    wide = caching.register(
+        corpus.select(
+            "doc_id",
+            *[shingles(F.col("text"), w).alias(f"sh{w}") for w in _DD20_WIDTHS],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     true_pairs = base.select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 2000000).alias("id_b"),
@@ -149,15 +171,22 @@ def dd20_shingle_width_separation(spark: SparkSession, sf_dir: str) -> DataFrame
     false_pairs = a_ids.join(
         b_ids, F.col("id_b") == F.col("id_a") + 10
     ).select("id_a", "id_b", F.lit(0).alias("is_true"))
-    pairs = true_pairs.unionByName(false_pairs)
+    # The per-pair array_intersect evaluates on the STREAM side of the
+    # pair join — pairs' partitioning — so spread the (tiny) pair table
+    # too, or the intersect work serializes on the 2-split scan.
+    pairs = spread(true_pairs.unionByName(false_pairs), by="id_a")
 
     out = None
     for w in _DD20_WIDTHS:
-        sh = corpus.select(
-            "doc_id", shingles(F.col("text"), w).alias("sh")
-        ).where(F.size("sh") > 0)
-        sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-        sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        sh = wide.select("doc_id", F.col(f"sh{w}").alias("sh")).where(
+            F.size("sh") > 0
+        )
+        sa = F.broadcast(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        )
+        sb = F.broadcast(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        )
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         un = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
         scored = (
@@ -746,9 +775,25 @@ def dd21_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_true_total"))
     )
+    # Signatures are config-independent (num_perm/shingle_n fixed): hash
+    # the corpus ONCE and replay only the banding per config — this is
+    # what the docstring always promised; before round 12 the loop
+    # recomputed the full explode+16-way-md5 signature pass per config
+    # (3 heavy stages measured 5.6/3.2/3.0 s on 2 tasks at sf0.1).
+    from pyspark import StorageLevel
+
+    from martech_pipelines_spark import caching
+
+    sigs = caching.register(
+        DD.minhash_signatures(corpus, num_perm=16, shingle_n=3).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     out = None
     for nb, r in _DD21_CONFIGS:
-        cand = DD.lsh_candidate_pairs(corpus, num_perm=16, bands=nb, shingle_n=3)
+        cand = DD.lsh_candidate_pairs(
+            corpus, num_perm=16, bands=nb, shingle_n=3, signatures=sigs
+        )
         m = cand.agg(
             F.count("*").cast("long").alias("n_candidates"),
             F.sum(
