@@ -118,9 +118,12 @@ def dup_clusters(
     # whole LSH candidates+verify pipeline, and every iteration references
     # edges twice (neighbor join + convergence count) — without this the
     # full upstream lineage would re-execute 2x per round.
+    # Lazy checkpoint (round 12, guide §1.2): the first convergence
+    # count materializes it as part of its own job — an eager checkpoint
+    # here was a whole extra Spark job before the loop even started.
     edges = edges_fwd.union(
         edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -138,7 +141,9 @@ def dup_clusters(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the changed-count join right below is the action that
+            # materializes this round's labels — 1 job/round, not 2
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -814,11 +819,13 @@ def dup_clusters_star(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        # lazy: round 1's star joins materialize it inside their own job
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy: the convergence count below materializes this round's edges
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         if new_edges.count() == edges.count() and (
             new_edges.exceptAll(edges).limit(1).count() == 0
         ):

@@ -25,6 +25,11 @@ from pyspark.storagelevel import StorageLevel
 
 from martech_pipelines_spark import caching
 
+# Join-strategy toggle for the two wedge-side joins in triangle_stats —
+# None = planner default (sort-merge).  Module-level so an A/B harness
+# can flip it inside one session; see OPTIMIZATION_r12.md (g2).
+_WEDGE_JOIN_HINT: str | None = "SHUFFLE_HASH"
+
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Directed co-purchase edges: (p1 -> p2) whenever parts p1 != p2 ship
@@ -296,14 +301,16 @@ def triangle_stats(
     # partition hash table of edges, removing the plan's single biggest
     # sort while keeping the keyed-shuffle scale shape (no broadcast of
     # a data-scale side).
-    wedges = o1.join(o2.hint("SHUFFLE_HASH"), "u").where(
+    o2h = o2.hint(_WEDGE_JOIN_HINT) if _WEDGE_JOIN_HINT else o2
+    wedges = o1.join(o2h, "u").where(
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
     )
     closing = oriented.select(
         F.col("lo").alias("v"), F.col("hi").alias("w")
     )
-    tris = wedges.join(closing.hint("SHUFFLE_HASH"), ["v", "w"]).select(
+    closingh = closing.hint(_WEDGE_JOIN_HINT) if _WEDGE_JOIN_HINT else closing
+    tris = wedges.join(closingh, ["v", "w"]).select(
         "u", "v", "w"
     )
     corners = (

@@ -31,11 +31,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# A/B kill-switch (tools/ab_compare.py): False makes every spread() a
+# no-op so the pre-spread plan shape can be timed in the same session.
+_SPREAD_ENABLED = True
+
+
 def spread(df: DataFrame, by: str | None = None, target: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: session default
     parallelism) partitions iff it currently has fewer — hash on ``by``
     when given (deterministic, and reusable by a downstream groupBy on
     the same key), round-robin otherwise."""
+    if not _SPREAD_ENABLED:
+        return df
     spark = df.sparkSession
     tgt = target or spark.sparkContext.defaultParallelism
     try:

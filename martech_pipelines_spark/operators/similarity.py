@@ -221,10 +221,13 @@ def brute_force_topk_arrow(
                         rows.append((q_ids[qi], c_ids[ci], float(s)))
             yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
 
-    src = spread(
-        corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull()),
-        by=corpus_id,
-    )
+    # NOT spread (round-12 A/B, guide §4.1): the kernel's per-row cost is
+    # a vectorized matmul slice — tiny — so splitting the 1-2 partition
+    # local scan into 32 Python tasks pays 32x the worker/Arrow per-task
+    # overhead for negligible CPU gain (s30 interleaved A/B: 3.46s
+    # no-spread vs 4.19s spread best-of-4; every round no-spread won).
+    # On real multi-split tables the input is already wide.
+    src = corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull())
     cand = src.mapInPandas(kernel, out_schema)
     scored = cand.select(
         query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
@@ -317,9 +320,9 @@ def lsh_topk(
     sig_udf = rp_signature_pandas(dim, bits)
 
     def with_bands(df: DataFrame, id_col_: str, vec_col: str) -> DataFrame:
-        base = spread(
-            df.select(F.col(id_col_).alias("__id"), F.col(vec_col)), by="__id"
-        ).select(
+        # not spread: the signature UDF is one matmul per Arrow batch —
+        # the round-12 A/B read no-spread faster (2.31s vs 2.45s best)
+        base = df.select(F.col(id_col_).alias("__id"), F.col(vec_col)).select(
             "__id",
             _as_double(F.col(vec_col)).alias("__v"),
             sig_udf(F.col(vec_col)).alias("__sig"),
@@ -941,10 +944,13 @@ def ivf_deterministic_topk_arrow(
                         rows.append((q_ids[qi], c_ids[ci], float(s)))
             yield pd.DataFrame(rows, columns=[query_id, corpus_id, "cos_sim"])
 
-    src = spread(
-        corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull()),
-        by=corpus_id,
-    )
+    # NOT spread (round-12 A/B, guide §4.1): the kernel's per-row cost is
+    # a vectorized matmul slice — tiny — so splitting the 1-2 partition
+    # local scan into 32 Python tasks pays 32x the worker/Arrow per-task
+    # overhead for negligible CPU gain (s30 interleaved A/B: 3.46s
+    # no-spread vs 4.19s spread best-of-4; every round no-spread won).
+    # On real multi-split tables the input is already wide.
+    src = corpus.select(corpus_id, corpus_vec).where(F.col(corpus_vec).isNotNull())
     cand = src.mapInPandas(kernel, out_schema)
     scored = cand.select(
         query_id, corpus_id, F.round("cos_sim", round_dp).alias("cos_sim")
@@ -2253,11 +2259,10 @@ def sq8_topk(
     rounded-rank contract as the HOF form — the s1/s1b equivalence
     argument), with quantize+reconstruct still a JVM-side projection."""
     mins, maxs = sq8_stats(corpus, dim, vec_col=corpus_vec)
-    # spread BEFORE the per-dim reconstruct projection (64 when/round
-    # exprs per row) so it codegens on every core, not the 1-2 scan tasks
-    dequant = spread(
-        corpus.select(F.col(corpus_id), F.col(corpus_vec)), by=corpus_id
-    ).select(
+    # not spread (round-12 A/B): the dequant projection is cheap per row
+    # and the downstream Arrow kernel prefers few big batches — s7 read
+    # 2.70s no-spread vs 3.35s spread (interleaved best-of-3)
+    dequant = corpus.select(F.col(corpus_id), F.col(corpus_vec)).select(
         F.col(corpus_id),
         sq8_dequantized(F.col(corpus_vec), mins, maxs).alias("__dq"),
     )
@@ -3557,6 +3562,13 @@ def graph_ann_beam_search(
             )
         )
 
+    # NOTE (round 12): per-hop localCheckpoint(eager=False) of beam_df +
+    # visited was tried to truncate the geometrically growing unrolled
+    # plan (s30: 516 Exchange refs) and REJECTED on measurement — the
+    # extra materialization barriers cost far more than the planning
+    # they saved (s30 interleaved A/B: 12.5s truncated vs 5.5s not,
+    # best-of-4).  The big plan is planner work, which AQE + ReuseExchange
+    # already keep from becoming executor work.
     per_hop: list[DataFrame] = []
     for h in range(1, hops + 1):
         nbrs = beam_df.join(

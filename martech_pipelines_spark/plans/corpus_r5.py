@@ -236,7 +236,17 @@ def dd12_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat("text", F.lit(" zz yy xx")).alias("text"),
     )
-    corpus = base.unionByName(exact).unionByName(near)
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.operators.parallelism import spread
+
+    # The constructed corpus feeds TWO heavy consumers (the minhash
+    # signature chain and the per-doc quality pass) — persist it once,
+    # spread so both kernels run on every core instead of the 3-6
+    # union-of-scan partitions (profiled r12: 4 sibling 64-task stages
+    # re-deriving the union + quality from raw parquet, 5-12s each).
+    corpus = caching.register(
+        spread(base.unionByName(exact).unionByName(near), by="doc_id").persist()
+    )
     pairs = DD.minhash_near_duplicates(
         corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
     )

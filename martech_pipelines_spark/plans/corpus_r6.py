@@ -1023,9 +1023,16 @@ def pipe10_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from martech_pipelines_spark import caching
     from martech_pipelines_spark.operators import dedup as DD
     from martech_pipelines_spark.operators import text as TX
+    from martech_pipelines_spark.operators.parallelism import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = docs.where(
+    # The quality/lang filter and the eval-side 8-gram hashing are heavy
+    # per-doc token kernels; on the 1-2 partition local scan they ran as
+    # ONE ~3.2s task each (profiled r12, stages 234/235).  spread the
+    # narrow projection first (no-op on real multi-split tables).  The
+    # raw stage-0 count stays on the bare scan (count-only, pushed down).
+    wide = spread(docs.select("doc_id", "text"), by="doc_id")
+    kept = wide.where(
         (F.length("text") > 0)
         & (TX.token_count(F.col("text")) > 0)
         & (TX.lang_id(F.col("text")) == "en")
@@ -1034,7 +1041,7 @@ def pipe10_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = caching.register(kept.persist())
     deduped = caching.register(DD.exact_dedup(kept).persist())
     train = deduped.where(F.col("doc_id") % 10 != 3)
-    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+    eval_docs = wide.where(F.col("doc_id") % 10 == 3)
     clean = DD.decontaminate(train, eval_docs, w=8).where(
         ~F.col("contaminated")
     )

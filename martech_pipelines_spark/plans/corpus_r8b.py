@@ -924,7 +924,14 @@ def dd18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat("text", F.lit(" zz yy xx")).alias("text"),
     )
-    corpus = base.unionByName(exact).unionByName(near)
+    from martech_pipelines_spark import caching
+    from martech_pipelines_spark.operators.parallelism import spread
+
+    # Same corpus sharing as dd12 (see corpus_r5): one persisted spread
+    # union instead of re-deriving the 3-branch union per consumer.
+    corpus = caching.register(
+        spread(base.unionByName(exact).unionByName(near), by="doc_id").persist()
+    )
     pairs = DD.minhash_near_duplicates(
         corpus, threshold=0.5, num_perm=16, bands=4, shingle_n=3
     )

@@ -1,0 +1,77 @@
+"""Interleaved A/B timing inside ONE Spark session (guide §1).
+
+The sandbox host's throughput drifts 1.5-2.8x between runs minutes
+apart (measured via bench.py's calib probe, round 12), so cross-session
+comparisons are meaningless.  This harness times N alternating
+(variant, query) executions in a single session and reports per-variant
+best + median, which cancels the drift to first order.
+
+Usage:
+    python tools/ab_compare.py QUERY  VARIANT_SPEC [VARIANT_SPEC ...]
+
+A VARIANT_SPEC is ``label=module:attr=value`` — before each timed run
+of that variant, setattr(module, attr, eval(value)) is applied (module
+imported by dotted path).  ``base=`` applies nothing.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rounds = int(os.environ.get("AB_ROUNDS", "4"))
+    query = sys.argv[1]
+    specs = []
+    for raw in sys.argv[2:]:
+        label, _, rest = raw.partition("=")
+        if not rest:
+            specs.append((label, None))
+            continue
+        mod_attr, _, value = rest.rpartition("=")
+        mod, _, attr = mod_attr.partition(":")
+        specs.append((label, (mod, attr, eval(value))))  # noqa: S307
+
+    from martech_pipelines_spark import caching, get_spark
+    from martech_pipelines_spark.plans import QUERIES
+
+    spark = get_spark("ab_compare")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    fn = QUERIES[query]
+    times: dict[str, list[float]] = {label: [] for label, _ in specs}
+    # warm both variants once (codegen/broadcast caches)
+    for label, patch in specs:
+        if patch:
+            mod, attr, value = patch
+            setattr(importlib.import_module(mod), attr, value)
+        fn(spark, sf_dir).count()
+        caching.release()
+    for r in range(rounds):
+        for label, patch in specs:
+            if patch:
+                mod, attr, value = patch
+                setattr(importlib.import_module(mod), attr, value)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            el = time.perf_counter() - t0
+            caching.release()
+            times[label].append(el)
+            print(f"round {r} {label:>20}: {el:7.3f}s", flush=True)
+    print()
+    for label, ts in times.items():
+        print(
+            f"{label:>20}: best {min(ts):7.3f}  median "
+            f"{statistics.median(ts):7.3f}  all {[round(t, 3) for t in ts]}"
+        )
+
+
+if __name__ == "__main__":
+    main()
