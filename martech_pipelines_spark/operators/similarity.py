@@ -322,8 +322,8 @@ def lsh_topk(
     def with_bands(df: DataFrame, id_col_: str, vec_col: str) -> DataFrame:
         # not spread: the signature UDF is one matmul per Arrow batch —
         # the round-12 A/B read no-spread faster (2.31s vs 2.45s best)
-        base = df.select(F.col(id_col_).alias("__id"), F.col(vec_col)).select(
-            "__id",
+        base = df.select(
+            F.col(id_col_).alias("__id"),
             _as_double(F.col(vec_col)).alias("__v"),
             sig_udf(F.col(vec_col)).alias("__sig"),
         ).withColumn("__n", l2_norm(F.col("__v")))

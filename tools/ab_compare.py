@@ -16,6 +16,7 @@ imported by dotted path).  ``base=`` applies nothing.
 
 from __future__ import annotations
 
+import ast
 import importlib
 import os
 import statistics
@@ -37,7 +38,7 @@ def main() -> None:
             continue
         mod_attr, _, value = rest.rpartition("=")
         mod, _, attr = mod_attr.partition(":")
-        specs.append((label, (mod, attr, eval(value))))  # noqa: S307
+        specs.append((label, (mod, attr, ast.literal_eval(value))))
 
     from martech_pipelines_spark import caching, get_spark
     from martech_pipelines_spark.plans import QUERIES
@@ -45,26 +46,48 @@ def main() -> None:
     spark = get_spark("ab_compare")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    fn = QUERIES[query]
-    times: dict[str, list[float]] = {label: [] for label, _ in specs}
-    # warm both variants once (codegen/broadcast caches)
-    for label, patch in specs:
+    # Snapshot the ORIGINAL value of every attribute any variant patches,
+    # and restore ALL of them before applying a variant's own patch — a
+    # ``base=`` (no-patch) run after a patched run must execute the
+    # unpatched module, not whatever the previous variant left behind
+    # (ADVICE r12: the old code silently timed the wrong configuration
+    # for every base run after the first patched run).
+    originals: dict[tuple[str, str], object] = {}
+    for _, patch in specs:
+        if patch:
+            mod, attr, _ = patch
+            originals.setdefault(
+                (mod, attr), getattr(importlib.import_module(mod), attr)
+            )
+
+    def apply(patch) -> None:
+        for (mod, attr), value in originals.items():
+            setattr(importlib.import_module(mod), attr, value)
         if patch:
             mod, attr, value = patch
             setattr(importlib.import_module(mod), attr, value)
-        fn(spark, sf_dir).count()
-        caching.release()
-    for r in range(rounds):
+
+    fn = QUERIES[query]
+    times: dict[str, list[float]] = {label: [] for label, _ in specs}
+    try:
+        # warm both variants once (codegen/broadcast caches)
         for label, patch in specs:
-            if patch:
-                mod, attr, value = patch
-                setattr(importlib.import_module(mod), attr, value)
-            t0 = time.perf_counter()
+            apply(patch)
             fn(spark, sf_dir).count()
-            el = time.perf_counter() - t0
             caching.release()
-            times[label].append(el)
-            print(f"round {r} {label:>20}: {el:7.3f}s", flush=True)
+        for r in range(rounds):
+            for label, patch in specs:
+                apply(patch)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                el = time.perf_counter() - t0
+                caching.release()
+                times[label].append(el)
+                print(f"round {r} {label:>20}: {el:7.3f}s", flush=True)
+    finally:
+        # leave the modules exactly as found, even on error/^C
+        for (mod, attr), value in originals.items():
+            setattr(importlib.import_module(mod), attr, value)
     print()
     for label, ts in times.items():
         print(
